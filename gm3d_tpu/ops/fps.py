@@ -1,0 +1,166 @@
+"""Furthest-point sampling (FPS) on TPU.
+
+Replaces the reference's ``pointnet2_ops.furthest_point_sample`` +
+``gather_operation`` CUDA kernels (used via ``utils/miscc.py:13-20`` and
+``models/Point_MAE.py:50-78`` in /root/reference/Point-MAE_SA3D).
+
+Semantics match the CUDA implementation: the first selected point is index 0;
+each subsequent selection is the point with the maximum distance to the
+already-selected set (squared Euclidean metric, ties broken by lowest index).
+
+Two implementations:
+  - ``fps_indices_jax``: ``lax.fori_loop`` + ``vmap`` — works on any backend,
+    used as the oracle-checked fallback and under CPU test meshes.
+  - ``fps_indices_pallas``: a Pallas TPU kernel, one grid row per batch
+    element, coordinates held transposed (3, N) in VMEM so the per-iteration
+    distance update is pure 8x128-lane VPU work.
+
+The public entry ``fps_indices`` dispatches on backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX implementation (fallback / oracle)
+# ---------------------------------------------------------------------------
+
+
+def _fps_single_jax(pts: jax.Array, n_samples: int) -> jax.Array:
+    """FPS for one cloud. pts: (N, 3) float. Returns (n_samples,) int32."""
+    num_points = pts.shape[0]
+    pts = pts.astype(jnp.float32)
+
+    def body(i, carry):
+        min_dist, idxs, last = carry
+        delta = pts - pts[last]
+        dist = jnp.sum(delta * delta, axis=-1)
+        min_dist = jnp.minimum(min_dist, dist)
+        nxt = jnp.argmax(min_dist).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return min_dist, idxs, nxt
+
+    init_idxs = jnp.zeros((n_samples,), jnp.int32)
+    init_dist = jnp.full((num_points,), jnp.inf, jnp.float32)
+    _, idxs, _ = jax.lax.fori_loop(1, n_samples, body, (init_dist, init_idxs, jnp.int32(0)))
+    return idxs
+
+
+def fps_indices_jax(xyz: jax.Array, n_samples: int) -> jax.Array:
+    """xyz: (B, N, 3) -> (B, n_samples) int32."""
+    return jax.vmap(lambda p: _fps_single_jax(p, n_samples))(xyz)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _fps_kernel(xyzt_ref, out_ref, *, n_samples: int, num_points: int):
+    """One batch row per grid step.
+
+    xyzt_ref: (1, 8, Npad) f32 — rows 0..2 are x, y, z (rest padding).
+    out_ref:  (1, 8, n_pad) int32 — row 0 holds the selected indices.
+
+    All per-iteration state (min-distance cache, emitted indices) lives in the
+    ``fori_loop`` carry as full vectors — VMEM refs only take vector stores.
+    """
+    npad = xyzt_ref.shape[-1]
+    npad_out = out_ref.shape[-1]
+    x = xyzt_ref[0, 0:1, :]  # (1, Npad)
+    y = xyzt_ref[0, 1:2, :]
+    z = xyzt_ref[0, 2:3, :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+    valid = lane < num_points
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad_out), 1)
+
+    def pick_coords(idx):
+        sel = lane == idx
+        cx = jnp.sum(jnp.where(sel, x, 0.0))
+        cy = jnp.sum(jnp.where(sel, y, 0.0))
+        cz = jnp.sum(jnp.where(sel, z, 0.0))
+        return cx, cy, cz
+
+    def body(i, carry):
+        last, dmin, outvec = carry
+        cx, cy, cz = pick_coords(last)
+        dx = x - cx
+        dy = y - cy
+        dz = z - cz
+        d = dx * dx + dy * dy + dz * dz
+        dmin = jnp.minimum(dmin, jnp.where(valid, d, -jnp.inf))
+        nxt = jnp.argmax(dmin).astype(jnp.int32)
+        outvec = jnp.where(out_lane == i, nxt, outvec)
+        return nxt, dmin, outvec
+
+    dist0 = jnp.where(valid, jnp.inf, -jnp.inf)
+    out0 = jnp.zeros((1, npad_out), jnp.int32)
+    _, _, outvec = jax.lax.fori_loop(
+        1, n_samples, body, (jnp.int32(0), dist0, out0)
+    )
+    out_ref[0, 0:1, :] = outvec
+
+
+def fps_indices_pallas(xyz: jax.Array, n_samples: int, *, interpret: bool = False) -> jax.Array:
+    """xyz: (B, N, 3) -> (B, n_samples) int32 via a Pallas TPU kernel."""
+    batch, num_points, _ = xyz.shape
+    npad = _round_up(num_points, _LANE)
+    npad_out = _round_up(n_samples, _LANE)
+
+    # (B, 8, Npad): transpose coords onto the lane dimension, pad sublanes to 8.
+    xyzt = jnp.zeros((batch, 8, npad), jnp.float32)
+    xyzt = xyzt.at[:, :3, :num_points].set(xyz.astype(jnp.float32).transpose(0, 2, 1))
+
+    kernel = functools.partial(_fps_kernel, n_samples=n_samples, num_points=num_points)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[pl.BlockSpec((1, 8, npad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, npad_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 8, npad_out), jnp.int32),
+        interpret=interpret,
+    )(xyzt)
+    return out[:, 0, :n_samples]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def fps_indices(xyz: jax.Array, n_samples: int) -> jax.Array:
+    """Furthest-point-sample indices. xyz: (B, N, 3) -> (B, n_samples) int32."""
+    if _on_tpu():
+        return fps_indices_pallas(xyz, n_samples)
+    return fps_indices_jax(xyz, n_samples)
+
+
+def fps_gather(xyz: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather points by index: (B, N, C), (B, G) -> (B, G, C).
+
+    Replaces ``pointnet2_ops.gather_operation``.
+    """
+    return jnp.take_along_axis(xyz, idx[..., None], axis=1)
+
+
+def fps(xyz: jax.Array, n_samples: int) -> jax.Array:
+    """FPS + gather, matching ``utils/miscc.py:13-20`` in the reference."""
+    return fps_gather(xyz, fps_indices(xyz, n_samples))

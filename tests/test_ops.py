@@ -1,0 +1,164 @@
+"""Kernel-vs-numpy-oracle tests for the geometry ops (SURVEY.md §4a).
+
+The FPS oracle mirrors the numpy FPS the reference itself ships at
+``datasets/ModelNetDataset.py:25-46`` (adapted to the CUDA seeding rule:
+first selected point is index 0).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gm3d_tpu.ops import (
+    fps,
+    fps_indices,
+    knn_indices,
+    group_points,
+    chamfer_per_point,
+    chamfer_l1,
+    chamfer_l2,
+    chamfer_group,
+    emd_loss,
+)
+from gm3d_tpu.ops.fps import fps_indices_jax, fps_indices_pallas
+
+
+def numpy_fps_indices(xyz: np.ndarray, n: int) -> np.ndarray:
+    """Oracle FPS, one cloud: (N, 3) -> (n,) indices. Seeded at index 0."""
+    num = xyz.shape[0]
+    idxs = np.zeros(n, dtype=np.int64)
+    dist = np.full(num, np.inf)
+    last = 0
+    for i in range(1, n):
+        d = np.sum((xyz - xyz[last]) ** 2, axis=-1)
+        dist = np.minimum(dist, d)
+        last = int(np.argmax(dist))
+        idxs[i] = last
+    return idxs
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((4, 256, 3)).astype(np.float32)
+
+
+class TestFPS:
+    def test_jax_matches_numpy_oracle(self, clouds):
+        got = np.asarray(fps_indices_jax(jnp.asarray(clouds), 32))
+        want = np.stack([numpy_fps_indices(c, 32) for c in clouds])
+        np.testing.assert_array_equal(got, want)
+
+    def test_pallas_interpret_matches_oracle(self, clouds):
+        got = np.asarray(fps_indices_pallas(jnp.asarray(clouds), 32, interpret=True))
+        want = np.stack([numpy_fps_indices(c, 32) for c in clouds])
+        np.testing.assert_array_equal(got, want)
+
+    def test_fps_gather_shape(self, clouds):
+        out = fps(jnp.asarray(clouds), 64)
+        assert out.shape == (4, 64, 3)
+        # first sampled point is point 0 (CUDA seeding rule)
+        np.testing.assert_allclose(np.asarray(out[:, 0]), clouds[:, 0])
+
+    def test_jittable(self, clouds):
+        f = jax.jit(lambda x: fps_indices(x, 16))
+        out = f(jnp.asarray(clouds))
+        assert out.shape == (4, 16)
+
+    def test_non_multiple_of_128(self):
+        rng = np.random.default_rng(3)
+        pts = rng.standard_normal((2, 200, 3)).astype(np.float32)
+        got = np.asarray(fps_indices_pallas(jnp.asarray(pts), 24, interpret=True))
+        want = np.stack([numpy_fps_indices(c, 24) for c in pts])
+        np.testing.assert_array_equal(got, want)
+
+
+class TestKNN:
+    def test_matches_numpy(self, clouds):
+        q = clouds[:, :16]
+        idx = np.asarray(knn_indices(jnp.asarray(clouds), jnp.asarray(q), 8))
+        for b in range(clouds.shape[0]):
+            d = np.sum((q[b][:, None] - clouds[b][None]) ** 2, axis=-1)
+            want = np.argsort(d, axis=-1, kind="stable")[:, :8]
+            got_d = np.take_along_axis(d, idx[b], axis=-1)
+            want_d = np.take_along_axis(d, want, axis=-1)
+            np.testing.assert_allclose(got_d, want_d, atol=1e-4)
+
+    def test_returns_sorted_distances(self, clouds):
+        dist, idx = knn_indices(jnp.asarray(clouds), jnp.asarray(clouds[:, :8]), 4, return_dist=True)
+        d = np.asarray(dist)
+        assert np.all(np.diff(d, axis=-1) >= -1e-6)
+        # nearest neighbour of a reference point is itself
+        np.testing.assert_array_equal(np.asarray(idx)[:, :, 0], np.arange(8)[None].repeat(4, 0))
+
+
+class TestGroup:
+    def test_shapes_and_normalisation(self, clouds):
+        g = group_points(jnp.asarray(clouds), num_group=16, group_size=8)
+        assert g.neighborhood.shape == (4, 16, 8, 3)
+        assert g.center.shape == (4, 16, 3)
+        assert g.neighborhood_org.shape == (4, 16, 8, 3)
+        np.testing.assert_allclose(
+            np.asarray(g.neighborhood_org - g.center[:, :, None]),
+            np.asarray(g.neighborhood),
+            atol=1e-6,
+        )
+        # nearest member of each group is its center
+        np.testing.assert_allclose(
+            np.asarray(g.neighborhood_org[:, :, 0]), np.asarray(g.center), atol=1e-6
+        )
+
+
+class TestChamfer:
+    def test_per_point_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((5, 32, 3)).astype(np.float32)
+        b = rng.standard_normal((5, 24, 3)).astype(np.float32)
+        da, db = chamfer_per_point(jnp.asarray(a), jnp.asarray(b))
+        d = np.sum((a[:, :, None] - b[:, None]) ** 2, axis=-1)
+        np.testing.assert_allclose(np.asarray(da), d.min(-1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db), d.min(-2), atol=1e-4)
+
+    def test_identical_clouds_zero(self):
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.standard_normal((3, 16, 3)).astype(np.float32))
+        # quadratic-expansion distance leaves ~1e-6 float residue on the diagonal
+        assert float(chamfer_l2(a, a)) < 1e-5
+        assert float(chamfer_l1(a, a)) < 1e-2
+
+    def test_group_reduction(self):
+        rng = np.random.default_rng(4)
+        a = rng.standard_normal((2, 6, 16, 3)).astype(np.float32)
+        b = rng.standard_normal((2, 6, 16, 3)).astype(np.float32)
+        per_group = chamfer_group(jnp.asarray(a), jnp.asarray(b))
+        assert per_group.shape == (2, 6)
+        # scalar L2 on flattened pairs equals mean of group values
+        flat = np.mean(
+            [float(chamfer_l2(jnp.asarray(a[i, j]), jnp.asarray(b[i, j]))) for i in range(2) for j in range(6)]
+        )
+        np.testing.assert_allclose(float(per_group.mean()), flat, rtol=1e-5)
+
+
+class TestEMD:
+    def test_identity_is_zero(self):
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.standard_normal((2, 32, 3)).astype(np.float32))
+        # entropic regularisation leaves a small positive bias at identity
+        assert float(emd_loss(a, a).max()) < 5e-2
+
+    def test_translation_cost(self):
+        rng = np.random.default_rng(6)
+        a = rng.standard_normal((1, 32, 3)).astype(np.float32)
+        b = a + np.array([1.0, 0.0, 0.0], np.float32)
+        got = float(emd_loss(jnp.asarray(a), jnp.asarray(b))[0])
+        # optimal transport of a pure translation costs ~ ||t||^2 = 1
+        assert 0.7 < got < 1.4
+
+    def test_emd_upper_bounds_chamfer(self):
+        rng = np.random.default_rng(7)
+        a = jnp.asarray(rng.standard_normal((3, 32, 3)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((3, 32, 3)).astype(np.float32))
+        emd = np.asarray(emd_loss(a, b))
+        cd = np.asarray(chamfer_group(a, b)) / 2.0
+        assert np.all(emd > cd * 0.5)
