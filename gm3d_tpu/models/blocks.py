@@ -1,0 +1,218 @@
+"""Transformer building blocks and the mini-PointNet patch embed.
+
+Semantics follow the reference exactly (cited per class), re-expressed as
+flax modules with a configurable compute dtype so activations run in bf16 on
+the MXU while parameters stay fp32.
+
+Key reference behaviours preserved:
+  - positional embedding is added at the input of EVERY block
+    (``models/Point_MAE.py:162-165``), not once at the stem;
+  - pre-norm blocks with stochastic depth ramped linearly over depth;
+  - the patch embed is a two-stage mini-PointNet with a global max-pool
+    concat (``models/Point_MAE.py:16-47``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def drop_path(
+    x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jax.Array:
+    """Stochastic depth: drop the residual branch per sample."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP, 4x expansion (``models/Point_MAE.py:82-98``)."""
+
+    dim: int
+    hidden_dim: int
+    dtype: Dtype = jnp.float32
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (``models/Point_MAE.py:101-125``).
+
+    qkv has no bias (reference default qkv_bias=False).
+    """
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, attn_mask=None):
+        batch, seq, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(batch, seq, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = attn.astype(jnp.float32)
+        if attn_mask is not None:
+            # attn_mask: (B, N, N) bool — True where attention is allowed
+            attn = jnp.where(attn_mask[:, None, :, :], attn, -1e9)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(batch, seq, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm ViT block with DropPath (``models/Point_MAE.py:128-146``)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, attn_mask=None):
+        rng = None
+        if not deterministic and self.drop_path_rate > 0.0:
+            rng = self.make_rng("droppath")
+            rng_a, rng_m = jax.random.split(rng)
+        else:
+            rng_a = rng_m = None
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype, qkv_bias=self.qkv_bias, name="attn")(
+            h, deterministic, attn_mask
+        )
+        x = x + drop_path(h, self.drop_path_rate, deterministic, rng_a)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            h, deterministic
+        )
+        x = x + drop_path(h, self.drop_path_rate, deterministic, rng_m)
+        return x
+
+
+def _dpr(drop_path_rate: float, depth: int) -> Sequence[float]:
+    """Linear stochastic-depth ramp, matching torch.linspace(0, rate, depth)."""
+    if depth == 1:
+        return [0.0]
+    return [drop_path_rate * i / (depth - 1) for i in range(depth)]
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of blocks; pos is added at EVERY block input
+    (``models/Point_MAE.py:149-165``)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos, deterministic: bool = True, attn_mask=None):
+        for i, rate in enumerate(_dpr(self.drop_path_rate, self.depth)):
+            x = Block(
+                self.dim, self.num_heads, drop_path_rate=rate, dtype=self.dtype, name=f"block{i}"
+            )(x + pos, deterministic, attn_mask)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    """Decoder stack + final LayerNorm.
+
+    ``return_all=True`` matches the GM3D student decoders which norm and
+    return the FULL sequence (``...feature_besed.py:1287-1293``); the teacher
+    decoder returns only the last ``return_tokens`` mask tokens
+    (``models/Point_MAE.py:212-217``).
+    """
+
+    dim: int
+    depth: int
+    num_heads: int
+    drop_path_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos, return_tokens: int = 0, deterministic: bool = True):
+        for i, rate in enumerate(_dpr(self.drop_path_rate, self.depth)):
+            x = Block(
+                self.dim, self.num_heads, drop_path_rate=rate, dtype=self.dtype, name=f"block{i}"
+            )(x + pos, deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        if return_tokens:
+            x = x[:, -return_tokens:]
+        return x
+
+
+class PatchEncoder(nn.Module):
+    """Mini-PointNet patch embed (``models/Point_MAE.py:16-47``).
+
+    Per group: Dense(3->128) BN ReLU Dense(128->256); global max; concat;
+    Dense(512->512) BN ReLU Dense(512->out); max over points.
+    Conv1d(k=1) == per-point Dense. BatchNorm stats reduce over batch, group
+    and point axes (same as torch BN1d over (B*G, C, n)).
+    """
+
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point_groups, deterministic: bool = True):
+        # point_groups: (B, G, S, 3)
+        x = point_groups.astype(self.dtype)
+        x = nn.Dense(128, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9, dtype=self.dtype, name="bn1"
+        )(x)
+        x = nn.relu(x)
+        x = nn.Dense(256, dtype=self.dtype, name="conv2")(x)  # (B, G, S, 256)
+        g = jnp.max(x, axis=-2, keepdims=True)  # (B, G, 1, 256)
+        x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (B, G, S, 512)
+        x = nn.Dense(512, dtype=self.dtype, name="conv3")(x)
+        x = nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9, dtype=self.dtype, name="bn2"
+        )(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv4")(x)
+        return jnp.max(x, axis=-2)  # (B, G, out_dim)
+
+
+class PosEmbedMLP(nn.Module):
+    """Positional embedding on 3D centers: Linear-GELU-Linear
+    (``models/Point_MAE.py:238-242``)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, centers):
+        x = nn.Dense(128, dtype=self.dtype, name="fc1")(centers.astype(self.dtype))
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
