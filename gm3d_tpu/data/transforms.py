@@ -1,0 +1,69 @@
+"""On-device point-cloud augmentations.
+
+Vectorised equivalents of ``datasets/data_transforms.py`` in the reference
+(which loops per sample in Python on CUDA tensors — a host sync the TPU
+pipeline avoids by running these inside the jitted train step).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def scale_and_translate(
+    rng: jax.Array,
+    pts: jax.Array,
+    scale_low: float = 2.0 / 3.0,
+    scale_high: float = 3.0 / 2.0,
+    translate_range: float = 0.2,
+) -> jax.Array:
+    """Per-sample anisotropic scale + translate
+    (``data_transforms.py:6-21`` ``PointcloudScaleAndTranslate`` — the only
+    augmentation active in pretraining and fine-tune)."""
+    batch = pts.shape[0]
+    r_scale, r_shift = jax.random.split(rng)
+    scale = jax.random.uniform(r_scale, (batch, 1, 3), minval=scale_low, maxval=scale_high)
+    shift = jax.random.uniform(
+        r_shift, (batch, 1, 3), minval=-translate_range, maxval=translate_range
+    )
+    return pts * scale + shift
+
+
+def rotate_z(rng: jax.Array, pts: jax.Array) -> jax.Array:
+    """Random rotation about the up axis (``data_transforms.py`` Rotate)."""
+    batch = pts.shape[0]
+    theta = jax.random.uniform(rng, (batch,), maxval=2.0 * jnp.pi)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    zeros = jnp.zeros_like(c)
+    ones = jnp.ones_like(c)
+    rot = jnp.stack(
+        [c, -s, zeros, s, c, zeros, zeros, zeros, ones], axis=-1
+    ).reshape(batch, 3, 3)
+    return jnp.einsum("bnc,bcd->bnd", pts, rot)
+
+
+def jitter(rng: jax.Array, pts: jax.Array, std: float = 0.01, clip: float = 0.05) -> jax.Array:
+    """Gaussian jitter, clipped (``data_transforms.py`` Jitter)."""
+    noise = jnp.clip(std * jax.random.normal(rng, pts.shape), -clip, clip)
+    return pts + noise
+
+
+def random_dropout(rng: jax.Array, pts: jax.Array, max_dropout: float = 0.875) -> jax.Array:
+    """Random point dropout: dropped points are replaced by the first point
+    (``data_transforms.py`` RandomDropout semantics — keeps shapes static)."""
+    batch, num_points, _ = pts.shape
+    r_ratio, r_mask = jax.random.split(rng)
+    ratio = jax.random.uniform(r_ratio, (batch, 1)) * max_dropout
+    drop = jax.random.uniform(r_mask, (batch, num_points)) < ratio
+    first = pts[:, :1, :]
+    return jnp.where(drop[..., None], first, pts)
+
+
+def unit_sphere_normalize(pts: jax.Array) -> jax.Array:
+    """Center at centroid, scale to unit sphere
+    (``datasets/ShapeNet55Dataset.py:44-50`` pc_norm)."""
+    centroid = jnp.mean(pts, axis=-2, keepdims=True)
+    pts = pts - centroid
+    scale = jnp.max(jnp.sqrt(jnp.sum(pts**2, axis=-1)), axis=-1)
+    return pts / scale[..., None, None]

@@ -1,0 +1,118 @@
+"""Classification fine-tune / evaluation steps.
+
+Mirrors ``engine_finetune.py:79-218``: FPS to ``point_all`` -> random
+subsample to ``npoints`` -> scale-and-translate -> encoder -> CE loss. The
+whole pipeline (including FPS and subsampling) runs inside the jit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gm3d_tpu.data.transforms import scale_and_translate
+from gm3d_tpu.ops.fps import fps
+from gm3d_tpu.train import losses
+from gm3d_tpu.train.state import TrainState
+
+
+def point_all_for(npoints: int) -> int:
+    """Oversampling table (``engine_finetune.py:117-134``)."""
+    table = {1024: 1200, 2048: 2400, 4096: 4800, 8192: 8192}
+    if npoints not in table:
+        raise ValueError(f"unsupported npoints {npoints}")
+    return table[npoints]
+
+
+def subsample(rng: jax.Array, pts: jax.Array, npoints: int) -> jax.Array:
+    """Per-sample random subset of npoints (``np.random.choice`` equivalent,
+    ``engine_finetune.py:129-134``)."""
+    batch, total, _ = pts.shape
+    noise = jax.random.uniform(rng, (batch, total))
+    order = jnp.argsort(noise, axis=-1)[:, :npoints]
+    return jnp.take_along_axis(pts, order[..., None], axis=1)
+
+
+def make_finetune_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    npoints: int = 1024,
+    smoothing: float = 0.0,
+    augment: bool = True,
+):
+    point_all = point_all_for(npoints)
+
+    @jax.jit
+    def step(state: TrainState, pts: jax.Array, labels: jax.Array, rng: jax.Array):
+        r_sub, r_aug, r_drop, r_dp = jax.random.split(rng, 4)
+        x = pts
+        if x.shape[1] > point_all:
+            x = fps(x, point_all)
+        if x.shape[1] > npoints or x.shape[1] == point_all:
+            x = subsample(r_sub, x, npoints)
+        if augment:
+            x = scale_and_translate(r_aug, x)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            logits, updates = model.apply(
+                variables,
+                x,
+                deterministic=False,
+                rngs={"dropout": r_drop, "droppath": r_dp},
+                mutable=["batch_stats"],
+            )
+            loss, acc = losses.classification_loss(logits, labels, smoothing)
+            return loss, (acc, updates)
+
+        (loss, (acc, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, new_updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+        )
+        return new_state, {"loss": loss, "acc": acc, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+def make_eval_step(model, npoints: int = 1024):
+    """Validation forward (``engine_finetune.py:186-218``): FPS straight to
+    npoints, no augmentation, running BN stats."""
+
+    @jax.jit
+    def step(variables: dict, pts: jax.Array) -> jax.Array:
+        x = fps(pts, npoints) if pts.shape[1] > npoints else pts
+        return model.apply(variables, x, deterministic=True)
+
+    return step
+
+
+def make_vote_eval_step(model, npoints: int = 1024, times: int = 10):
+    """Voting eval (``tools/runner_finetune.py:271-333``): FPS once to
+    point_all, then ``times`` random subsamples + test transform, average
+    logits."""
+    point_all = point_all_for(npoints)
+
+    @jax.jit
+    def step(variables: dict, pts: jax.Array, rng: jax.Array) -> jax.Array:
+        x_all = fps(pts, point_all) if pts.shape[1] > point_all else pts
+
+        def one(r):
+            r_sub, r_aug = jax.random.split(r)
+            x = subsample(r_sub, x_all, npoints)
+            x = scale_and_translate(r_aug, x)
+            return model.apply(variables, x, deterministic=True)
+
+        logits = jax.vmap(one)(jax.random.split(rng, times))  # (times, B, C)
+        return jnp.mean(logits, axis=0)
+
+    return step

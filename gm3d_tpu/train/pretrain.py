@@ -1,0 +1,342 @@
+"""Pretrain steps, each compiled as ONE jit graph — EMA forward, mask
+generation, student forward/backward, teacher distillation and EMA update all
+stay on device (SURVEY.md §7.1), unlike the reference's host-synchronising
+loop (``engine_pretrain_Classifier_SVM.py:40-332``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gm3d_tpu.data.transforms import scale_and_translate
+from gm3d_tpu.masking import block_mask, geometric_mask, random_mask
+from gm3d_tpu.models.gm3d import GM3DStudent
+from gm3d_tpu.models.pointmae import PointMAE, take_groups
+from gm3d_tpu.train import losses
+from gm3d_tpu.train.state import TrainState, ema_update
+
+
+def _global_norm(tree) -> jax.Array:
+    return optax.global_norm(tree)
+
+
+def make_pointmae_train_step(
+    model: PointMAE,
+    tx: optax.GradientTransformation,
+    mask_ratio: float = 0.6,
+    mask_type: str = "rand",
+    loss_type: str = "cdl2",
+    augment: bool = True,
+):
+    """Legacy Point-MAE pretrain step (SURVEY.md §3.4) — how the distillation
+    teacher's weights are produced (``tools/runner_pretrain.py:58-207``)."""
+    num_mask = int(model.num_group * mask_ratio)
+
+    @jax.jit
+    def step(state: TrainState, pts: jax.Array, rng: jax.Array):
+        r_aug, r_mask, r_drop, r_dp = jax.random.split(rng, 4)
+        samples = scale_and_translate(r_aug, pts) if augment else pts
+        batch = samples.shape[0]
+        if mask_type == "rand":
+            mask = random_mask(r_mask, batch, model.num_group, num_mask)
+        else:
+            # block mask needs centers: group once outside the grad path
+            from gm3d_tpu.ops.group import group_points
+
+            centers = group_points(samples, model.num_group, model.group_size).center
+            mask = block_mask(r_mask, centers, num_mask)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            outs, updates = model.apply(
+                variables,
+                samples,
+                mask,
+                num_mask,
+                deterministic=False,
+                rngs={"dropout": r_drop, "droppath": r_dp},
+                mutable=["batch_stats"],
+            )
+            loss = losses.pointmae_reconstruction_loss(outs["rebuild"], outs["gt"], loss_type)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, new_updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+        )
+        metrics = {"loss": loss, "grad_norm": _global_norm(grads)}
+        return new_state, metrics
+
+    return step
+
+
+def gm3d_forward_distill(
+    student: GM3DStudent,
+    teacher: PointMAE,
+    student_vars: dict,
+    teacher_vars: dict,
+    samples: jax.Array,
+    mask: jax.Array,
+    num_mask: int,
+    shared_learnable_tokens: bool,
+    rngs: Optional[dict],
+    mutable: bool,
+):
+    """Student forward + frozen-teacher complete-to-partial replay.
+
+    Mirrors ``engine_pretrain_Classifier_SVM.py:118-164`` +
+    ``forward_features_dino_decoder`` (``:669-687``):
+      teacher encodes the FULL cloud; its decoder replays (a) its own
+      features at all centers -> point_target and (b) the student's predicted
+      masked features at the masked centers -> point_reconstructed (no-grad).
+    """
+    if mutable:
+        outs, updates = student.apply(
+            student_vars,
+            samples,
+            mask,
+            num_mask,
+            shared_learnable_tokens,
+            deterministic=False,
+            rngs=rngs,
+            mutable=["batch_stats"],
+        )
+    else:
+        outs = student.apply(
+            student_vars, samples, mask, num_mask, shared_learnable_tokens, deterministic=True
+        )
+        updates = {}
+
+    # frozen teacher: full-cloud features + decoder replay (all no-grad w.r.t.
+    # teacher; the student-feature branch is explicitly stop-gradiented to
+    # match the reference's torch.no_grad() around the whole distill block)
+    teacher_feats = teacher.apply(
+        teacher_vars, samples, method=teacher.encode_features
+    )  # (B, G, D)
+    centers = outs["center"]
+    point_target = teacher.apply(
+        teacher_vars, teacher_feats, centers, method=teacher.decode_replay
+    )  # (B, G, S, 3)
+
+    pred_masked = outs["pix_pred"][:, -num_mask:] if num_mask else outs["pix_pred"]
+    centers_masked = take_groups(centers, outs["mask_idx"])
+    point_reco = teacher.apply(
+        teacher_vars,
+        jax.lax.stop_gradient(pred_masked),
+        centers_masked,
+        method=teacher.decode_replay,
+    )  # (B, M, S, 3)
+
+    return outs, updates, teacher_feats, point_target, point_reco, pred_masked
+
+
+def make_gm3d_train_step(
+    student: GM3DStudent,
+    teacher: Optional[PointMAE],
+    tx: optax.GradientTransformation,
+    mask_ratio: float = 0.6,
+    shared_learnable_tokens: bool = False,
+    relative: bool = True,
+    augment: bool = True,
+):
+    """The GM3D core path (SURVEY.md §3.1) as one jit:
+
+      1. augment            (device, vectorised)
+      2. EMA fwd, unmasked  -> per-group predicted loss
+      3. geometric mask     (top keep_ratio by predicted loss + random fill)
+      4. student fwd        (visible tokens only)
+      5. teacher distill    (feature MSE + per-group Chamfer matrix)
+      6. learning loss      (relative pairwise BCE on masked slots)
+      7. AdamW update + EMA update
+
+    ``scalars`` carries the epoch-dependent knobs (ema_decay, keep_ratio,
+    w_mse, w_cd) as traced values so no recompilation happens across epochs.
+    """
+    num_mask = int(student.num_group * mask_ratio)
+    use_distill = teacher is not None
+
+    @jax.jit
+    def step(
+        state: TrainState,
+        teacher_params: Any,
+        pts: jax.Array,
+        rng: jax.Array,
+        scalars: Dict[str, jax.Array],
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        r_aug, r_mask, r_drop, r_dp = jax.random.split(rng, 4)
+        samples = scale_and_translate(r_aug, pts) if augment else pts
+        batch = samples.shape[0]
+
+        # ---- EMA forward on the unmasked cloud (eval mode, no grad)
+        zeros_mask = jnp.zeros((batch, student.num_group), bool)
+        outs_ema = student.apply(
+            state.ema_variables(),
+            samples,
+            zeros_mask,
+            0,
+            shared_learnable_tokens,
+            deterministic=True,
+        )
+        # ---- geometric-complexity mask from EMA loss prediction
+        mask = geometric_mask(
+            r_mask, outs_ema["loss_pred"], num_mask, scalars["keep_ratio"]
+        )
+
+        def loss_fn(params):
+            student_vars = {"params": params}
+            if state.batch_stats is not None:
+                student_vars["batch_stats"] = state.batch_stats
+            rngs = {"dropout": r_drop, "droppath": r_dp}
+            if use_distill:
+                outs, updates, teacher_feats, point_target, point_reco, pred_masked = (
+                    gm3d_forward_distill(
+                        student,
+                        teacher,
+                        student_vars,
+                        teacher_params,
+                        samples,
+                        mask,
+                        num_mask,
+                        shared_learnable_tokens,
+                        rngs,
+                        mutable=True,
+                    )
+                )
+                loss_outs = losses.gm3d_feature_loss(
+                    pred_masked,
+                    jax.lax.stop_gradient(teacher_feats),
+                    outs["mask_idx"],
+                    jax.lax.stop_gradient(point_target),
+                    point_reco,
+                )
+            else:
+                outs, updates = student.apply(
+                    student_vars,
+                    samples,
+                    mask,
+                    num_mask,
+                    shared_learnable_tokens,
+                    deterministic=False,
+                    rngs=rngs,
+                    mutable=["batch_stats"],
+                )
+                rebuild_masked = outs["rebuild_points"][:, -num_mask:]
+                loss_outs = losses.gm3d_usual_loss(
+                    rebuild_masked, outs["neighborhood"], outs["mask_idx"]
+                )
+
+            loss = (
+                scalars["w_mse"] * loss_outs["MSE_mean"]
+                + scalars["w_cd"] * loss_outs["Chamfer_mean"]
+            )
+            loss_pred_masked = outs["loss_pred"][:, -num_mask:]
+            matrix = jax.lax.stop_gradient(loss_outs["matrix"])
+            if relative:
+                loss_learn = losses.relative_learning_loss(loss_pred_masked, matrix)
+            else:
+                loss_learn = losses.mse_learning_loss(loss_pred_masked, matrix)
+            total = loss + loss_learn
+            aux = {
+                "loss": loss,
+                "loss_mse": loss_outs["MSE_mean"],
+                "loss_chfr": loss_outs["Chamfer_mean"],
+                "loss_learn": loss_learn,
+                "updates": updates,
+            }
+            return total, aux
+
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, new_updates)
+        decay = scalars["ema_decay"]
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=aux["updates"].get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, decay),
+            ema_batch_stats=ema_update(
+                state.ema_batch_stats, aux["updates"].get("batch_stats", state.batch_stats), decay
+            ),
+        )
+        metrics = {
+            "loss": total,
+            "loss_recon": aux["loss"],
+            "loss_mse": aux["loss_mse"],
+            "loss_chfr": aux["loss_chfr"],
+            "loss_learn": aux["loss_learn"],
+            "grad_norm": _global_norm(grads),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_m2ae_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mask_ratio: float = 0.8,
+    loss_type: str = "cdl2",
+    augment: bool = True,
+    geometric: bool = False,
+):
+    """Point-M2AE pretrain step: random (or GM3D-geometric via EMA) coarse
+    mask, hierarchical reconstruction, Chamfer on masked finest-scale groups."""
+    coarse_groups = model.num_groups[-1]
+    num_mask = int(coarse_groups * mask_ratio)
+
+    @jax.jit
+    def step(state: TrainState, pts: jax.Array, rng: jax.Array):
+        r_aug, r_mask, r_drop, r_dp = jax.random.split(rng, 4)
+        samples = scale_and_translate(r_aug, pts) if augment else pts
+        batch = samples.shape[0]
+        masked = random_mask(r_mask, batch, coarse_groups, num_mask)
+        coarse_vis = ~masked
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            outs, updates = model.apply(
+                variables,
+                samples,
+                coarse_vis,
+                deterministic=False,
+                rngs={"dropout": r_drop, "droppath": r_dp},
+                mutable=["batch_stats"],
+            )
+            # Chamfer on masked finest-scale groups only; weight each group
+            # by its masked-ness (static shapes, no gather needed).
+            from gm3d_tpu.ops.chamfer import chamfer_group
+
+            per_group = chamfer_group(
+                outs["rebuild"].astype(jnp.float32), outs["gt"].astype(jnp.float32)
+            )  # (B, G0)
+            w = (~outs["fine_vis"]).astype(jnp.float32)
+            loss = jnp.sum(per_group * w) / jnp.maximum(jnp.sum(w), 1.0)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, new_updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+        )
+        return new_state, {"loss": loss, "grad_norm": _global_norm(grads)}
+
+    return step

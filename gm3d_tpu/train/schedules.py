@@ -1,0 +1,50 @@
+"""LR / EMA / loss-weight schedules matching the reference semantics."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cosine_warmup_schedule(
+    base_lr: float,
+    min_lr: float,
+    warmup_epochs: float,
+    total_epochs: float,
+    steps_per_epoch: int,
+):
+    """Per-iteration linear warmup + half-cycle cosine decay
+    (``util/lr_sched.py:11-23`` — called with fractional epoch
+    ``data_iter_step / len(loader) + epoch``)."""
+
+    def schedule(step):
+        epoch = step / steps_per_epoch
+        warm = base_lr * epoch / jnp.maximum(warmup_epochs, 1e-8)
+        denom = jnp.maximum(total_epochs - warmup_epochs, 1e-8)
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * (epoch - warmup_epochs) / denom)
+        )
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def effective_lr(blr: float, batch_size: int, accum_iter: int = 1, world_size: int = 1) -> float:
+    """MAE lr scaling: lr = blr * eff_batch / 256 (``main_pretrain.py:381``)."""
+    return blr * batch_size * accum_iter * world_size / 256.0
+
+
+def ema_decay_schedule(epoch: float) -> float:
+    """EMA decay ramp 0.999 -> 0.9999 over the first 100 epochs
+    (``engine_pretrain_Classifier_SVM.py:62-65``)."""
+    if epoch < 100:
+        return 0.999 + epoch / 100.0 * (0.9999 - 0.999)
+    return 0.9999
+
+
+def loss_weights(epoch: float, after_epoch: int, multipliers=(13.889, 1000.0)):
+    """Loss-mix switch: (1, 1) before ``after_epoch`` (default 15), then the
+    configured multipliers (``engine_pretrain_Classifier_SVM.py:191-196``;
+    defaults ``--loss_multiply_by [13.889, 1000]``)."""
+    if epoch < after_epoch:
+        return 1.0, 1.0
+    return float(multipliers[0]), float(multipliers[1])

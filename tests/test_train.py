@@ -1,0 +1,201 @@
+"""End-to-end short-run training tests on synthetic clouds (SURVEY.md §4d):
+each train step must run under jit and decrease its loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gm3d_tpu.models import GM3DStudent, PointMAE, PointM2AE, PointTransformer
+from gm3d_tpu.train.optim import build_adamw, build_finetune_optimizer
+from gm3d_tpu.train.pretrain import (
+    make_gm3d_train_step,
+    make_m2ae_train_step,
+    make_pointmae_train_step,
+)
+from gm3d_tpu.train.finetune import make_finetune_train_step, make_eval_step, make_vote_eval_step
+from gm3d_tpu.train.schedules import (
+    cosine_warmup_schedule,
+    ema_decay_schedule,
+    loss_weights,
+)
+from gm3d_tpu.train.state import create_train_state
+
+B, N = 4, 128
+SMALL = dict(trans_dim=48, depth=2, num_heads=2, decoder_depth=1, decoder_num_heads=2,
+             group_size=8, num_group=16, encoder_dims=48)
+
+
+def synthetic_clouds(batch=B, n=N, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.standard_normal((batch, n, 3)).astype(np.float32)
+    pts /= np.abs(pts).max()
+    return jnp.asarray(pts)
+
+
+class TestSchedules:
+    def test_lr_warmup_and_decay(self):
+        sched = cosine_warmup_schedule(1e-3, 0.0, 10, 300, 100)
+        assert float(sched(0)) == 0.0
+        assert abs(float(sched(10 * 100)) - 1e-3) < 1e-9
+        assert float(sched(300 * 100)) < 1e-9
+        assert float(sched(5 * 100)) == pytest.approx(5e-4)
+
+    def test_ema_ramp(self):
+        assert ema_decay_schedule(0) == 0.999
+        assert ema_decay_schedule(50) == pytest.approx(0.99945)
+        assert ema_decay_schedule(150) == 0.9999
+
+    def test_loss_weight_switch(self):
+        assert loss_weights(10, 15) == (1.0, 1.0)
+        assert loss_weights(20, 15) == (13.889, 1000.0)
+
+
+class TestPointMAEStep:
+    def test_loss_decreases(self):
+        model = PointMAE(**SMALL)
+        pts = synthetic_clouds()
+        mask0 = jnp.zeros((B, model.num_group), bool).at[:, : int(16 * 0.6)].set(True)
+        variables = model.init(jax.random.key(0), pts, mask0, int(16 * 0.6))
+        tx = build_adamw(1e-3)
+        state = create_train_state(variables, tx)
+        step = make_pointmae_train_step(model, tx, mask_ratio=0.6)
+        first = None
+        for i in range(12):
+            state, metrics = step(state, pts, jax.random.key(i))
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+    def test_block_mask_variant(self):
+        model = PointMAE(**SMALL)
+        pts = synthetic_clouds()
+        mask0 = jnp.zeros((B, 16), bool).at[:, :9].set(True)
+        variables = model.init(jax.random.key(0), pts, mask0, 9)
+        tx = build_adamw(1e-3)
+        state = create_train_state(variables, tx)
+        step = make_pointmae_train_step(model, tx, mask_ratio=0.6, mask_type="block")
+        state, metrics = step(state, pts, jax.random.key(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestGM3DStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        student = GM3DStudent(**SMALL)
+        teacher = PointMAE(**SMALL)
+        pts = synthetic_clouds()
+        num_mask = int(16 * 0.6)
+        mask0 = jnp.zeros((B, 16), bool).at[:, :num_mask].set(True)
+        svars = student.init(jax.random.key(0), pts, mask0, num_mask)
+        tvars = teacher.init(jax.random.key(1), pts, mask0, num_mask)
+        tx = build_adamw(1e-3)
+        state = create_train_state(svars, tx, with_ema=True)
+        step = make_gm3d_train_step(student, teacher, tx, mask_ratio=0.6)
+        return student, teacher, state, step, tvars, pts
+
+    def test_metrics_and_loss_decrease(self, setup):
+        _, _, state, step, tvars, pts = setup
+        scalars = {
+            "keep_ratio": jnp.asarray(0.5),
+            "ema_decay": jnp.asarray(0.999),
+            "w_mse": jnp.asarray(1.0),
+            "w_cd": jnp.asarray(1.0),
+        }
+        first = None
+        for i in range(10):
+            state, metrics = step(state, tvars, pts, jax.random.key(i), scalars)
+            assert np.isfinite(float(metrics["loss"]))
+            if first is None:
+                first = float(metrics["loss_mse"])
+        assert float(metrics["loss_mse"]) < first
+        for k in ("loss", "loss_mse", "loss_chfr", "loss_learn", "grad_norm"):
+            assert k in metrics
+
+    def test_ema_params_track_student(self, setup):
+        _, _, state, step, tvars, pts = setup
+        scalars = {
+            "keep_ratio": jnp.asarray(0.2),
+            "ema_decay": jnp.asarray(0.5),
+            "w_mse": jnp.asarray(1.0),
+            "w_cd": jnp.asarray(1.0),
+        }
+        s1, _ = step(state, tvars, pts, jax.random.key(0), scalars)
+        # EMA moved toward new params
+        p = jax.tree.leaves(s1.params)[0]
+        e = jax.tree.leaves(s1.ema_params)[0]
+        p0 = jax.tree.leaves(state.params)[0]
+        expect = 0.5 * p0 + 0.5 * p
+        np.testing.assert_allclose(np.asarray(e), np.asarray(expect), atol=1e-5)
+
+    def test_usual_mode_no_teacher(self):
+        student = GM3DStudent(mode="usual", **SMALL)
+        pts = synthetic_clouds()
+        num_mask = 9
+        mask0 = jnp.zeros((B, 16), bool).at[:, :num_mask].set(True)
+        svars = student.init(jax.random.key(0), pts, mask0, num_mask)
+        tx = build_adamw(1e-3)
+        state = create_train_state(svars, tx, with_ema=True)
+        step = make_gm3d_train_step(student, None, tx, mask_ratio=0.6)
+        scalars = {
+            "keep_ratio": jnp.asarray(0.3),
+            "ema_decay": jnp.asarray(0.999),
+            "w_mse": jnp.asarray(1.0),
+            "w_cd": jnp.asarray(1.0),
+        }
+        state, metrics = step(state, None, pts, jax.random.key(0), scalars)
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_mse"]) == 0.0
+
+
+class TestM2AEStep:
+    def test_loss_decreases(self):
+        model = PointM2AE(
+            num_groups=(32, 16, 8),
+            group_sizes=(8, 4, 4),
+            encoder_depths=(1, 1, 1),
+            encoder_dims=(24, 48, 96),
+            local_radius=(0.32, 0.64, 1.28),
+            decoder_dims=(96, 48),
+            decoder_depths=(1, 1),
+            num_heads=2,
+        )
+        pts = synthetic_clouds()
+        vis0 = jnp.ones((B, 8), bool).at[:, :6].set(False)
+        variables = model.init(jax.random.key(0), pts, vis0)
+        tx = build_adamw(1e-3)
+        state = create_train_state(variables, tx)
+        step = make_m2ae_train_step(model, tx, mask_ratio=0.75)
+        first = None
+        for i in range(10):
+            state, metrics = step(state, pts, jax.random.key(i))
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+
+class TestFinetune:
+    def test_train_eval_vote(self):
+        model = PointTransformer(cls_dim=5, trans_dim=48, depth=2, num_heads=2,
+                                 group_size=8, num_group=16, encoder_dims=48)
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.standard_normal((B, 1400, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 5, B))
+        variables = model.init(jax.random.key(0), pts[:, :1024])
+        tx = build_finetune_optimizer(variables["params"], 1e-3, depth=2)
+        state = create_train_state(variables, tx)
+        step = make_finetune_train_step(model, tx, npoints=1024)
+        first = None
+        for i in range(8):
+            state, metrics = step(state, pts, labels, jax.random.key(i))
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        ev = make_eval_step(model, npoints=1024)
+        logits = ev(variables, pts)
+        assert logits.shape == (B, 5)
+        vote = make_vote_eval_step(model, npoints=1024, times=3)
+        vlogits = vote(variables, pts, jax.random.key(9))
+        assert vlogits.shape == (B, 5)
