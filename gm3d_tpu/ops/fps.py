@@ -9,13 +9,15 @@ each subsequent selection is the point with the maximum distance to the
 already-selected set (squared Euclidean metric, ties broken by lowest index).
 
 Two implementations:
-  - ``fps_indices_jax``: ``lax.fori_loop`` + ``vmap`` — works on any backend,
-    used as the oracle-checked fallback and under CPU test meshes.
+  - ``fps_indices_jax`` (DEFAULT): ``lax.fori_loop`` + ``vmap``. XLA keeps
+    the whole loop on device with the batch dimension vectorised across VPU
+    sublanes — measured 0.1 ms for (256, 1024, 3) -> 64 on a v5e chip.
   - ``fps_indices_pallas``: a Pallas TPU kernel, one grid row per batch
-    element, coordinates held transposed (3, N) in VMEM so the per-iteration
-    distance update is pure 8x128-lane VPU work.
-
-The public entry ``fps_indices`` dispatches on backend.
+    element. Kept for reference/benchmarking: TPU grid steps execute
+    sequentially on a single core, so the per-row formulation serialises
+    batch x iterations (~440 ms on the same shape) and LOSES to the XLA
+    loop. A custom kernel only wins if it processes the full batch per
+    iteration — which is exactly the program XLA already emits.
 """
 
 from __future__ import annotations
@@ -142,14 +144,8 @@ def fps_indices_pallas(xyz: jax.Array, n_samples: int, *, interpret: bool = Fals
 # ---------------------------------------------------------------------------
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
-
-
 def fps_indices(xyz: jax.Array, n_samples: int) -> jax.Array:
     """Furthest-point-sample indices. xyz: (B, N, 3) -> (B, n_samples) int32."""
-    if _on_tpu():
-        return fps_indices_pallas(xyz, n_samples)
     return fps_indices_jax(xyz, n_samples)
 
 
