@@ -1,0 +1,150 @@
+"""String -> builder registries (reference ``utils/registry.py`` +
+``models/build.py`` / ``datasets/build.py``), plus the model builders that
+map reference config schemas onto the flax modules."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax.numpy as jnp
+
+
+class Registry:
+    def __init__(self, name: str):
+        self.name = name
+        self._modules: Dict[str, Callable] = {}
+
+    def register_module(self, name: str | None = None):
+        def deco(fn):
+            self._modules[name or fn.__name__] = fn
+            return fn
+
+        return deco
+
+    def get(self, name: str) -> Callable:
+        if name not in self._modules:
+            raise KeyError(f"{name!r} not registered in {self.name}; have {sorted(self._modules)}")
+        return self._modules[name]
+
+    def build(self, cfg, **kwargs):
+        return self.get(cfg["NAME"])(cfg, **kwargs)
+
+
+MODELS = Registry("models")
+DATASETS = Registry("datasets")
+
+
+def _dtype(kwargs) -> Any:
+    return kwargs.pop("dtype", jnp.float32)
+
+
+@MODELS.register_module("Point_MAE")
+def build_point_mae(cfg, **kwargs):
+    """Config schema: ``cfgs/config.yaml`` model section."""
+    from gm3d_tpu.models import PointMAE
+
+    tc = cfg["transformer_config"]
+    return PointMAE(
+        trans_dim=tc["trans_dim"],
+        depth=tc["depth"],
+        num_heads=tc["num_heads"],
+        decoder_depth=tc["decoder_depth"],
+        decoder_num_heads=tc["decoder_num_heads"],
+        group_size=cfg["group_size"],
+        num_group=cfg["num_group"],
+        drop_path_rate=tc["drop_path_rate"],
+        encoder_dims=tc["encoder_dims"],
+        dtype=_dtype(kwargs),
+    )
+
+
+@MODELS.register_module("PointTransformer")
+def build_point_transformer(cfg, **kwargs):
+    """Config schema: ``cfgs/finetune_modelnet.yaml`` model section."""
+    from gm3d_tpu.models import PointTransformer
+
+    return PointTransformer(
+        trans_dim=cfg["trans_dim"],
+        depth=cfg["depth"],
+        num_heads=cfg["num_heads"],
+        cls_dim=cfg["cls_dim"],
+        group_size=cfg["group_size"],
+        num_group=cfg["num_group"],
+        encoder_dims=cfg["encoder_dims"],
+        drop_path_rate=cfg["drop_path_rate"],
+        dtype=_dtype(kwargs),
+    )
+
+
+@MODELS.register_module("GM3D_Student")
+@MODELS.register_module("mae_vit_base_patch16_dec512d8b")
+def build_gm3d_student(cfg, **kwargs):
+    """The reference CLI's default ``--model`` factory
+    (``...feature_besed.py:1146-1151``); hyperparameters are the hard-coded
+    class values (SURVEY.md §8) unless overridden in cfg."""
+    from gm3d_tpu.models import GM3DStudent
+
+    return GM3DStudent(
+        trans_dim=cfg.get("trans_dim", 384),
+        depth=cfg.get("depth", 12),
+        num_heads=cfg.get("num_heads", 6),
+        decoder_depth=cfg.get("decoder_depth", 4),
+        decoder_num_heads=cfg.get("decoder_num_heads", 6),
+        group_size=cfg.get("group_size", 32),
+        num_group=cfg.get("num_group", 64),
+        drop_path_rate=cfg.get("drop_path_rate", 0.1),
+        mode=cfg.get("mode", "feature"),
+        dtype=_dtype(kwargs),
+    )
+
+
+@MODELS.register_module("Point_M2AE")
+def build_point_m2ae(cfg, **kwargs):
+    """Config schema: ``Point-M2AE_SA3D/cfgs/config_Point_M2AE.yaml``."""
+    from gm3d_tpu.models import PointM2AE
+
+    return PointM2AE(
+        num_groups=tuple(cfg["num_groups"]),
+        group_sizes=tuple(cfg["group_sizes"]),
+        encoder_depths=tuple(cfg["encoder_depths"]),
+        encoder_dims=tuple(cfg["encoder_dims"]),
+        local_radius=tuple(cfg["local_radius"]),
+        decoder_depths=tuple(cfg["decoder_depths"]),
+        decoder_dims=tuple(cfg["decoder_dims"]),
+        decoder_up_blocks=tuple(cfg.get("decoder_up_blocks", (1, 1))),
+        mask_ratio=cfg.get("mask_ratio", 0.8),
+        num_heads=cfg["num_heads"],
+        drop_path_rate=cfg["drop_path_rate"],
+        dtype=_dtype(kwargs),
+    )
+
+
+def _build_m2ae_classifier(cfg, cls_dim, **kwargs):
+    from gm3d_tpu.models import PointM2AEClassifier
+
+    return PointM2AEClassifier(
+        cls_dim=cls_dim,
+        num_groups=tuple(cfg["num_groups"]),
+        group_sizes=tuple(cfg["group_sizes"]),
+        encoder_depths=tuple(cfg["encoder_depths"]),
+        encoder_dims=tuple(cfg["encoder_dims"]),
+        local_radius=tuple(cfg["local_radius"]),
+        num_heads=cfg["num_heads"],
+        drop_path_rate=cfg["drop_path_rate"],
+        dtype=_dtype(kwargs),
+    )
+
+
+@MODELS.register_module("Point_M2AE_ModelNet40")
+def build_m2ae_modelnet(cfg, **kwargs):
+    return _build_m2ae_classifier(cfg, cfg.get("cls_dim", 40), **kwargs)
+
+
+@MODELS.register_module("Point_M2AE_ScanObjectNN")
+def build_m2ae_scanobj(cfg, **kwargs):
+    return _build_m2ae_classifier(cfg, cfg.get("cls_dim", 15), **kwargs)
+
+
+def build_model_from_cfg(cfg, **kwargs):
+    """``tools/builder.py:33-35`` model_builder equivalent."""
+    return MODELS.build(cfg, **kwargs)

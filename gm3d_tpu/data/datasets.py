@@ -1,0 +1,347 @@
+"""Dataset readers for all reference benchmarks (SURVEY.md §2.5).
+
+Host side does IO + normalisation + subsampling only; geometric work
+(FPS/KNN/augment) runs on-device inside the jitted steps. Every dataset
+registers in DATASETS under its reference NAME and, when the on-disk data is
+absent, raises FileNotFoundError at construction — callers that just need a
+pipeline (tests, smoke runs) use SyntheticClouds instead.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from gm3d_tpu.config.registry import DATASETS
+from gm3d_tpu.data import io
+
+
+def pc_normalize(pc: np.ndarray) -> np.ndarray:
+    """Unit-sphere normalisation (``datasets/ShapeNet55Dataset.py:44-50``)."""
+    centroid = pc.mean(axis=0)
+    pc = pc - centroid
+    scale = np.sqrt((pc**2).sum(axis=1)).max()
+    return pc / scale
+
+
+def numpy_fps(points: np.ndarray, n: int) -> np.ndarray:
+    """CPU FPS used for one-time ModelNet preprocessing
+    (``datasets/ModelNetDataset.py:25-46``)."""
+    num = points.shape[0]
+    out = np.zeros(n, dtype=np.int64)
+    dist = np.full(num, np.inf)
+    last = 0
+    for i in range(1, n):
+        d = ((points[:, :3] - points[last, :3]) ** 2).sum(axis=1)
+        dist = np.minimum(dist, d)
+        last = int(dist.argmax())
+        out[i] = last
+    return points[out]
+
+
+@DATASETS.register_module("ShapeNet")
+class ShapeNet55:
+    """ShapeNet-55 pretrain set (``datasets/ShapeNet55Dataset.py:9-70``):
+    file list ``{subset}.txt`` of ``{taxonomy}-{model}.npy``; random
+    ``npoints`` subset; unit-sphere normalised; returns bare points."""
+
+    def __init__(self, cfg):
+        base = cfg["_base_"]
+        others = cfg["others"]
+        self.data_root = base["DATA_PATH"]
+        self.pc_path = base["PC_PATH"]
+        self.subset = others["subset"]
+        self.npoints = others["npoints"]
+        self.whole = others.get("whole", False)
+        list_file = os.path.join(self.data_root, f"{self.subset}.txt")
+        with open(list_file) as f:
+            lines = f.read().splitlines()
+        if self.whole and self.subset == "train":
+            with open(os.path.join(self.data_root, "test.txt")) as f:
+                lines += f.read().splitlines()
+        self.file_list = []
+        for line in lines:
+            if not line:
+                continue
+            taxonomy_id = line.split("-")[0]
+            model_id = line.split("-", 1)[1].split(".")[0]
+            self.file_list.append((taxonomy_id, model_id, line))
+        self.rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return len(self.file_list)
+
+    def __getitem__(self, idx):
+        taxonomy_id, model_id, fname = self.file_list[idx]
+        data = io.read_npy(os.path.join(self.pc_path, fname)).astype(np.float32)
+        choice = self.rng.permutation(data.shape[0])[: self.npoints]
+        data = pc_normalize(data[choice])
+        return taxonomy_id, model_id, data
+
+
+@DATASETS.register_module("ModelNet")
+class ModelNet:
+    """ModelNet40 (``datasets/ModelNetDataset.py:48-145``): txt point files,
+    one-time CPU-FPS to 8192 points cached as a .dat pickle."""
+
+    def __init__(self, cfg):
+        base = cfg["_base_"]
+        others = cfg["others"]
+        self.root = base["DATA_PATH"]
+        self.npoints = others["npoints"]
+        self.use_normals = base.get("USE_NORMALS", False)
+        self.num_category = base.get("NUM_CATEGORY", 40)
+        self.subset = others["subset"]
+        split = "train" if self.subset == "train" else "test"
+
+        catfile = os.path.join(self.root, f"modelnet{self.num_category}_shape_names.txt")
+        with open(catfile) as f:
+            self.categories = f.read().splitlines()
+        self.classes = {c: i for i, c in enumerate(self.categories)}
+        with open(os.path.join(self.root, f"modelnet{self.num_category}_{split}.txt")) as f:
+            shape_ids = f.read().splitlines()
+        shape_names = ["_".join(s.split("_")[0:-1]) for s in shape_ids]
+        self.datapath = [
+            (shape_names[i], os.path.join(self.root, shape_names[i], shape_ids[i] + ".txt"))
+            for i in range(len(shape_ids))
+        ]
+
+        cache = os.path.join(
+            self.root, f"modelnet{self.num_category}_{split}_8192pts_fps.dat"
+        )
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                self.points, self.labels = pickle.load(f)
+        else:
+            pts_list, lbl_list = [], []
+            for name, path in self.datapath:
+                raw = io.read_txt_points(path)
+                pts_list.append(numpy_fps(raw, 8192))
+                lbl_list.append(self.classes[name])
+            self.points = np.stack(pts_list)
+            self.labels = np.asarray(lbl_list, np.int64)
+            with open(cache, "wb") as f:
+                pickle.dump((self.points, self.labels), f)
+        self.rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return len(self.datapath)
+
+    def __getitem__(self, idx):
+        pts = self.points[idx][: self.npoints].copy()
+        pts[:, :3] = pc_normalize(pts[:, :3])
+        if not self.use_normals:
+            pts = pts[:, :3]
+        if self.subset == "train":
+            self.rng.shuffle(pts)
+        return "ModelNet", "sample", (pts.astype(np.float32), int(self.labels[idx]))
+
+
+class _ScanObjectNNBase:
+    variant_file = {
+        "default": "{split}_objectdataset.h5",
+        "hardest": "{split}_objectdataset_augmentedrot_scale75.h5",
+    }
+
+    def __init__(self, cfg, variant: str):
+        base = cfg["_base_"]
+        subset = cfg["others"]["subset"]
+        split = "training" if subset == "train" else "test"
+        fname = self.variant_file[variant].format(split=split)
+        path = os.path.join(base["ROOT"], fname)
+        data, label = io.read_h5(path)
+        self.points = data.astype(np.float32)
+        self.labels = label.astype(np.int64)
+        self.subset = subset
+        self.rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return self.points.shape[0]
+
+    def __getitem__(self, idx):
+        pts = self.points[idx].copy()
+        if self.subset == "train":
+            self.rng.shuffle(pts)
+        return "ScanObjectNN", "sample", (pts, int(self.labels[idx]))
+
+
+@DATASETS.register_module("ScanObjectNN")
+class ScanObjectNN(_ScanObjectNNBase):
+    """OBJ-BG / OBJ-ONLY splits (``datasets/ScanObjectNNDataset.py:11-48``)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg, "default")
+
+
+@DATASETS.register_module("ScanObjectNN_hardest")
+class ScanObjectNNHardest(_ScanObjectNNBase):
+    """PB-T50-RS split (``datasets/ScanObjectNNDataset.py:50-87``)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg, "hardest")
+
+
+@DATASETS.register_module("ModelNetFewShot")
+class ModelNetFewShot:
+    """Pre-generated few-shot folds (``datasets/ModelNetDatasetFewShot.py:24-67``):
+    ``{way}way_{shot}shot/{fold}.pkl``."""
+
+    def __init__(self, cfg):
+        base = cfg["_base_"]
+        others = cfg["others"]
+        self.root = base["DATA_PATH"]
+        self.subset = others["subset"]
+        way, shot, fold = others["way"], others["shot"], others["fold"]
+        path = os.path.join(self.root, f"{way}way_{shot}shot", f"{fold}.pkl")
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        self.dataset = data["train" if self.subset == "train" else "test"]
+        self.rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        pts, label, _ = self.dataset[idx]
+        pts = pts[:, :3].astype(np.float32)
+        if self.subset == "train":
+            self.rng.shuffle(pts)
+        return "ModelNetFewShot", "sample", (pts, int(label))
+
+
+SEG_CLASSES = {
+    "Earphone": [16, 17, 18], "Motorbike": [30, 31, 32, 33, 34, 35], "Rocket": [41, 42, 43],
+    "Car": [8, 9, 10, 11], "Laptop": [28, 29], "Cap": [6, 7], "Skateboard": [44, 45, 46],
+    "Mug": [36, 37], "Guitar": [19, 20, 21], "Bag": [4, 5], "Lamp": [24, 25, 26, 27],
+    "Table": [47, 48, 49], "Airplane": [0, 1, 2, 3], "Pistol": [38, 39, 40],
+    "Chair": [12, 13, 14, 15], "Knife": [22, 23],
+}
+
+
+@DATASETS.register_module("ShapeNetPart")
+class ShapeNetPart:
+    """ShapeNetPart segmentation (PartNormalDataset semantics,
+    ``main_finetune_segmentation.py:225-233``: 16 classes / 50 parts,
+    npoints 2048, normal channel optional)."""
+
+    def __init__(self, cfg):
+        base = cfg["_base_"]
+        others = cfg["others"]
+        self.root = base["DATA_PATH"]
+        self.npoints = others.get("npoints", 2048)
+        self.use_normals = base.get("USE_NORMALS", False)
+        self.subset = others["subset"]
+        catfile = os.path.join(self.root, "synsetoffset2category.txt")
+        self.categories = {}
+        with open(catfile) as f:
+            for line in f:
+                name, synset = line.strip().split()
+                self.categories[name] = synset
+        self.cls_names = sorted(self.categories)
+        self.cls_ids = {c: i for i, c in enumerate(self.cls_names)}
+
+        split_file = os.path.join(
+            self.root, "train_test_split",
+            f"shuffled_{'train' if self.subset == 'train' else 'test'}_file_list.json",
+        )
+        import json
+
+        with open(split_file) as f:
+            file_list = json.load(f)
+        self.files: List[Tuple[str, str]] = []
+        for item in file_list:
+            synset, token = item.split("/")[1], item.split("/")[2]
+            for name, s in self.categories.items():
+                if s == synset:
+                    self.files.append((name, os.path.join(self.root, synset, token + ".txt")))
+        self.rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        name, path = self.files[idx]
+        raw = np.loadtxt(path).astype(np.float32)  # x y z nx ny nz part
+        choice = self.rng.integers(0, raw.shape[0], self.npoints)
+        raw = raw[choice]
+        pts = raw[:, :6] if self.use_normals else raw[:, :3]
+        pts[:, :3] = pc_normalize(pts[:, :3])
+        seg = raw[:, -1].astype(np.int64)
+        return name, path, (pts, self.cls_ids[name], seg)
+
+
+class SyntheticClouds:
+    """Deterministic synthetic point clouds for tests / smoke runs — blends
+    of gaussian blobs so FPS/KNN produce non-degenerate structure."""
+
+    def __init__(self, num_samples=256, npoints=1024, num_classes=10, seed=0, labelled=False):
+        self.num_samples = num_samples
+        self.npoints = npoints
+        self.num_classes = num_classes
+        self.labelled = labelled
+        self.seed = seed
+        # class geometry is fixed across instances so that train/test splits
+        # (different seeds) share the same underlying classes
+        self._blobs = np.random.default_rng(1234).standard_normal(
+            (num_classes, 8, 3)
+        ).astype(np.float32)
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        label = idx % self.num_classes
+        rng = np.random.default_rng((self.seed + 1) * 100003 + idx)
+        centers = self._blobs[label]
+        which = rng.integers(0, centers.shape[0], self.npoints)
+        pts = centers[which] + 0.15 * rng.standard_normal((self.npoints, 3)).astype(np.float32)
+        pts = pc_normalize(pts.astype(np.float32))
+        if self.labelled:
+            return "Synthetic", "sample", (pts, label)
+        return "Synthetic", "sample", pts
+
+
+class DataLoader:
+    """Minimal host-side batcher: shuffle, drop-last, stacked numpy batches.
+
+    Replaces torch DataLoader + DistributedSampler (``tools/builder.py:14-31``)
+    for the single-controller JAX setup: every host sees the full dataset and
+    the device mesh shards each batch along the leading axis.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, drop_last: bool = True,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            items = [self.dataset[int(i)] for i in idx]
+            payloads = [it[2] for it in items]
+            if isinstance(payloads[0], tuple):
+                cols = list(zip(*payloads))
+                yield tuple(np.stack(c) if isinstance(c[0], np.ndarray) else np.asarray(c) for c in cols)
+            else:
+                yield np.stack(payloads)
+
+
+def build_dataset_from_cfg(cfg):
+    """``datasets/build.py:7-15`` equivalent."""
+    return DATASETS.get(cfg["_base_"]["NAME"])(cfg)

@@ -1,0 +1,64 @@
+"""Linear-SVM probe — the pretrain quality gate (SURVEY.md §3.2).
+
+Feature extraction is jitted on device (FPS to npoints + encoder-only
+forward); the SVC fit stays on host, matching the reference exactly:
+``SVC(C=0.01, kernel='linear')`` on (mean + max)-pooled features
+(``main_pretrain.py:710-717``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.ops.fps import fps
+
+
+def make_feature_fn(model, npoints: int = 1024) -> Callable:
+    """Jitted noaug encoder forward: points -> (B, G, D) features."""
+
+    @jax.jit
+    def feature_fn(variables, pts):
+        x = fps(pts, npoints) if pts.shape[1] > npoints else pts
+        return model.apply(variables, x, method=model.encode_features)
+
+    return feature_fn
+
+
+def extract_features(
+    feature_fn: Callable, variables, loader: Iterable
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Run the feature fn over a labelled loader, pool mean+max on device."""
+    feats, labels = [], []
+    for pts, lbl in loader:
+        f = feature_fn(variables, jnp.asarray(pts))
+        pooled = jnp.mean(f, axis=1) + jnp.max(f, axis=1)
+        feats.append(np.asarray(pooled, np.float32))
+        labels.append(np.asarray(lbl))
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def evaluate_svm(
+    train_features: np.ndarray,
+    train_labels: np.ndarray,
+    test_features: np.ndarray,
+    test_labels: np.ndarray,
+) -> float:
+    """``main_pretrain.py:710-717`` (features are already pooled here)."""
+    from sklearn.svm import SVC
+
+    clf = SVC(C=0.01, kernel="linear")
+    clf.fit(train_features, train_labels)
+    pred = clf.predict(test_features)
+    return float((test_labels == pred).sum() / pred.shape[0])
+
+
+def svm_probe(model, variables, train_loader, test_loader, npoints: int = 1024) -> float:
+    """Full probe: extract train/test features, fit, return accuracy."""
+    feature_fn = make_feature_fn(model, npoints)
+    tr_f, tr_l = extract_features(feature_fn, variables, train_loader)
+    te_f, te_l = extract_features(feature_fn, variables, test_loader)
+    return evaluate_svm(tr_f, tr_l, te_f, te_l)

@@ -147,15 +147,28 @@ class PointMAE(nn.Module):
         batch = pts.shape[0]
         vis_idx, mask_idx = mask_split_indices(mask, num_mask)
         pos_vis = self.decoder_pos_embed(take_groups(grouped.center, vis_idx))
-        pos_mask = self.decoder_pos_embed(take_groups(grouped.center, mask_idx))
-        mask_tokens = jnp.broadcast_to(
-            self.mask_token.astype(self.dtype), (batch, num_mask, self.trans_dim)
-        )
-        x_full = jnp.concatenate([x_vis, mask_tokens], axis=1)
-        pos_full = jnp.concatenate([pos_vis, pos_mask], axis=1)
-        x_rec = self.MAE_decoder(x_full, pos_full, return_tokens=num_mask, deterministic=deterministic)
-        rebuild = self.increase_dim(x_rec).reshape(batch, num_mask, self.group_size, 3)
-        gt = take_groups(grouped.neighborhood, mask_idx)
+        if num_mask:
+            pos_mask = self.decoder_pos_embed(take_groups(grouped.center, mask_idx))
+            mask_tokens = jnp.broadcast_to(
+                self.mask_token.astype(self.dtype), (batch, num_mask, self.trans_dim)
+            )
+            x_full = jnp.concatenate([x_vis, mask_tokens], axis=1)
+            pos_full = jnp.concatenate([pos_vis, pos_mask], axis=1)
+            x_rec = self.MAE_decoder(
+                x_full, pos_full, return_tokens=num_mask, deterministic=deterministic
+            )
+            rebuild = self.increase_dim(x_rec).reshape(batch, num_mask, self.group_size, 3)
+            gt = take_groups(grouped.neighborhood, mask_idx)
+        else:
+            # mask_ratio = 0 (teacher, config_m.yaml): decode and rebuild ALL
+            # groups — the complete-to-partial replay path uses every token.
+            x_rec = self.MAE_decoder(
+                x_vis, pos_vis, return_tokens=0, deterministic=deterministic
+            )
+            rebuild = self.increase_dim(x_rec).reshape(
+                batch, self.num_group, self.group_size, 3
+            )
+            gt = grouped.neighborhood
         return {
             "rebuild": rebuild,
             "gt": gt,
