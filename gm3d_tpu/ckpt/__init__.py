@@ -1,0 +1,18 @@
+"""Checkpointing: one orbax schema + a PyTorch-checkpoint importer.
+
+Replaces the reference's two coexisting .pth formats (SURVEY.md §5.4) with a
+single schema {params, batch_stats, opt_state, ema_*, step, best_metric};
+the importer maps published reference checkpoints (teacher ``pretrain_PMAE.pth``
+and fine-tune ckpts) 1:1 onto the flax trees.
+"""
+
+from gm3d_tpu.ckpt.checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from gm3d_tpu.ckpt.torch_import import import_torch_checkpoint, torch_key_to_flax
+
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+    "import_torch_checkpoint",
+    "torch_key_to_flax",
+]

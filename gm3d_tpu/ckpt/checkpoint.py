@@ -1,0 +1,51 @@
+"""Orbax-backed checkpoint save/restore."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int, metrics: Optional[dict] = None,
+                    max_to_keep: int = 3) -> None:
+    """Save a train-state pytree at ``step`` (best/last retention via
+    max_to_keep, mirroring ckpt-best/ckpt-last of ``tools/builder.py:128-137``)."""
+    mgr = _manager(ckpt_dir, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)),
+             metrics=metrics)
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(ckpt_dir: str, target: Any, step: Optional[int] = None) -> Any:
+    """Restore into the structure of ``target`` (auto-resume from the latest
+    step, the reference's resume-from-last behaviour,
+    ``main_pretrain.py:444-453``)."""
+    mgr = _manager(ckpt_dir)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    mgr.close()
+    return restored

@@ -1,0 +1,195 @@
+"""PyTorch checkpoint importer: reference .pth -> flax variable trees.
+
+Handles the reference's key-prefix conventions (SURVEY.md §5.4):
+``module.`` (DDP), ``MAE_encoder.`` / ``base_model.`` strips
+(``models/Point_MAE.py:511-543``, ``main_finetune.py:297-324``) and both ckpt
+dict layouts ({'base_model': ...} and {'state_dict'/'model'/...}).
+
+Weight-layout rules:
+  torch Linear  (out, in)      -> flax Dense kernel (in, out)       [transpose]
+  torch Conv1d  (out, in, 1)   -> flax Dense kernel (in, out)       [squeeze+T]
+  torch LN/BN   weight/bias    -> flax scale/bias
+  torch BN running_mean/var    -> flax batch_stats mean/var
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+# torch module path -> (flax path, kind). Paths are relative to the model
+# root after prefix stripping. {i} expands per block index.
+_COMMON_ENCODER = {
+    # mini-PointNet patch embed (models/Point_MAE.py:16-47)
+    "encoder.first_conv.0": ("encoder/conv1", "conv"),
+    "encoder.first_conv.1": ("encoder/bn1", "bn"),
+    "encoder.first_conv.3": ("encoder/conv2", "conv"),
+    "encoder.second_conv.0": ("encoder/conv3", "conv"),
+    "encoder.second_conv.1": ("encoder/bn2", "bn"),
+    "encoder.second_conv.3": ("encoder/conv4", "conv"),
+    # pos embed MLP
+    "pos_embed.0": ("pos_embed/fc1", "linear"),
+    "pos_embed.2": ("pos_embed/fc2", "linear"),
+    # transformer blocks (models/Point_MAE.py:128-165)
+    "blocks.blocks.{i}.norm1": ("blocks/block{i}/norm1", "ln"),
+    "blocks.blocks.{i}.norm2": ("blocks/block{i}/norm2", "ln"),
+    "blocks.blocks.{i}.attn.qkv": ("blocks/block{i}/attn/qkv", "linear"),
+    "blocks.blocks.{i}.attn.proj": ("blocks/block{i}/attn/proj", "linear"),
+    "blocks.blocks.{i}.mlp.fc1": ("blocks/block{i}/mlp/fc1", "linear"),
+    "blocks.blocks.{i}.mlp.fc2": ("blocks/block{i}/mlp/fc2", "linear"),
+    "norm": ("norm", "ln"),
+    "norm_p": ("norm", "ln"),
+}
+
+POINT_TRANSFORMER_MAP = dict(_COMMON_ENCODER)
+POINT_TRANSFORMER_MAP.update(
+    {
+        "cls_head_finetune.0": ("cls_head_finetune/fc1", "linear"),
+        "cls_head_finetune.1": ("cls_head_finetune/bn1", "bn"),
+        "cls_head_finetune.4": ("cls_head_finetune/fc2", "linear"),
+        "cls_head_finetune.5": ("cls_head_finetune/bn2", "bn"),
+        "cls_head_finetune.8": ("cls_head_finetune/fc3", "linear"),
+    }
+)
+
+POINT_MAE_MAP = {
+    "MAE_encoder." + k: ("MAE_encoder/" + v, kind) for k, (v, kind) in _COMMON_ENCODER.items()
+}
+POINT_MAE_MAP.update(
+    {
+        "decoder_pos_embed.0": ("decoder_pos_embed/fc1", "linear"),
+        "decoder_pos_embed.2": ("decoder_pos_embed/fc2", "linear"),
+        "MAE_decoder.blocks.{i}.norm1": ("MAE_decoder/block{i}/norm1", "ln"),
+        "MAE_decoder.blocks.{i}.norm2": ("MAE_decoder/block{i}/norm2", "ln"),
+        "MAE_decoder.blocks.{i}.attn.qkv": ("MAE_decoder/block{i}/attn/qkv", "linear"),
+        "MAE_decoder.blocks.{i}.attn.proj": ("MAE_decoder/block{i}/attn/proj", "linear"),
+        "MAE_decoder.blocks.{i}.mlp.fc1": ("MAE_decoder/block{i}/mlp/fc1", "linear"),
+        "MAE_decoder.blocks.{i}.mlp.fc2": ("MAE_decoder/block{i}/mlp/fc2", "linear"),
+        "MAE_decoder.norm": ("MAE_decoder/norm", "ln"),
+        "increase_dim.0": ("increase_dim", "conv"),
+    }
+)
+
+
+def strip_prefixes(key: str) -> str:
+    """``module.`` / ``base_model.`` strip (NOT ``MAE_encoder.`` — that one is
+    meaningful for pretrain models and only stripped when importing into the
+    bare PointTransformer, handled by the caller)."""
+    for prefix in ("module.", "base_model."):
+        if key.startswith(prefix):
+            key = key[len(prefix):]
+    return key
+
+
+def torch_key_to_flax(key: str, table: Dict[str, Tuple[str, str]]) -> Optional[Tuple[str, str, str]]:
+    """Map a torch state-dict key to (flax_path, param_name, kind)."""
+    key = strip_prefixes(key)
+    if key in ("cls_token", "cls_pos", "mask_token", "mask_token_loss_pred"):
+        return (key, key, "param3d")
+    m = re.match(r"^(.*)\.(weight|bias|running_mean|running_var|num_batches_tracked)$", key)
+    if not m:
+        return None
+    module_path, leaf = m.group(1), m.group(2)
+    if leaf == "num_batches_tracked":
+        return None
+    generic = re.sub(r"\.(\d+)\.", lambda mm: ".{i}.", module_path, count=0)
+    # try direct, then block-index template
+    if module_path in table:
+        flax_path, kind = table[module_path]
+    else:
+        tm = re.match(r"^(.*?)(\d+)(\..*)$", module_path)
+        found = None
+        if tm:
+            for pat, (fp, kind_) in table.items():
+                if "{i}" in pat:
+                    idx_match = re.match("^" + re.escape(pat).replace(r"\{i\}", r"(\d+)") + "$", module_path)
+                    if idx_match:
+                        found = (fp.replace("{i}", idx_match.group(1)), kind_)
+                        break
+        if found is None:
+            return None
+        flax_path, kind = found
+    del generic
+    return flax_path, leaf, kind
+
+
+def _convert(leaf: str, kind: str, value: np.ndarray):
+    if kind in ("linear", "conv") and leaf == "weight":
+        w = value
+        if kind == "conv":
+            w = w[..., 0]  # (out, in, 1) -> (out, in)
+        return "kernel", np.ascontiguousarray(w.T)
+    if kind in ("linear", "conv") and leaf == "bias":
+        return "bias", value
+    if kind in ("ln", "bn") and leaf == "weight":
+        return "scale", value
+    if kind in ("ln", "bn") and leaf == "bias":
+        return "bias", value
+    if kind == "bn" and leaf == "running_mean":
+        return ("batch_stats", "mean"), value
+    if kind == "bn" and leaf == "running_var":
+        return ("batch_stats", "var"), value
+    if kind == "param3d":
+        return leaf, value
+    return None, None
+
+
+def import_torch_checkpoint(
+    state_dict: Dict[str, Any],
+    table: Dict[str, Tuple[str, str]],
+    strip_mae_encoder: bool = False,
+) -> Dict[str, Any]:
+    """Convert a torch state-dict (tensors or numpy) into nested flax
+    variables {'params': ..., 'batch_stats': ...}.
+
+    ``strip_mae_encoder=True`` reproduces the fine-tune surgery that loads a
+    pretrain encoder into PointTransformer (``models/Point_MAE.py:518-524``).
+    """
+    variables: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    unmatched = []
+    for key, value in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        k = strip_prefixes(key)
+        if strip_mae_encoder and k.startswith("MAE_encoder."):
+            k = k[len("MAE_encoder."):]
+        mapped = torch_key_to_flax(k, table)
+        if mapped is None:
+            unmatched.append(key)
+            continue
+        flax_path, leaf, kind = mapped
+        name, conv = _convert(leaf, kind, arr)
+        if name is None:
+            unmatched.append(key)
+            continue
+        if isinstance(name, tuple):  # batch_stats
+            coll, name = name
+        else:
+            coll = "params"
+        node = variables[coll]
+        parts = flax_path.split("/")
+        for p in parts[:-1] if kind == "param3d" and len(parts) == 1 else parts:
+            node = node.setdefault(p, {})
+        if kind == "param3d":
+            variables[coll][flax_path] = conv
+        else:
+            node[name] = conv
+    if not variables["batch_stats"]:
+        variables.pop("batch_stats")
+    variables["_unmatched"] = unmatched
+    return variables
+
+
+def load_torch_file(path: str) -> Dict[str, Any]:
+    """Load a reference .pth and pull out the model weights, trying the known
+    layouts in order (``base_model``, ``state_dict``, ``model``, raw)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("base_model", "state_dict", "model", "ema_state_dict"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            return ckpt[key]
+    return ckpt

@@ -1,0 +1,108 @@
+"""Shared CLI plumbing."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.config import cfg_from_yaml_file
+from gm3d_tpu.data.datasets import DataLoader, SyntheticClouds, build_dataset_from_cfg
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", required=True, help="YAML config (configs/...)")
+    p.add_argument("--output_dir", default="./experiments/run")
+    p.add_argument("--epochs", type=int, default=None, help="override max_epoch")
+    p.add_argument("--batch_size", type=int, default=None, help="override total_bs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--val_freq", type=int, default=1)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use synthetic clouds instead of on-disk datasets")
+    p.add_argument("--synthetic_samples", type=int, default=512)
+    p.add_argument("--bf16", action="store_true", help="bf16 compute dtype")
+    return p
+
+
+def load_config(args):
+    cfg = cfg_from_yaml_file(args.config)
+    if args.epochs is not None:
+        cfg["max_epoch"] = args.epochs
+    if args.batch_size is not None:
+        cfg["total_bs"] = args.batch_size
+    os.makedirs(args.output_dir, exist_ok=True)
+    return cfg
+
+
+def compute_dtype(args):
+    return jnp.bfloat16 if args.bf16 else jnp.float32
+
+
+def make_loaders(cfg, args, labelled_for_svm: bool = True):
+    """(train_loader, svm_train_loader, svm_test_loader) — SVM loaders yield
+    (points, label), train loader yields bare points (ShapeNet contract)."""
+    bs = cfg["total_bs"]
+    npoints = cfg.get("npoints", 1024)
+    if args.synthetic:
+        train_ds = SyntheticClouds(args.synthetic_samples, npoints, seed=1)
+        svm_tr = SyntheticClouds(max(args.synthetic_samples // 2, 64), npoints,
+                                 num_classes=10, seed=2, labelled=True)
+        svm_te = SyntheticClouds(max(args.synthetic_samples // 4, 64), npoints,
+                                 num_classes=10, seed=3, labelled=True)
+    else:
+        train_ds = build_dataset_from_cfg(cfg["dataset"]["train"])
+        svm_tr = build_dataset_from_cfg(cfg["dataset"]["extra_train_svm"])
+        svm_te = build_dataset_from_cfg(cfg["dataset"]["extra_test_svm"])
+    train_loader = _points_only(DataLoader(train_ds, bs, seed=args.seed))
+    # reference doubles the SVM loader batch (main_pretrain.py:262-263)
+    svm_train = _labelled(DataLoader(svm_tr, bs * 2, shuffle=False, drop_last=False))
+    svm_test = _labelled(DataLoader(svm_te, bs * 2, shuffle=False, drop_last=False))
+    return train_loader, svm_train, svm_test
+
+
+class _points_only:
+    def __init__(self, loader):
+        self.loader = loader
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            yield batch[0] if isinstance(batch, tuple) else batch
+
+
+class _labelled:
+    def __init__(self, loader):
+        self.loader = loader
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            yield batch  # (points, labels)
+
+
+def make_cls_loaders(cfg, args) -> Tuple:
+    bs = cfg["total_bs"]
+    npoints = cfg.get("npoints", 1024)
+    if args.synthetic:
+        ncls = cfg["model"].get("cls_dim", 40)
+        train_ds = SyntheticClouds(args.synthetic_samples, npoints,
+                                   num_classes=ncls, seed=1, labelled=True)
+        val_ds = SyntheticClouds(max(args.synthetic_samples // 4, 64), npoints,
+                                 num_classes=ncls, seed=2, labelled=True)
+    else:
+        train_ds = build_dataset_from_cfg(cfg["dataset"]["train"])
+        val_ds = build_dataset_from_cfg(cfg["dataset"]["val"])
+    return (
+        _labelled(DataLoader(train_ds, bs, seed=args.seed)),
+        _labelled(DataLoader(val_ds, bs, shuffle=False, drop_last=False)),
+    )

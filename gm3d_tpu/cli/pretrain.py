@@ -1,0 +1,198 @@
+"""GM3D / Point-MAE / Point-M2AE pretraining (reference ``main_pretrain.py`` +
+legacy ``tools/runner_pretrain.py`` + M2AE pretrain in one entry).
+
+Examples:
+  # GM3D (geometric masking + distillation), synthetic smoke:
+  python -m gm3d_tpu.cli.pretrain --config configs/pointmae/config.yaml \
+      --synthetic --epochs 2 --batch_size 32 --output_dir /tmp/run
+
+  # teacher pretraining (legacy Point-MAE path):
+  python -m gm3d_tpu.cli.pretrain --config configs/pointmae/config_m.yaml \
+      --model_family pointmae ...
+
+  # Point-M2AE:
+  python -m gm3d_tpu.cli.pretrain --config configs/m2ae/config_Point_M2AE.yaml \
+      --model_family m2ae ...
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.ckpt import restore_checkpoint, save_checkpoint
+from gm3d_tpu.ckpt.torch_import import POINT_MAE_MAP, import_torch_checkpoint, load_torch_file
+from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_loaders
+from gm3d_tpu.config import build_model_from_cfg
+from gm3d_tpu.eval.svm import svm_probe
+from gm3d_tpu.models import GM3DStudent, PointMAE
+from gm3d_tpu.train.optim import build_adamw
+from gm3d_tpu.train.pretrain import (
+    make_gm3d_train_step,
+    make_m2ae_train_step,
+    make_pointmae_train_step,
+)
+from gm3d_tpu.train.schedules import (
+    cosine_warmup_schedule,
+    effective_lr,
+    ema_decay_schedule,
+    loss_weights,
+)
+from gm3d_tpu.train.state import create_train_state
+from gm3d_tpu.masking import keep_ratio_schedule
+from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
+
+
+def parse_args():
+    p = base_parser("GM3D pretraining")
+    p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae"], default="gm3d")
+    p.add_argument("--mode", choices=["feature", "usual"], default="feature")
+    p.add_argument("--mask_ratio", type=float, default=0.6)
+    p.add_argument("--dino_path", default=None,
+                   help="teacher .pth (reference pretrain_PMAE.pth) — random teacher if absent")
+    p.add_argument("--teacher_config", default=None,
+                   help="teacher YAML (defaults to config_m.yaml beside --config)")
+    p.add_argument("--no_learning_loss", action="store_true")
+    p.add_argument("--relative", action="store_true", default=True)
+    p.add_argument("--shared_learnable_tokens", action="store_true")
+    p.add_argument("--after_200_epoch", action="store_true")
+    p.add_argument("--after_epoch", type=int, default=15)
+    p.add_argument("--loss_multiply_by", type=float, nargs=2, default=[13.889, 1000.0])
+    p.add_argument("--blr", type=float, default=1e-3)
+    p.add_argument("--warmup_epochs", type=int, default=40)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    return p.parse_args()
+
+
+def build_teacher(args, cfg, dtype):
+    from gm3d_tpu.config import cfg_from_yaml_file
+
+    tc_path = args.teacher_config or os.path.join(os.path.dirname(args.config), "config_m.yaml")
+    tcfg = cfg_from_yaml_file(tc_path) if os.path.exists(tc_path) else cfg
+    teacher = build_model_from_cfg(tcfg["model"], dtype=dtype)
+    return teacher
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args)
+    logger = get_logger("gm3d", os.path.join(args.output_dir, "pretrain.log"))
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    dtype = compute_dtype(args)
+
+    epochs = cfg["max_epoch"]
+    batch = cfg["total_bs"]
+    train_loader, svm_train, svm_test = make_loaders(cfg, args)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    rng = jax.random.key(args.seed)
+    example = jnp.asarray(next(iter(train_loader)))
+
+    lr = effective_lr(args.blr, batch)
+    sched = cosine_warmup_schedule(lr, args.min_lr, args.warmup_epochs, epochs, steps_per_epoch)
+    tx = build_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"])
+
+    # ---- build model family
+    if args.model_family == "gm3d":
+        student = GM3DStudent(mode=args.mode, dtype=dtype)
+        num_mask = int(student.num_group * args.mask_ratio)
+        mask0 = jnp.zeros((2, student.num_group), bool).at[:, :num_mask].set(True)
+        svars = student.init(jax.random.key(1), example[:2], mask0, num_mask)
+        teacher = build_teacher(args, cfg, dtype)
+        if args.dino_path:
+            sd = load_torch_file(args.dino_path)
+            imported = import_torch_checkpoint(sd, POINT_MAE_MAP)
+            unmatched = imported.pop("_unmatched")
+            logger.info(f"teacher import: {len(unmatched)} unmatched keys")
+            tvars = imported
+        else:
+            tvars = teacher.init(jax.random.key(2), example[:2], mask0, num_mask)
+            logger.warning("no --dino_path: teacher is randomly initialised")
+        state = create_train_state(svars, tx, with_ema=True)
+        step_fn = make_gm3d_train_step(
+            student, teacher, tx, args.mask_ratio, args.shared_learnable_tokens, args.relative
+        )
+        feat_model = student
+    elif args.model_family == "pointmae":
+        model = build_model_from_cfg(cfg["model"], dtype=dtype)
+        mr = cfg["model"]["transformer_config"]["mask_ratio"]
+        num_mask = int(model.num_group * mr) or int(model.num_group * 0.6)
+        mask0 = jnp.zeros((2, model.num_group), bool).at[:, :num_mask].set(True)
+        variables = model.init(jax.random.key(1), example[:2], mask0, num_mask)
+        state = create_train_state(variables, tx)
+        step_fn = make_pointmae_train_step(
+            model, tx, mr or 0.6,
+            cfg["model"]["transformer_config"].get("mask_type", "rand"),
+            cfg["model"].get("loss", "cdl2"),
+        )
+        feat_model = model
+        tvars = None
+    else:  # m2ae
+        model = build_model_from_cfg(cfg["model"], dtype=dtype)
+        vis0 = jnp.ones((2, model.num_groups[-1]), bool)
+        variables = model.init(jax.random.key(1), example[:2], vis0)
+        state = create_train_state(variables, tx)
+        step_fn = make_m2ae_train_step(model, tx, cfg["model"].get("mask_ratio", 0.8))
+        feat_model = model
+        tvars = None
+
+    ckpt_dir = os.path.join(args.output_dir, "ckpt")
+    if args.resume:
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state = restored
+            logger.info(f"resumed from step {int(state.step)}")
+
+    best_acc = 0.0
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, epochs):
+        meter = MetricLogger()
+        t0 = time.time()
+        ema_decay = ema_decay_schedule(epoch)
+        kr = keep_ratio_schedule(epoch, epochs, args.after_200_epoch)
+        w_mse, w_cd = loss_weights(epoch, args.after_epoch, args.loss_multiply_by)
+        scalars = {
+            "keep_ratio": jnp.asarray(kr, jnp.float32),
+            "ema_decay": jnp.asarray(ema_decay, jnp.float32),
+            "w_mse": jnp.asarray(w_mse, jnp.float32),
+            "w_cd": jnp.asarray(w_cd, jnp.float32),
+        }
+        for it, pts in enumerate(train_loader):
+            rng, key = jax.random.split(rng)
+            pts = jnp.asarray(pts)
+            if args.model_family == "gm3d":
+                state, metrics = step_fn(state, tvars, pts, key, scalars)
+            else:
+                state, metrics = step_fn(state, pts, key)
+            meter.update(**{k: float(v) for k, v in metrics.items()})
+        stats = meter.global_avgs()
+        stats.update(epoch=epoch, time=round(time.time() - t0, 2),
+                     lr=float(sched(int(state.step))))
+
+        if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
+            eval_vars = (
+                state.ema_variables() if args.model_family == "gm3d" else state.variables()
+            )
+            acc = svm_probe(feat_model, state.variables(), svm_train, svm_test,
+                            npoints=cfg.get("npoints", 1024))
+            stats["val_svm_acc"] = acc
+            if acc > best_acc:
+                best_acc = acc
+                save_checkpoint(ckpt_dir, state, int(state.step),
+                                metrics={"svm_acc": acc})
+            del eval_vars
+        logger.info(f"epoch {epoch}: " + " ".join(f"{k}={v:.5g}" for k, v in stats.items()
+                                                  if isinstance(v, (int, float))))
+        jsonl.write(stats)
+
+    save_checkpoint(ckpt_dir, state, int(state.step))
+    logger.info(f"done; best svm acc {best_acc:.4f}")
+    return best_acc
+
+
+if __name__ == "__main__":
+    main()

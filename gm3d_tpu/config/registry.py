@@ -145,6 +145,26 @@ def build_m2ae_scanobj(cfg, **kwargs):
     return _build_m2ae_classifier(cfg, cfg.get("cls_dim", 15), **kwargs)
 
 
+@MODELS.register_module("PointTransformerSeg")
+def build_seg_model(cfg, **kwargs):
+    """ShapeNetPart seg model (16 classes / 50 parts,
+    ``main_finetune_segmentation.py:232-233``)."""
+    from gm3d_tpu.models import PointMAESeg
+
+    return PointMAESeg(
+        trans_dim=cfg.get("trans_dim", 384),
+        depth=cfg.get("depth", 12),
+        num_heads=cfg.get("num_heads", 6),
+        group_size=cfg.get("group_size", 32),
+        num_group=cfg.get("num_group", 128),
+        encoder_dims=cfg.get("encoder_dims", 384),
+        drop_path_rate=cfg.get("drop_path_rate", 0.1),
+        num_classes=cfg.get("num_classes", 16),
+        num_parts=cfg.get("cls_dim", 50),
+        dtype=_dtype(kwargs),
+    )
+
+
 def build_model_from_cfg(cfg, **kwargs):
     """``tools/builder.py:33-35`` model_builder equivalent."""
     return MODELS.build(cfg, **kwargs)

@@ -1,0 +1,72 @@
+"""Part-segmentation train/eval steps (per-point CE; eval restricts argmax to
+the parts of the ground-truth category — the published ShapeNetPart protocol
+behind ``log_files/segmentation.txt``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gm3d_tpu.data.transforms import scale_and_translate
+from gm3d_tpu.train.state import TrainState
+
+
+def make_seg_train_step(model, tx: optax.GradientTransformation, augment: bool = True):
+    @jax.jit
+    def step(state: TrainState, pts, cls_label, seg_label, rng):
+        r_aug, r_drop, r_dp = jax.random.split(rng, 3)
+        x = scale_and_translate(r_aug, pts) if augment else pts
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            logits, updates = model.apply(
+                variables,
+                x,
+                cls_label,
+                deterministic=False,
+                rngs={"dropout": r_drop, "droppath": r_dp},
+                mutable=["batch_stats"],
+            )
+            one_hot = jax.nn.one_hot(seg_label, model.num_parts)
+            loss = jnp.mean(
+                optax.softmax_cross_entropy(logits.astype(jnp.float32), one_hot)
+            )
+            acc = jnp.mean((jnp.argmax(logits, -1) == seg_label).astype(jnp.float32))
+            return loss, (acc, updates)
+
+        (loss, (acc, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, new_updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+        )
+        return new_state, {"loss": loss, "acc": acc * 100.0}
+
+    return step
+
+
+def make_seg_eval_step(model):
+    @jax.jit
+    def step(variables, pts, cls_label):
+        return model.apply(variables, pts, cls_label, deterministic=True)
+
+    return step
+
+
+def category_restricted_argmax(
+    logits: np.ndarray, cls_labels: np.ndarray, seg_classes, cls_names
+) -> np.ndarray:
+    """Argmax over only the parts valid for each shape's category."""
+    pred = np.zeros(logits.shape[:2], np.int64)
+    for i in range(logits.shape[0]):
+        parts = seg_classes[cls_names[int(cls_labels[i])]]
+        sub = logits[i][:, parts]
+        pred[i] = np.asarray(parts)[sub.argmax(-1)]
+    return pred

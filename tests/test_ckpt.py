@@ -1,0 +1,146 @@
+"""Checkpoint schema + torch-importer tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gm3d_tpu.ckpt import (
+    import_torch_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from gm3d_tpu.ckpt.torch_import import POINT_MAE_MAP, POINT_TRANSFORMER_MAP
+from gm3d_tpu.models import PointMAE, PointTransformer
+from gm3d_tpu.train.optim import build_adamw
+from gm3d_tpu.train.state import create_train_state
+
+
+def tree_paths(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(tree_paths(v, p))
+        else:
+            out[p] = np.asarray(v).shape
+    return out
+
+
+class TestOrbax:
+    def test_save_restore_roundtrip(self, tmp_path):
+        model = PointMAE(trans_dim=48, depth=1, num_heads=2, decoder_depth=1,
+                         decoder_num_heads=2, group_size=8, num_group=16, encoder_dims=48)
+        pts = jnp.zeros((2, 64, 3))
+        mask = jnp.zeros((2, 16), bool).at[:, :9].set(True)
+        variables = model.init(jax.random.key(0), pts, mask, 9)
+        tx = build_adamw(1e-3)
+        state = create_train_state(variables, tx, with_ema=True)
+        ckpt_dir = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt_dir, state, step=7)
+        restored = restore_checkpoint(ckpt_dir, state)
+        assert restored is not None
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(restored.params)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
+
+    def test_restore_missing_returns_none(self, tmp_path):
+        assert restore_checkpoint(str(tmp_path / "nope"), None) is None
+
+
+def make_torch_state_dict(depth=2, dim=48, heads=2, cls_dim=5):
+    """Fabricate a reference-shaped PointTransformer state dict."""
+    torch = pytest.importorskip("torch")
+    sd = {}
+
+    def lin(name, din, dout):
+        sd[f"{name}.weight"] = torch.randn(dout, din)
+        sd[f"{name}.bias"] = torch.randn(dout)
+
+    def conv(name, din, dout):
+        sd[f"{name}.weight"] = torch.randn(dout, din, 1)
+        sd[f"{name}.bias"] = torch.randn(dout)
+
+    def bn(name, d):
+        sd[f"{name}.weight"] = torch.ones(d)
+        sd[f"{name}.bias"] = torch.zeros(d)
+        sd[f"{name}.running_mean"] = torch.zeros(d)
+        sd[f"{name}.running_var"] = torch.ones(d)
+        sd[f"{name}.num_batches_tracked"] = torch.tensor(0)
+
+    def ln(name, d):
+        sd[f"{name}.weight"] = torch.ones(d)
+        sd[f"{name}.bias"] = torch.zeros(d)
+
+    conv("encoder.first_conv.0", 3, 128)
+    bn("encoder.first_conv.1", 128)
+    conv("encoder.first_conv.3", 128, 256)
+    conv("encoder.second_conv.0", 512, 512)
+    bn("encoder.second_conv.1", 512)
+    conv("encoder.second_conv.3", 512, dim)
+    sd["cls_token"] = torch.zeros(1, 1, dim)
+    sd["cls_pos"] = torch.randn(1, 1, dim)
+    lin("pos_embed.0", 3, 128)
+    lin("pos_embed.2", 128, dim)
+    for i in range(depth):
+        ln(f"blocks.blocks.{i}.norm1", dim)
+        ln(f"blocks.blocks.{i}.norm2", dim)
+        lin(f"blocks.blocks.{i}.attn.qkv", dim, dim * 3)
+        sd.pop(f"blocks.blocks.{i}.attn.qkv.bias")  # qkv_bias=False
+        lin(f"blocks.blocks.{i}.attn.proj", dim, dim)
+        lin(f"blocks.blocks.{i}.mlp.fc1", dim, dim * 4)
+        lin(f"blocks.blocks.{i}.mlp.fc2", dim * 4, dim)
+    ln("norm_p", dim)
+    lin("cls_head_finetune.0", dim * 2, 256)
+    bn("cls_head_finetune.1", 256)
+    lin("cls_head_finetune.4", 256, 256)
+    bn("cls_head_finetune.5", 256)
+    lin("cls_head_finetune.8", 256, cls_dim)
+    return sd
+
+
+class TestTorchImport:
+    def test_point_transformer_import_matches_flax_tree(self):
+        model = PointTransformer(trans_dim=48, depth=2, num_heads=2, cls_dim=5,
+                                 group_size=8, num_group=16, encoder_dims=48)
+        pts = jnp.zeros((2, 64, 3))
+        flax_vars = model.init(jax.random.key(0), pts)
+        sd = make_torch_state_dict()
+        imported = import_torch_checkpoint(sd, POINT_TRANSFORMER_MAP)
+        assert imported["_unmatched"] == []
+        got = tree_paths(imported["params"])
+        want = tree_paths(jax.tree.map(np.asarray, flax_vars["params"]))
+        assert got == want
+        got_bs = tree_paths(imported["batch_stats"])
+        want_bs = tree_paths(jax.tree.map(np.asarray, flax_vars["batch_stats"]))
+        assert got_bs == want_bs
+
+    def test_imported_weights_run_forward(self):
+        model = PointTransformer(trans_dim=48, depth=2, num_heads=2, cls_dim=5,
+                                 group_size=8, num_group=16, encoder_dims=48)
+        sd = make_torch_state_dict()
+        imported = import_torch_checkpoint(sd, POINT_TRANSFORMER_MAP)
+        imported.pop("_unmatched")
+        pts = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 3)).astype(np.float32))
+        logits = model.apply(
+            {"params": imported["params"], "batch_stats": imported["batch_stats"]}, pts
+        )
+        assert logits.shape == (2, 5)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_ddp_prefix_stripped(self):
+        sd = {("module." + k): v for k, v in make_torch_state_dict().items()}
+        imported = import_torch_checkpoint(sd, POINT_TRANSFORMER_MAP)
+        assert imported["_unmatched"] == []
+
+    def test_linear_weight_transposed(self):
+        torch = pytest.importorskip("torch")
+        w = torch.arange(6.0).reshape(2, 3)  # (out, in)
+        sd = {"pos_embed.0.weight": w, "pos_embed.0.bias": torch.zeros(2)}
+        imported = import_torch_checkpoint(sd, POINT_TRANSFORMER_MAP)
+        np.testing.assert_array_equal(
+            imported["params"]["pos_embed"]["fc1"]["kernel"], w.numpy().T
+        )
