@@ -1,0 +1,75 @@
+"""Test-only evaluation (reference ``tools/runner_finetune.py`` test_net /
+test_vote): accuracy and 10x voting accuracy from a saved checkpoint.
+
+  python -m gm3d_tpu.cli.evaluate --config configs/pointmae/finetune_modelnet.yaml \
+      --ckpt /path/to/ckpt --vote --synthetic
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.ckpt import restore_checkpoint
+from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_cls_loaders
+from gm3d_tpu.config import build_model_from_cfg
+from gm3d_tpu.eval.metrics import accuracy
+from gm3d_tpu.train.finetune import make_eval_step, make_vote_eval_step
+from gm3d_tpu.train.optim import build_adamw
+from gm3d_tpu.train.state import create_train_state
+from gm3d_tpu.utils import get_logger
+
+
+def parse_args():
+    p = base_parser("test-only evaluation")
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    p.add_argument("--vote", action="store_true")
+    p.add_argument("--vote_times", type=int, default=10)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args)
+    logger = get_logger("gm3d.eval")
+    dtype = compute_dtype(args)
+    model = build_model_from_cfg(cfg["model"], dtype=dtype)
+    npoints = cfg.get("npoints", 1024)
+    _, val_loader = make_cls_loaders(cfg, args)
+
+    pts0, _ = next(iter(val_loader))
+    variables = model.init(jax.random.key(0), jnp.asarray(pts0[:2, :npoints]))
+    if args.ckpt:
+        state = create_train_state(variables, build_adamw(1e-3))
+        restored = restore_checkpoint(args.ckpt, state)
+        if restored is not None:
+            variables = restored.variables()
+            logger.info(f"restored ckpt step {int(restored.step)}")
+
+    eval_step = make_eval_step(model, npoints)
+    logits, labels_all = [], []
+    for pts, labels in val_loader:
+        logits.append(np.asarray(eval_step(variables, jnp.asarray(pts))))
+        labels_all.append(np.asarray(labels))
+    acc = accuracy(np.concatenate(logits), np.concatenate(labels_all)) * 100.0
+    logger.info(f"[TEST] acc = {acc:.4f}")
+
+    if args.vote:
+        vote_step = make_vote_eval_step(model, npoints, args.vote_times)
+        rng = jax.random.key(args.seed)
+        logits, labels_all = [], []
+        for pts, labels in val_loader:
+            rng, key = jax.random.split(rng)
+            logits.append(np.asarray(vote_step(variables, jnp.asarray(pts), key)))
+            labels_all.append(np.asarray(labels))
+        vacc = accuracy(np.concatenate(logits), np.concatenate(labels_all)) * 100.0
+        logger.info(f"[TEST_VOTE] acc = {vacc:.4f}")
+        return acc, vacc
+    return acc, None
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Few-shot harness (reference ``cfgs/fewshot.yaml`` protocol): train + eval
+over 10 folds of {way}-way {shot}-shot ModelNet40 episodes and report
+mean/std — the numbers behind README.md:83 (97.0/98.3/93.1/95.2).
+
+  python -m gm3d_tpu.cli.fewshot --config configs/pointmae/fewshot.yaml \
+      --way 5 --shot 10 --folds 10 --synthetic ...
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config
+from gm3d_tpu.config import build_model_from_cfg
+from gm3d_tpu.data.datasets import DataLoader, SyntheticClouds, build_dataset_from_cfg
+from gm3d_tpu.eval.metrics import accuracy
+from gm3d_tpu.train.finetune import make_eval_step, make_finetune_train_step
+from gm3d_tpu.train.optim import build_finetune_optimizer
+from gm3d_tpu.train.schedules import cosine_warmup_schedule
+from gm3d_tpu.train.state import create_train_state
+from gm3d_tpu.utils import JsonlLogger, get_logger
+
+
+def parse_args():
+    p = base_parser("few-shot classification")
+    p.add_argument("--way", type=int, default=5)
+    p.add_argument("--shot", type=int, default=10)
+    p.add_argument("--folds", type=int, default=10)
+    p.add_argument("--pretrained", default=None)
+    return p.parse_args()
+
+
+def run_fold(args, cfg, fold, logger):
+    dtype = compute_dtype(args)
+    npoints = cfg.get("npoints", 1024)
+    way = args.way
+    model_cfg = dict(cfg["model"])
+    model_cfg["cls_dim"] = way
+    model = build_model_from_cfg(model_cfg, dtype=dtype)
+
+    if args.synthetic:
+        train_ds = SyntheticClouds(way * args.shot, npoints, num_classes=way,
+                                   seed=fold, labelled=True)
+        test_ds = SyntheticClouds(way * 20, npoints, num_classes=way,
+                                  seed=fold + 100, labelled=True)
+    else:
+        for split, key in (("train", "train"), ("test", "val")):
+            cfg["dataset"][key]["others"].update(way=way, shot=args.shot, fold=fold)
+        train_ds = build_dataset_from_cfg(cfg["dataset"]["train"])
+        test_ds = build_dataset_from_cfg(cfg["dataset"]["val"])
+
+    def unpack(loader):
+        for batch in loader:
+            yield batch
+
+    bs = min(cfg["total_bs"], len(train_ds))
+    train_loader = DataLoader(train_ds, bs, seed=fold)
+    test_loader = DataLoader(test_ds, bs, shuffle=False, drop_last=False)
+
+    pts0 = jnp.asarray(next(iter(test_loader))[0][:2, :npoints])
+    variables = model.init(jax.random.key(fold), pts0)
+    epochs = cfg["max_epoch"]
+    steps_per_epoch = max(len(train_loader), 1)
+    sched = cosine_warmup_schedule(cfg["optimizer"]["kwargs"]["lr"], 1e-6, 10,
+                                   epochs, steps_per_epoch)
+    tx = build_finetune_optimizer(variables["params"], sched,
+                                  depth=cfg["model"].get("depth", 12) if "depth" in cfg["model"] else 12,
+                                  grad_clip=cfg.get("grad_norm_clip"))
+    state = create_train_state(variables, tx)
+    step_fn = make_finetune_train_step(model, tx, npoints)
+    eval_step = make_eval_step(model, npoints)
+
+    rng = jax.random.key(fold)
+    best = 0.0
+    for epoch in range(epochs):
+        for pts, labels in unpack(train_loader):
+            rng, key = jax.random.split(rng)
+            state, _ = step_fn(state, jnp.asarray(pts), jnp.asarray(labels), key)
+        if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
+            logits, labels_all = [], []
+            for pts, labels in unpack(test_loader):
+                logits.append(np.asarray(eval_step(state.variables(), jnp.asarray(pts))))
+                labels_all.append(np.asarray(labels))
+            acc = accuracy(np.concatenate(logits), np.concatenate(labels_all)) * 100.0
+            best = max(best, acc)
+    logger.info(f"fold {fold}: best acc {best:.2f}")
+    return best
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args)
+    logger = get_logger("gm3d.fewshot", os.path.join(args.output_dir, "fewshot.log"))
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    accs = [run_fold(args, cfg, f, logger) for f in range(args.folds)]
+    mean, std = float(np.mean(accs)), float(np.std(accs))
+    logger.info(f"{args.way}-way {args.shot}-shot over {args.folds} folds: "
+                f"{mean:.1f} +/- {std:.1f}")
+    jsonl.write({"way": args.way, "shot": args.shot, "mean": mean, "std": std, "accs": accs})
+    return mean, std
+
+
+if __name__ == "__main__":
+    main()

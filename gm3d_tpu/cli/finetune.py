@@ -1,0 +1,165 @@
+"""Classification fine-tune (reference ``main_finetune.py``): loads a
+pretrain checkpoint (orbax or torch .pth with prefix surgery), layer-wise LR
+decay, per-epoch accuracy validation, optional voting eval at the end.
+
+  python -m gm3d_tpu.cli.finetune --config configs/pointmae/finetune_modelnet.yaml \
+      --pretrained /path/to/ckpt [--torch_ckpt] [--vote] --synthetic ...
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.ckpt import restore_checkpoint, save_checkpoint
+from gm3d_tpu.ckpt.torch_import import (
+    POINT_TRANSFORMER_MAP,
+    import_torch_checkpoint,
+    load_torch_file,
+)
+from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_cls_loaders
+from gm3d_tpu.config import build_model_from_cfg
+from gm3d_tpu.eval.metrics import accuracy
+from gm3d_tpu.train.finetune import (
+    make_eval_step,
+    make_finetune_train_step,
+    make_vote_eval_step,
+)
+from gm3d_tpu.train.optim import build_finetune_optimizer
+from gm3d_tpu.train.schedules import cosine_warmup_schedule
+from gm3d_tpu.train.state import create_train_state
+from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
+
+
+def parse_args():
+    p = base_parser("classification fine-tune")
+    p.add_argument("--pretrained", default=None, help="pretrain ckpt dir (orbax) or .pth")
+    p.add_argument("--torch_ckpt", action="store_true", help="--pretrained is a torch .pth")
+    p.add_argument("--vote", action="store_true", help="run 10x voting eval at the end")
+    p.add_argument("--layer_decay", type=float, default=0.75)
+    p.add_argument("--smoothing", type=float, default=0.0)
+    return p.parse_args()
+
+
+def merge_pretrained_encoder(params, batch_stats, imported):
+    """Overlay imported encoder weights onto a fresh finetune model
+    (strict=False semantics of ``main_finetune.py:297-324``)."""
+
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                overlay(dst[k], v)
+            elif k in dst and not isinstance(v, dict):
+                if np.asarray(dst[k]).shape == np.asarray(v).shape:
+                    dst[k] = jnp.asarray(v)
+        return dst
+
+    import flax
+
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else dict(params)
+    overlay(params, imported.get("params", {}))
+    if batch_stats is not None and imported.get("batch_stats"):
+        overlay(batch_stats, imported["batch_stats"])
+    return params, batch_stats
+
+
+def evaluate(loader, eval_step, variables):
+    logits_all, labels_all = [], []
+    for pts, labels in loader:
+        logits_all.append(np.asarray(eval_step(variables, jnp.asarray(pts))))
+        labels_all.append(np.asarray(labels))
+    return accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args)
+    logger = get_logger("gm3d.finetune", os.path.join(args.output_dir, "finetune.log"))
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    dtype = compute_dtype(args)
+
+    model = build_model_from_cfg(cfg["model"], dtype=dtype)
+    npoints = cfg.get("npoints", 1024)
+    epochs = cfg["max_epoch"]
+    train_loader, val_loader = make_cls_loaders(cfg, args)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    pts0, _ = next(iter(val_loader))
+    variables = model.init(jax.random.key(args.seed), jnp.asarray(pts0[:2, :npoints]))
+    params, batch_stats = variables["params"], variables.get("batch_stats")
+
+    if args.pretrained and args.torch_ckpt:
+        sd = load_torch_file(args.pretrained)
+        imported = import_torch_checkpoint(sd, POINT_TRANSFORMER_MAP, strip_mae_encoder=True)
+        unmatched = imported.pop("_unmatched")
+        logger.info(f"torch import: {len(unmatched)} unmatched keys (strict=False)")
+        params, batch_stats = merge_pretrained_encoder(params, batch_stats, imported)
+
+    lr = cfg["optimizer"]["kwargs"]["lr"]
+    sched = cosine_warmup_schedule(lr, 1e-6, cfg["scheduler"]["kwargs"]["initial_epochs"],
+                                   epochs, steps_per_epoch)
+    tx = build_finetune_optimizer(
+        params, sched, cfg["optimizer"]["kwargs"]["weight_decay"],
+        depth=cfg["model"].get("depth", 12), layer_decay=args.layer_decay,
+        grad_clip=cfg.get("grad_norm_clip"),
+    )
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    state = create_train_state(variables, tx)
+
+    if args.pretrained and not args.torch_ckpt:
+        restored = restore_checkpoint(args.pretrained, state)
+        if restored is not None:
+            # reuse only encoder-compatible params from the pretrain state
+            state = state.replace(params=jax.tree.map(
+                lambda new, old: old if old.shape == new.shape else new,
+                state.params, restored.params))
+            logger.info("loaded orbax pretrain state (shape-matched overlay)")
+
+    step_fn = make_finetune_train_step(model, tx, npoints, args.smoothing)
+    eval_step = make_eval_step(model, npoints)
+
+    rng = jax.random.key(args.seed)
+    best = 0.0
+    ckpt_dir = os.path.join(args.output_dir, "ckpt")
+    for epoch in range(epochs):
+        meter = MetricLogger()
+        t0 = time.time()
+        for pts, labels in train_loader:
+            rng, key = jax.random.split(rng)
+            state, metrics = step_fn(state, jnp.asarray(pts), jnp.asarray(labels), key)
+            meter.update(**{k: float(v) for k, v in metrics.items()})
+        stats = meter.global_avgs()
+        stats.update(epoch=epoch, time=round(time.time() - t0, 2))
+        if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
+            acc = evaluate(val_loader, eval_step, state.variables())
+            stats["val_acc"] = acc
+            if acc > best:
+                best = acc
+                save_checkpoint(ckpt_dir, state, int(state.step), metrics={"acc": acc})
+        logger.info(f"epoch {epoch}: " + " ".join(
+            f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
+        jsonl.write(stats)
+
+    if args.vote:
+        vote_step = make_vote_eval_step(model, npoints)
+        logits_all, labels_all = [], []
+        rng, key = jax.random.split(rng)
+        for pts, labels in val_loader:
+            key, k2 = jax.random.split(key)
+            logits_all.append(np.asarray(vote_step(state.variables(), jnp.asarray(pts), k2)))
+            labels_all.append(np.asarray(labels))
+        vote_acc = accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
+        logger.info(f"[TEST_VOTE] acc = {vote_acc:.4f}")
+        jsonl.write({"vote_acc": vote_acc})
+    logger.info(f"best val acc {best:.2f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""ShapeNetPart segmentation fine-tune (reference
+``main_finetune_segmentation.py``): per-point 50-part CE, category-restricted
+argmax eval, instance/class mIoU.
+
+  python -m gm3d_tpu.cli.finetune_seg --config configs/pointmae/seg_shapenetpart.yaml \
+      --synthetic --epochs 2 ...
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.ckpt import save_checkpoint
+from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config
+from gm3d_tpu.config import build_model_from_cfg
+from gm3d_tpu.data.datasets import SEG_CLASSES, DataLoader, build_dataset_from_cfg
+from gm3d_tpu.eval.metrics import part_miou
+from gm3d_tpu.train.optim import build_finetune_optimizer
+from gm3d_tpu.train.schedules import cosine_warmup_schedule
+from gm3d_tpu.train.segmentation import (
+    category_restricted_argmax,
+    make_seg_eval_step,
+    make_seg_train_step,
+)
+from gm3d_tpu.train.state import create_train_state
+from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
+
+CLS_NAMES = sorted(SEG_CLASSES)
+
+
+class SyntheticParts:
+    """Synthetic part-seg data: octant of the unit sphere -> part id within
+    the category's part list."""
+
+    def __init__(self, num_samples=64, npoints=256, seed=0):
+        self.num_samples = num_samples
+        self.npoints = npoints
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        cls = idx % len(CLS_NAMES)
+        parts = SEG_CLASSES[CLS_NAMES[cls]]
+        pts = rng.standard_normal((self.npoints, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True).max()
+        region = (pts[:, 0] > 0).astype(np.int64) + 2 * (pts[:, 1] > 0).astype(np.int64)
+        seg = np.asarray(parts)[region % len(parts)]
+        return CLS_NAMES[cls], "synthetic", (pts, cls, seg)
+
+
+def parse_args():
+    p = base_parser("part segmentation fine-tune")
+    p.add_argument("--pretrained", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args)
+    logger = get_logger("gm3d.seg", os.path.join(args.output_dir, "seg.log"))
+    jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    dtype = compute_dtype(args)
+
+    model = build_model_from_cfg(cfg["model"], dtype=dtype)
+    npoints = cfg.get("npoints", 2048)
+    bs = cfg["total_bs"]
+    if args.synthetic:
+        train_ds = SyntheticParts(args.synthetic_samples, npoints, seed=1)
+        val_ds = SyntheticParts(max(args.synthetic_samples // 4, 32), npoints, seed=2)
+    else:
+        train_ds = build_dataset_from_cfg(cfg["dataset"]["train"])
+        val_ds = build_dataset_from_cfg(cfg["dataset"]["val"])
+    train_loader = DataLoader(train_ds, bs, seed=args.seed)
+    val_loader = DataLoader(val_ds, bs, shuffle=False, drop_last=False)
+
+    pts0, cls0, _ = next(iter(val_loader))
+    variables = model.init(jax.random.key(args.seed), jnp.asarray(pts0[:2]), jnp.asarray(cls0[:2]))
+    epochs = cfg["max_epoch"]
+    steps_per_epoch = max(len(train_loader), 1)
+    sched = cosine_warmup_schedule(cfg["optimizer"]["kwargs"]["lr"], 1e-6, 10, epochs,
+                                   steps_per_epoch)
+    tx = build_finetune_optimizer(variables["params"], sched,
+                                  depth=cfg["model"].get("depth", 12),
+                                  grad_clip=cfg.get("grad_norm_clip"))
+    state = create_train_state(variables, tx)
+    step_fn = make_seg_train_step(model, tx)
+    eval_step = make_seg_eval_step(model)
+
+    rng = jax.random.key(args.seed)
+    best = {"instance_miou": 0.0, "class_miou": 0.0}
+    for epoch in range(epochs):
+        meter = MetricLogger()
+        t0 = time.time()
+        for pts, cls_label, seg in train_loader:
+            rng, key = jax.random.split(rng)
+            state, metrics = step_fn(state, jnp.asarray(pts), jnp.asarray(cls_label),
+                                     jnp.asarray(seg), key)
+            meter.update(**{k: float(v) for k, v in metrics.items()})
+        stats = meter.global_avgs()
+        stats.update(epoch=epoch, time=round(time.time() - t0, 2))
+
+        if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
+            preds, targets, clss = [], [], []
+            for pts, cls_label, seg in val_loader:
+                logits = np.asarray(eval_step(state.variables(), jnp.asarray(pts),
+                                              jnp.asarray(cls_label)))
+                preds.append(category_restricted_argmax(logits, np.asarray(cls_label),
+                                                        SEG_CLASSES, CLS_NAMES))
+                targets.append(np.asarray(seg))
+                clss.append(np.asarray(cls_label))
+            miou = part_miou(np.concatenate(preds), np.concatenate(targets),
+                             np.concatenate(clss), SEG_CLASSES, CLS_NAMES)
+            stats["instance_miou"] = miou["instance_miou"] * 100
+            stats["class_miou"] = miou["class_miou"] * 100
+            if miou["instance_miou"] > best["instance_miou"]:
+                best = {k: miou[k] for k in ("instance_miou", "class_miou")}
+                save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
+                                int(state.step), metrics={"instance_miou": miou["instance_miou"]})
+        logger.info(f"epoch {epoch}: " + " ".join(
+            f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
+        jsonl.write(stats)
+    logger.info(f"best inst mIoU {best['instance_miou']*100:.2f} / "
+                f"class mIoU {best['class_miou']*100:.2f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()
