@@ -1,0 +1,5 @@
+"""Native (C++) runtime components: threaded prefetching IO."""
+
+from gm3d_tpu.native.native_loader import NativeCloudLoader, native_available
+
+__all__ = ["NativeCloudLoader", "native_available"]

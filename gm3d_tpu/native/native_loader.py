@@ -1,0 +1,106 @@
+"""ctypes binding for the C++ threaded cloud loader (loader.cpp).
+
+Builds ``libgm3dio.so`` on first use (make) and falls back gracefully when no
+toolchain is available — callers should check ``native_available()`` and use
+the Python ``DataLoader`` otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libgm3dio.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.gm3d_loader_create.restype = ctypes.c_void_p
+    lib.gm3d_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint,
+        ctypes.c_int,
+    ]
+    lib.gm3d_loader_next.restype = ctypes.c_int
+    lib.gm3d_loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.gm3d_loader_num_batches.restype = ctypes.c_int
+    lib.gm3d_loader_num_batches.argtypes = [ctypes.c_void_p]
+    lib.gm3d_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativeCloudLoader:
+    """Iterates (batch_size, npoints, 3) float32 batches read, subsampled and
+    unit-sphere-normalised by C++ worker threads."""
+
+    def __init__(
+        self,
+        paths: List[str],
+        npoints: int,
+        batch_size: int,
+        num_workers: int = 4,
+        seed: int = 0,
+        shuffle: bool = True,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native loader unavailable (no toolchain?)")
+        self._lib = lib
+        self.npoints = npoints
+        self.batch_size = batch_size
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        self._handle = lib.gm3d_loader_create(
+            arr, len(paths), npoints, batch_size, num_workers, seed, int(shuffle)
+        )
+        self._buf = np.empty((batch_size, npoints, 3), np.float32)
+
+    def __len__(self):
+        return self._lib.gm3d_loader_num_batches(self._handle)
+
+    def __iter__(self):
+        while True:
+            ok = self._lib.gm3d_loader_next(
+                self._handle, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+            if ok == 0:
+                return
+            yield self._buf.copy()
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.gm3d_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
