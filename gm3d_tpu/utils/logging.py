@@ -54,6 +54,30 @@ def print_log(msg: str, logger: Optional[logging.Logger | str] = None,
         logger.log(level, msg)
 
 
+class ScalarWriter:
+    """TensorBoard scalar writer (reference SummaryWriter usage,
+    ``main_pretrain.py:272,281-286``); silently no-ops if tensorboard is
+    unavailable or on non-main processes."""
+
+    def __init__(self, log_dir: Optional[str]):
+        self._writer = None
+        if log_dir and _process_index() == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(log_dir)
+            except Exception:
+                self._writer = None
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_scalar(tag, value, step)
+
+    def flush(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+
+
 class JsonlLogger:
     """Per-epoch JSON-lines stats file ({model}_{exp}_log.txt format)."""
 
