@@ -33,6 +33,7 @@ from gm3d_tpu.models import GM3DStudent, PointMAE
 from gm3d_tpu.train.optim import build_adamw
 from gm3d_tpu.train.pretrain import (
     make_gm3d_train_step,
+    make_m2ae_gm3d_train_step,
     make_m2ae_train_step,
     make_pointmae_train_step,
 )
@@ -49,7 +50,8 @@ from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
 
 def parse_args():
     p = base_parser("GM3D pretraining")
-    p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae"], default="gm3d")
+    p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae", "m2ae_gm3d"],
+                   default="gm3d")
     p.add_argument("--mode", choices=["feature", "usual"], default="feature")
     p.add_argument("--mask_ratio", type=float, default=0.6)
     p.add_argument("--dino_path", default=None,
@@ -131,12 +133,18 @@ def main():
         )
         feat_model = model
         tvars = None
-    else:  # m2ae
+    else:  # m2ae / m2ae_gm3d
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
         vis0 = jnp.ones((2, model.num_groups[-1]), bool)
         variables = model.init(jax.random.key(1), example[:2], vis0)
-        state = create_train_state(variables, tx)
-        step_fn = make_m2ae_train_step(model, tx, cfg["model"].get("mask_ratio", 0.8))
+        with_ema = args.model_family == "m2ae_gm3d"
+        state = create_train_state(variables, tx, with_ema=with_ema)
+        if with_ema:
+            step_fn = make_m2ae_gm3d_train_step(
+                model, tx, cfg["model"].get("mask_ratio", 0.8), args.relative
+            )
+        else:
+            step_fn = make_m2ae_train_step(model, tx, cfg["model"].get("mask_ratio", 0.8))
         feat_model = model
         tvars = None
 
@@ -166,6 +174,8 @@ def main():
             pts = jnp.asarray(pts)
             if args.model_family == "gm3d":
                 state, metrics = step_fn(state, tvars, pts, key, scalars)
+            elif args.model_family == "m2ae_gm3d":
+                state, metrics = step_fn(state, pts, key, scalars)
             else:
                 state, metrics = step_fn(state, pts, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})

@@ -236,6 +236,12 @@ class PointM2AE(nn.Module):
         )
         # reconstruct finest-scale patches: group_sizes[0] points per token
         self.rec_head = nn.Dense(3 * self.group_sizes[0], dtype=self.dtype)
+        # GM3D loss-prediction head at the coarsest scale (mirrors the GM3D
+        # student's feature head, ...feature_besed.py:912-918): enables
+        # geometric-complexity mask selection for the M2AE family.
+        self.lp_fc1 = nn.Dense(1024, dtype=self.dtype)
+        self.lp_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
+        self.lp_fc2 = nn.Dense(self.decoder_dims[0], dtype=self.dtype)
 
     def encode_features(self, pts, deterministic: bool = True):
         """Unmasked multi-scale features for SVM / probing: returns the
@@ -262,6 +268,13 @@ class PointM2AE(nn.Module):
         x = jnp.where(vis_masks[-1][..., None], x, mask_tok)
         pos = self.dec_pos[0](centers[-1])
         x = self.dec_stages[0](x, pos, deterministic)
+
+        # ---- GM3D per-coarse-group loss prediction
+        lp = self.lp_fc1(x)
+        lp = self.lp_bn(lp, use_running_average=deterministic)
+        lp = nn.leaky_relu(lp, negative_slope=0.2)
+        lp = self.lp_fc2(lp)
+        loss_pred = jnp.mean(lp.astype(jnp.float32), axis=-1)  # (B, G_last)
 
         # ---- upsample stages: coarse -> fine via nearest-coarse gather + skip
         scale = len(centers) - 1
@@ -290,12 +303,17 @@ class PointM2AE(nn.Module):
             pts, member_idx[0].reshape(batch, -1, 1), axis=1
         ).reshape(batch, self.num_groups[0], self.group_sizes[0], 3)
         gt = neigh - centers[0][:, :, None, :]
+        # nearest coarsest center of each finest group (for aggregating the
+        # fine reconstruction losses into the per-coarse-group loss matrix)
+        fine_to_coarse = knn_indices(centers[-1], centers[0], 1)[..., 0]
         return {
             "rebuild": rebuild,
             "gt": gt,
             "fine_vis": vis_masks[0],
             "coarse_vis": coarse_vis,
             "centers": centers,
+            "loss_pred": loss_pred,
+            "fine_to_coarse": fine_to_coarse,
         }
 
 

@@ -284,16 +284,33 @@ def make_gm3d_train_step(
     return step
 
 
+def _m2ae_losses(model, outs):
+    """Masked-fine-group Chamfer + per-coarse-group loss matrix."""
+    from gm3d_tpu.ops.chamfer import chamfer_group
+
+    per_fine = chamfer_group(
+        outs["rebuild"].astype(jnp.float32), outs["gt"].astype(jnp.float32)
+    )  # (B, G0)
+    w = (~outs["fine_vis"]).astype(jnp.float32)
+    loss = jnp.sum(per_fine * w) / jnp.maximum(jnp.sum(w), 1.0)
+    # aggregate masked-fine losses onto their nearest coarse group
+    coarse_groups = model.num_groups[-1]
+    one_hot = jax.nn.one_hot(outs["fine_to_coarse"], coarse_groups)  # (B, G0, Gc)
+    num = jnp.einsum("bg,bgc->bc", per_fine * w, one_hot)
+    den = jnp.maximum(jnp.einsum("bg,bgc->bc", w, one_hot), 1.0)
+    matrix = num / den  # (B, Gc) per-coarse-group mean masked loss
+    return loss, matrix
+
+
 def make_m2ae_train_step(
     model,
     tx: optax.GradientTransformation,
     mask_ratio: float = 0.8,
     loss_type: str = "cdl2",
     augment: bool = True,
-    geometric: bool = False,
 ):
-    """Point-M2AE pretrain step: random (or GM3D-geometric via EMA) coarse
-    mask, hierarchical reconstruction, Chamfer on masked finest-scale groups."""
+    """Point-M2AE pretrain step: random coarse mask, hierarchical
+    reconstruction, Chamfer on masked finest-scale groups."""
     coarse_groups = model.num_groups[-1]
     num_mask = int(coarse_groups * mask_ratio)
 
@@ -317,15 +334,7 @@ def make_m2ae_train_step(
                 rngs={"dropout": r_drop, "droppath": r_dp},
                 mutable=["batch_stats"],
             )
-            # Chamfer on masked finest-scale groups only; weight each group
-            # by its masked-ness (static shapes, no gather needed).
-            from gm3d_tpu.ops.chamfer import chamfer_group
-
-            per_group = chamfer_group(
-                outs["rebuild"].astype(jnp.float32), outs["gt"].astype(jnp.float32)
-            )  # (B, G0)
-            w = (~outs["fine_vis"]).astype(jnp.float32)
-            loss = jnp.sum(per_group * w) / jnp.maximum(jnp.sum(w), 1.0)
+            loss, _ = _m2ae_losses(model, outs)
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -338,5 +347,90 @@ def make_m2ae_train_step(
             opt_state=opt_state,
         )
         return new_state, {"loss": loss, "grad_norm": _global_norm(grads)}
+
+    return step
+
+
+def make_m2ae_gm3d_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mask_ratio: float = 0.8,
+    relative: bool = True,
+    augment: bool = True,
+):
+    """Point-M2AE + GM3D: geometric-complexity coarse-mask selection driven by
+    an EMA loss predictor, plus the relative learning loss — the hierarchical
+    analog of the Point-MAE GM3D path (SURVEY.md §7.2 step 8: mask generated
+    at the coarsest scale, propagated coarse->fine)."""
+    coarse_groups = model.num_groups[-1]
+    num_mask = int(coarse_groups * mask_ratio)
+
+    @jax.jit
+    def step(
+        state: TrainState,
+        pts: jax.Array,
+        rng: jax.Array,
+        scalars: Dict[str, jax.Array],
+    ):
+        r_aug, r_mask, r_drop, r_dp = jax.random.split(rng, 4)
+        samples = scale_and_translate(r_aug, pts) if augment else pts
+        batch = samples.shape[0]
+
+        # EMA forward, fully visible -> per-coarse-group predicted loss
+        all_vis = jnp.ones((batch, coarse_groups), bool)
+        outs_ema = model.apply(state.ema_variables(), samples, all_vis, deterministic=True)
+        masked = geometric_mask(
+            r_mask, outs_ema["loss_pred"], num_mask, scalars["keep_ratio"]
+        )
+        coarse_vis = ~masked
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            outs, updates = model.apply(
+                variables,
+                samples,
+                coarse_vis,
+                deterministic=False,
+                rngs={"dropout": r_drop, "droppath": r_dp},
+                mutable=["batch_stats"],
+            )
+            loss, matrix = _m2ae_losses(model, outs)
+            matrix = jax.lax.stop_gradient(matrix)
+            # learning loss on masked coarse slots (gathered to static M)
+            order = jnp.argsort(coarse_vis.astype(jnp.int32), axis=-1, stable=True)
+            mask_idx = order[:, :num_mask]  # masked (False=0) sort first
+            lp = jnp.take_along_axis(outs["loss_pred"], mask_idx, axis=1)
+            mt = jnp.take_along_axis(matrix, mask_idx, axis=1)
+            if relative:
+                loss_learn = losses.relative_learning_loss(lp, mt)
+            else:
+                loss_learn = losses.mse_learning_loss(lp, mt)
+            return loss + loss_learn, (loss, loss_learn, updates)
+
+        (total, (loss, loss_learn, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, new_updates)
+        decay = scalars["ema_decay"]
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, decay),
+            ema_batch_stats=ema_update(
+                state.ema_batch_stats, updates.get("batch_stats", state.batch_stats), decay
+            ),
+        )
+        metrics = {
+            "loss": total,
+            "loss_chfr": loss,
+            "loss_learn": loss_learn,
+            "grad_norm": _global_norm(grads),
+        }
+        return new_state, metrics
 
     return step
