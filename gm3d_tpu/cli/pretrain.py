@@ -67,6 +67,9 @@ def parse_args():
     p.add_argument("--blr", type=float, default=1e-3)
     p.add_argument("--warmup_epochs", type=int, default=40)
     p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--classification", action="store_true",
+                   help="train a supervised Classifier probe alongside (reference --classification)")
     return p.parse_args()
 
 
@@ -94,9 +97,10 @@ def main():
     rng = jax.random.key(args.seed)
     example = jnp.asarray(next(iter(train_loader)))
 
-    lr = effective_lr(args.blr, batch)
+    lr = effective_lr(args.blr, batch, args.accum_iter)
     sched = cosine_warmup_schedule(lr, args.min_lr, args.warmup_epochs, epochs, steps_per_epoch)
-    tx = build_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"])
+    tx = build_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"],
+                     accum_steps=args.accum_iter)
 
     # ---- build model family
     if args.model_family == "gm3d":
@@ -148,6 +152,23 @@ def main():
         feat_model = model
         tvars = None
 
+    # optional supervised probe (reference --classification)
+    probe_state = probe_step = None
+    if args.classification:
+        from gm3d_tpu.models import Classifier
+        from gm3d_tpu.train.pretrain import make_probe_step
+
+        feats0 = feat_model.apply(state.variables(), example[:2],
+                                  method=feat_model.encode_features)
+        classifier = Classifier(cls_dim=40, dtype=dtype)
+        cvars = classifier.init(
+            {"params": jax.random.key(5), "dropout": jax.random.key(6)},
+            feats0, deterministic=False,
+        )
+        probe_tx = build_adamw(1e-3)
+        probe_state = create_train_state(cvars, probe_tx)
+        probe_step = make_probe_step(feat_model, classifier, probe_tx)
+
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
     if args.resume:
         restored = restore_checkpoint(ckpt_dir, state)
@@ -169,6 +190,7 @@ def main():
             "w_mse": jnp.asarray(w_mse, jnp.float32),
             "w_cd": jnp.asarray(w_cd, jnp.float32),
         }
+        probe_iter = iter(svm_train) if probe_step is not None else None
         for it, pts in enumerate(train_loader):
             rng, key = jax.random.split(rng)
             pts = jnp.asarray(pts)
@@ -179,6 +201,17 @@ def main():
             else:
                 state, metrics = step_fn(state, pts, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
+            if probe_step is not None:
+                try:
+                    cls_pts, cls_labels = next(probe_iter)
+                except StopIteration:
+                    probe_iter = iter(svm_train)
+                    cls_pts, cls_labels = next(probe_iter)
+                rng, key = jax.random.split(rng)
+                probe_state, pmetrics = probe_step(
+                    probe_state, state.variables(), jnp.asarray(cls_pts),
+                    jnp.asarray(cls_labels), key)
+                meter.update(**{k: float(v) for k, v in pmetrics.items()})
         stats = meter.global_avgs()
         stats.update(epoch=epoch, time=round(time.time() - t0, 2),
                      lr=float(sched(int(state.step))))

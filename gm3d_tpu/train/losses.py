@@ -14,13 +14,19 @@ from gm3d_tpu.ops.chamfer import chamfer_group, chamfer_l1, chamfer_l2
 
 
 def pointmae_reconstruction_loss(rebuild: jax.Array, gt: jax.Array, loss_type: str = "cdl2"):
-    """Scalar Chamfer over all masked patches (``models/Point_MAE.py:423-426``;
-    loss type from config ``model.loss``)."""
+    """Scalar reconstruction loss over all masked patches
+    (``models/Point_MAE.py:423-426``; type from config ``model.loss``:
+    cdl1 / cdl2 / emd — emd existed only as an uninstalled extension in the
+    reference, SURVEY.md §2.3)."""
     batch, num_mask, group_size, _ = rebuild.shape
     a = rebuild.reshape(batch * num_mask, group_size, 3).astype(jnp.float32)
     b = gt.reshape(batch * num_mask, group_size, 3).astype(jnp.float32)
     if loss_type == "cdl1":
         return chamfer_l1(a, b)
+    if loss_type == "emd":
+        from gm3d_tpu.ops.emd import emd_loss
+
+        return jnp.mean(emd_loss(a, b))
     return chamfer_l2(a, b)
 
 

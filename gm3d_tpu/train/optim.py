@@ -20,10 +20,12 @@ def build_adamw(
     weight_decay: float = 0.05,
     betas=(0.9, 0.95),
     grad_clip: float | None = None,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW(betas=(0.9, 0.95), wd on >=2-d params only) as in
     ``main_pretrain.py:398``; optional global-norm clip (finetune configs set
-    ``grad_norm_clip: 10``)."""
+    ``grad_norm_clip: 10``) and gradient accumulation (``--accum_iter`` /
+    ``step_per_update``, SURVEY.md §2.4)."""
     tx = optax.adamw(
         learning_rate,
         b1=betas[0],
@@ -33,6 +35,8 @@ def build_adamw(
     )
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
 
 

@@ -351,6 +351,49 @@ def make_m2ae_train_step(
     return step
 
 
+def make_probe_step(feat_model, classifier, tx: optax.GradientTransformation):
+    """Optional supervised Classifier probe trained during pretraining
+    (``--classification``, ``engine_pretrain_Classifier_SVM.py:120-137``):
+    encoder features are extracted in eval mode and stop-gradiented — the
+    probe has its own optimizer and never influences the student."""
+    from gm3d_tpu.train import losses as _losses
+
+    @jax.jit
+    def step(probe_state: TrainState, feat_vars, pts, labels, rng):
+        feats = jax.lax.stop_gradient(
+            feat_model.apply(feat_vars, pts, method=feat_model.encode_features)
+        )
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if probe_state.batch_stats is not None:
+                variables["batch_stats"] = probe_state.batch_stats
+            logits, updates = classifier.apply(
+                variables,
+                feats,
+                deterministic=False,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            loss, acc = _losses.classification_loss(logits, labels)
+            return loss, (acc, updates)
+
+        (loss, (acc, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            probe_state.params
+        )
+        new_updates, opt_state = tx.update(grads, probe_state.opt_state, probe_state.params)
+        params = optax.apply_updates(probe_state.params, new_updates)
+        new_state = probe_state.replace(
+            step=probe_state.step + 1,
+            params=params,
+            batch_stats=updates.get("batch_stats", probe_state.batch_stats),
+            opt_state=opt_state,
+        )
+        return new_state, {"loss_cls": loss, "acc_cls": acc}
+
+    return step
+
+
 def make_m2ae_gm3d_train_step(
     model,
     tx: optax.GradientTransformation,
