@@ -108,16 +108,20 @@ class GM3DStudent(nn.Module):
         num_mask: int,
         shared_learnable_tokens: bool = False,
         deterministic: bool = True,
+        grouped=None,
     ):
         """Full student forward (``...feature_besed.py:1007-1059``).
 
         With ``num_mask == 0`` this is the EMA's unmasked pass: no mask tokens
         are appended, and ``loss_pred`` covers all groups in original order —
         exactly what ``generate_mask`` consumes.
+        ``grouped`` lets the train step share ONE FPS/KNN grouping across the
+        EMA, student and teacher passes (they all see the same cloud).
         Returns a dict mirroring the reference ``out`` keys.
         """
         batch = pts.shape[0]
-        grouped = self.group(pts)
+        if grouped is None:
+            grouped = self.group(pts)
         x_vis = self.MAE_encoder(
             grouped.neighborhood, grouped.center, mask, num_mask, deterministic
         )

@@ -129,13 +129,16 @@ class PointMAE(nn.Module):
         )
         return x_vis, grouped
 
-    def encode_features(self, pts, deterministic: bool = True):
+    def encode_features(self, pts, deterministic: bool = True, grouped=None):
         """noaug encoder-only forward over all groups (SVM feature path,
         ``main_pretrain.py:656``)."""
         batch = pts.shape[0]
         mask = jnp.zeros((batch, self.num_group), bool)
-        x_vis, _ = self.encode(pts, mask, 0, deterministic)
-        return x_vis
+        if grouped is None:
+            grouped = self.group(pts)
+        return self.MAE_encoder(
+            grouped.neighborhood, grouped.center, mask, 0, deterministic
+        )
 
     def __call__(self, pts, mask, num_mask: int, deterministic: bool = True):
         """Masked reconstruction forward (``models/Point_MAE.py:400-441``).

@@ -37,7 +37,7 @@ def make_pointmae_train_step(
     teacher's weights are produced (``tools/runner_pretrain.py:58-207``)."""
     num_mask = int(model.num_group * mask_ratio)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, pts: jax.Array, rng: jax.Array):
         r_aug, r_mask, r_drop, r_dp = jax.random.split(rng, 4)
         samples = scale_and_translate(r_aug, pts) if augment else pts
@@ -93,6 +93,7 @@ def gm3d_forward_distill(
     shared_learnable_tokens: bool,
     rngs: Optional[dict],
     mutable: bool,
+    grouped=None,
 ):
     """Student forward + frozen-teacher complete-to-partial replay.
 
@@ -112,18 +113,23 @@ def gm3d_forward_distill(
             deterministic=False,
             rngs=rngs,
             mutable=["batch_stats"],
+            grouped=grouped,
         )
     else:
         outs = student.apply(
-            student_vars, samples, mask, num_mask, shared_learnable_tokens, deterministic=True
+            student_vars, samples, mask, num_mask, shared_learnable_tokens,
+            deterministic=True, grouped=grouped,
         )
         updates = {}
 
     # frozen teacher: full-cloud features + decoder replay (all no-grad w.r.t.
     # teacher; the student-feature branch is explicitly stop-gradiented to
     # match the reference's torch.no_grad() around the whole distill block)
+    teacher_grouped = grouped if (
+        teacher.num_group == student.num_group and teacher.group_size == student.group_size
+    ) else None
     teacher_feats = teacher.apply(
-        teacher_vars, samples, method=teacher.encode_features
+        teacher_vars, samples, method=teacher.encode_features, grouped=teacher_grouped
     )  # (B, G, D)
     centers = outs["center"]
     point_target = teacher.apply(
@@ -167,7 +173,9 @@ def make_gm3d_train_step(
     num_mask = int(student.num_group * mask_ratio)
     use_distill = teacher is not None
 
-    @jax.jit
+    # donate the train state: params/opt/EMA buffers are updated in place,
+    # halving their HBM traffic per step
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(
         state: TrainState,
         teacher_params: Any,
@@ -179,6 +187,12 @@ def make_gm3d_train_step(
         samples = scale_and_translate(r_aug, pts) if augment else pts
         batch = samples.shape[0]
 
+        # ---- ONE deterministic grouping, shared by EMA / student / teacher
+        # (the reference recomputes identical FPS+KNN three times per step)
+        from gm3d_tpu.ops.group import group_points
+
+        grouped = group_points(samples, student.num_group, student.group_size)
+
         # ---- EMA forward on the unmasked cloud (eval mode, no grad)
         zeros_mask = jnp.zeros((batch, student.num_group), bool)
         outs_ema = student.apply(
@@ -188,6 +202,7 @@ def make_gm3d_train_step(
             0,
             shared_learnable_tokens,
             deterministic=True,
+            grouped=grouped,
         )
         # ---- geometric-complexity mask from EMA loss prediction
         mask = geometric_mask(
@@ -212,6 +227,7 @@ def make_gm3d_train_step(
                         shared_learnable_tokens,
                         rngs,
                         mutable=True,
+                        grouped=grouped,
                     )
                 )
                 loss_outs = losses.gm3d_feature_loss(
@@ -231,6 +247,7 @@ def make_gm3d_train_step(
                     deterministic=False,
                     rngs=rngs,
                     mutable=["batch_stats"],
+                    grouped=grouped,
                 )
                 rebuild_masked = outs["rebuild_points"][:, -num_mask:]
                 loss_outs = losses.gm3d_usual_loss(
@@ -314,7 +331,7 @@ def make_m2ae_train_step(
     coarse_groups = model.num_groups[-1]
     num_mask = int(coarse_groups * mask_ratio)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, pts: jax.Array, rng: jax.Array):
         r_aug, r_mask, r_drop, r_dp = jax.random.split(rng, 4)
         samples = scale_and_translate(r_aug, pts) if augment else pts
@@ -394,6 +411,36 @@ def make_probe_step(feat_model, classifier, tx: optax.GradientTransformation):
     return step
 
 
+def make_multi_step(step_fn, has_teacher: bool = True):
+    """Scan ``k`` train steps inside ONE dispatch.
+
+    Amortises host->device dispatch latency (the dominant cost under a remote
+    controller / tunnel, and non-trivial even locally): the per-step batches
+    are stacked on the leading axis and ``lax.scan`` chains the state on
+    device. Metrics are returned per step.
+
+    Usage:
+        multi = make_multi_step(step_fn)
+        state, metrics = multi(state, teacher_vars, stacked_pts (K,B,N,3),
+                               rngs (K,), scalars)
+    """
+    inner = getattr(step_fn, "__wrapped__", step_fn)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, teacher_vars, pts_stack, rngs, scalars):
+        def body(carry, xs):
+            pts, rng = xs
+            if has_teacher:
+                new_state, metrics = inner(carry, teacher_vars, pts, rng, scalars)
+            else:
+                new_state, metrics = inner(carry, pts, rng, scalars)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (pts_stack, rngs))
+
+    return multi
+
+
 def make_m2ae_gm3d_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -408,7 +455,7 @@ def make_m2ae_gm3d_train_step(
     coarse_groups = model.num_groups[-1]
     num_mask = int(coarse_groups * mask_ratio)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(
         state: TrainState,
         pts: jax.Array,

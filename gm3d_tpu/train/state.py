@@ -34,8 +34,12 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(
     variables: dict, tx: optax.GradientTransformation, with_ema: bool = False
 ) -> TrainState:
-    params = variables["params"]
+    # copy params/stats: train steps donate the state, which would otherwise
+    # delete the caller's `variables` buffers on first step
+    params = jax.tree.map(jnp.copy, variables["params"])
     batch_stats = variables.get("batch_stats")
+    if batch_stats is not None:
+        batch_stats = jax.tree.map(jnp.copy, batch_stats)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -96,6 +96,7 @@ class TestGM3DStep:
 
     def test_metrics_and_loss_decrease(self, setup):
         _, _, state, step, tvars, pts = setup
+        state = jax.tree.map(jnp.copy, state)  # step donates its input
         scalars = {
             "keep_ratio": jnp.asarray(0.5),
             "ema_decay": jnp.asarray(0.999),
@@ -120,13 +121,15 @@ class TestGM3DStep:
             "w_mse": jnp.asarray(1.0),
             "w_cd": jnp.asarray(1.0),
         }
+        # the step donates its input state: snapshot before stepping
+        p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+        state = jax.tree.map(jnp.copy, state)
         s1, _ = step(state, tvars, pts, jax.random.key(0), scalars)
         # EMA moved toward new params
-        p = jax.tree.leaves(s1.params)[0]
-        e = jax.tree.leaves(s1.ema_params)[0]
-        p0 = jax.tree.leaves(state.params)[0]
+        p = np.asarray(jax.tree.leaves(s1.params)[0])
+        e = np.asarray(jax.tree.leaves(s1.ema_params)[0])
         expect = 0.5 * p0 + 0.5 * p
-        np.testing.assert_allclose(np.asarray(e), np.asarray(expect), atol=1e-5)
+        np.testing.assert_allclose(e, expect, atol=1e-5)
 
     def test_usual_mode_no_teacher(self):
         student = GM3DStudent(mode="usual", **SMALL)
