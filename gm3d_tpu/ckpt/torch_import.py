@@ -183,6 +183,77 @@ def import_torch_checkpoint(
     return variables
 
 
+def export_torch_checkpoint(
+    variables: Dict[str, Any], table: Dict[str, Tuple[str, str]]
+) -> Dict[str, Any]:
+    """Inverse of :func:`import_torch_checkpoint`: flax variables -> a torch
+    state dict (numpy values) using the same mapping table, so checkpoints
+    trained here can be consumed by reference-style torch code."""
+    params = variables.get("params", {})
+    batch_stats = variables.get("batch_stats", {})
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(flatten(v, p))
+            else:
+                out[p] = np.asarray(v)
+        return out
+
+    flat_p = flatten(params)
+    flat_bs = flatten(batch_stats)
+
+    # invert the table: flax path -> (torch module path, kind)
+    inv = {}
+    for torch_path, (flax_path, kind) in table.items():
+        inv[flax_path] = (torch_path, kind)
+
+    def lookup(flax_path):
+        if flax_path in inv:
+            return inv[flax_path]
+        m = re.match(r"^(.*?)(\d+)(.*)$", flax_path)
+        # try block-index templates
+        for fp, (tp, kind) in [(fp, v) for fp, v in inv.items() if "{i}" in fp]:
+            mm = re.match("^" + re.escape(fp).replace(r"\{i\}", r"(\d+)") + "$", flax_path)
+            if mm:
+                return tp.replace("{i}", mm.group(1)), kind
+        del m
+        return None
+
+    sd: Dict[str, Any] = {}
+    for path, value in flat_p.items():
+        parts = path.rsplit("/", 1)
+        if len(parts) == 1 or parts[0] == "":
+            # top-level param3d tokens
+            sd[path] = value
+            continue
+        module, leaf = parts
+        hit = lookup(module)
+        if hit is None:
+            continue
+        torch_path, kind = hit
+        if leaf == "kernel":
+            w = value.T
+            if kind == "conv":
+                w = w[..., None]  # (out, in) -> (out, in, 1)
+            sd[f"{torch_path}.weight"] = np.ascontiguousarray(w)
+        elif leaf == "scale":
+            sd[f"{torch_path}.weight"] = value
+        elif leaf == "bias":
+            sd[f"{torch_path}.bias"] = value
+    for path, value in flat_bs.items():
+        module, leaf = path.rsplit("/", 1)
+        hit = lookup(module)
+        if hit is None:
+            continue
+        torch_path, _ = hit
+        name = "running_mean" if leaf == "mean" else "running_var"
+        sd[f"{torch_path}.{name}"] = value
+    return sd
+
+
 def load_torch_file(path: str) -> Dict[str, Any]:
     """Load a reference .pth and pull out the model weights, trying the known
     layouts in order (``base_model``, ``state_dict``, ``model``, raw)."""

@@ -60,6 +60,26 @@ def random_dropout(rng: jax.Array, pts: jax.Array, max_dropout: float = 0.875) -
     return jnp.where(drop[..., None], first, pts)
 
 
+def separate_point_cloud(
+    rng: jax.Array, pts: jax.Array, num_crop: int
+) -> tuple[jax.Array, jax.Array]:
+    """Crop generator (``utils/miscc.py:131-184`` seprate_point_cloud):
+    pick a random view direction per sample, remove the ``num_crop`` points
+    nearest to it, return (remaining-as-input, cropped). Static shapes: the
+    input keeps N - num_crop points.
+    """
+    batch, num_points, _ = pts.shape
+    direction = jax.random.normal(rng, (batch, 1, 3))
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    dist = jnp.sum((pts - direction) ** 2, axis=-1)  # (B, N)
+    order = jnp.argsort(dist, axis=-1)
+    crop_idx = order[:, :num_crop]
+    keep_idx = order[:, num_crop:]
+    crop = jnp.take_along_axis(pts, crop_idx[..., None], axis=1)
+    keep = jnp.take_along_axis(pts, keep_idx[..., None], axis=1)
+    return keep, crop
+
+
 def unit_sphere_normalize(pts: jax.Array) -> jax.Array:
     """Center at centroid, scale to unit sphere
     (``datasets/ShapeNet55Dataset.py:44-50`` pc_norm)."""

@@ -1,0 +1,143 @@
+"""Loss-formula oracle tests: the GM3D losses recomputed in raw numpy from
+the reference's formulas (``...feature_besed.py:976-1140``)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gm3d_tpu.train.losses import (
+    classification_loss,
+    gm3d_feature_loss,
+    mse_learning_loss,
+    relative_learning_loss,
+)
+
+
+class TestRelativeLearningLoss:
+    def numpy_reference(self, pred, target):
+        # reference forward_learning_loss, relative=True (:1120-1130)
+        pos = (target[:, :, None] > target[:, None, :]).astype(np.float64)
+        neg = (target[:, :, None] < target[:, None, :]).astype(np.float64)
+        diff = pred[:, :, None] - pred[:, None, :]
+        sig = 1 / (1 + np.exp(-diff))
+        loss = -pos * np.log(sig + 1e-6) - neg * np.log(1 - sig + 1e-6)
+        return loss.sum() / (pos + neg).sum()
+
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        pred = rng.standard_normal((3, 10)).astype(np.float32)
+        target = rng.standard_normal((3, 10)).astype(np.float32)
+        got = float(relative_learning_loss(jnp.asarray(pred), jnp.asarray(target)))
+        want = self.numpy_reference(pred.astype(np.float64), target.astype(np.float64))
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_perfect_ordering_low_loss(self):
+        target = np.arange(8.0)[None].astype(np.float32)
+        pred_good = target * 10.0
+        pred_bad = -pred_good
+        good = float(relative_learning_loss(jnp.asarray(pred_good), jnp.asarray(target)))
+        bad = float(relative_learning_loss(jnp.asarray(pred_bad), jnp.asarray(target)))
+        assert good < 0.01
+        assert bad > 5.0
+
+
+class TestMseLearningLoss:
+    def test_normalised_target(self):
+        rng = np.random.default_rng(1)
+        target = rng.standard_normal((2, 16)).astype(np.float32) * 5 + 3
+        mean = target.mean(1, keepdims=True)
+        var = target.var(1, keepdims=True)
+        normed = (target - mean) / np.sqrt(var + 1e-6)
+        got = float(mse_learning_loss(jnp.asarray(normed), jnp.asarray(target)))
+        assert got == pytest.approx(0.0, abs=1e-5)
+
+
+class TestFeatureLoss:
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(2)
+        B, G, M, S, D = 2, 8, 3, 4, 16
+        pred = rng.standard_normal((B, M, D)).astype(np.float32)
+        teacher = rng.standard_normal((B, G, D)).astype(np.float32)
+        mask_idx = np.stack([rng.choice(G, M, replace=False) for _ in range(B)]).astype(np.int32)
+        mask_idx.sort(axis=1)
+        pt = rng.standard_normal((B, G, S, 3)).astype(np.float32)
+        pr = rng.standard_normal((B, M, S, 3)).astype(np.float32)
+        out = gm3d_feature_loss(
+            jnp.asarray(pred), jnp.asarray(teacher), jnp.asarray(mask_idx),
+            jnp.asarray(pt), jnp.asarray(pr),
+        )
+        # numpy: normalized-MSE part (:983-985)
+        tsel = np.take_along_axis(teacher, mask_idx[..., None], 1)
+        pn = pred / np.linalg.norm(pred, axis=-1, keepdims=True)
+        tn = tsel / np.linalg.norm(tsel, axis=-1, keepdims=True)
+        mse = ((pn - tn) ** 2).sum(-1)
+        assert float(out["MSE_mean"]) == pytest.approx(float(mse.mean()), rel=1e-4)
+        # chamfer part: symmetric per-group mean of per-point squared NN dists
+        ptsel = np.take_along_axis(pt, mask_idx[..., None, None], 1)
+        cd = np.zeros((B, M))
+        for b in range(B):
+            for m in range(M):
+                d = ((pr[b, m][:, None] - ptsel[b, m][None]) ** 2).sum(-1)
+                cd[b, m] = d.min(1).mean() + d.min(0).mean()
+        assert float(out["Chamfer_mean"]) == pytest.approx(float(cd.mean()), rel=1e-3)
+        np.testing.assert_allclose(np.asarray(out["matrix"]), mse + cd, rtol=1e-3)
+
+
+class TestClassificationLoss:
+    def test_smoothing(self):
+        logits = jnp.asarray([[10.0, 0.0], [0.0, 10.0]])
+        labels = jnp.asarray([0, 1])
+        l0, acc = classification_loss(logits, labels, 0.0)
+        l_sm, _ = classification_loss(logits, labels, 0.3)
+        assert float(acc) == 100.0
+        assert float(l_sm) > float(l0)
+
+
+class TestSeparatePointCloud:
+    def test_crop_shapes(self):
+        import jax
+
+        from gm3d_tpu.data.transforms import separate_point_cloud
+
+        pts = jnp.asarray(np.random.default_rng(0).standard_normal((2, 100, 3)).astype(np.float32))
+        keep, crop = separate_point_cloud(jax.random.key(0), pts, 30)
+        assert keep.shape == (2, 70, 3)
+        assert crop.shape == (2, 30, 3)
+
+
+class TestTorchExport:
+    def test_roundtrip(self):
+        import jax
+
+        from gm3d_tpu.ckpt.torch_import import (
+            POINT_TRANSFORMER_MAP,
+            export_torch_checkpoint,
+            import_torch_checkpoint,
+        )
+        from gm3d_tpu.models import PointTransformer
+
+        model = PointTransformer(trans_dim=48, depth=2, num_heads=2, cls_dim=5,
+                                 group_size=8, num_group=16, encoder_dims=48)
+        variables = model.init(jax.random.key(0), jnp.zeros((2, 64, 3)))
+        sd = export_torch_checkpoint(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            POINT_TRANSFORMER_MAP,
+        )
+        back = import_torch_checkpoint(sd, POINT_TRANSFORMER_MAP)
+        assert back["_unmatched"] == []
+        leaf_a = variables["params"]["blocks"]["block0"]["attn"]["qkv"]["kernel"]
+        leaf_b = back["params"]["blocks"]["block0"]["attn"]["qkv"]["kernel"]
+        np.testing.assert_allclose(np.asarray(leaf_a), leaf_b, rtol=1e-6)
+
+
+class TestLinearProbe:
+    def test_separable_features(self):
+        from gm3d_tpu.eval.linear_probe import linear_probe
+
+        rng = np.random.default_rng(0)
+        f_tr = np.concatenate([rng.normal(0, .2, (60, 16)), rng.normal(2, .2, (60, 16))]).astype(np.float32)
+        l_tr = np.array([0] * 60 + [1] * 60)
+        f_te = np.concatenate([rng.normal(0, .2, (20, 16)), rng.normal(2, .2, (20, 16))]).astype(np.float32)
+        l_te = np.array([0] * 20 + [1] * 20)
+        acc = linear_probe(f_tr, l_tr, f_te, l_te, epochs=20)
+        assert acc > 0.95
