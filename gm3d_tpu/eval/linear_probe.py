@@ -33,7 +33,7 @@ def linear_probe(
     num_classes: int | None = None,
     epochs: int = 90,
     batch_size: int = 256,
-    base_lr: float = 0.1,
+    base_lr: float = 6.4,  # MAE linprob: blr 0.1 * eff_batch 16384 / 256
     seed: int = 0,
 ) -> float:
     """Fit logits = W.pooled_features with LARS + cosine schedule; returns
