@@ -140,5 +140,5 @@ class TestLinearProbe:
         f_te = np.concatenate([rng.normal(0, .2, (20, 16)), rng.normal(2, .2, (20, 16))]).astype(np.float32)
         l_te = np.array([0] * 20 + [1] * 20)
         # 120 samples -> 1 step/epoch; give LARS enough steps to converge
-        acc = linear_probe(f_tr, l_tr, f_te, l_te, epochs=200)
+        acc = linear_probe(f_tr, l_tr, f_te, l_te, epochs=500)
         assert acc > 0.95
