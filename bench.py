@@ -33,7 +33,19 @@ TIMED_DISPATCHES = 3
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: first-compile over the TPU tunnel can take
+    # minutes; subsequent bench runs hit the cache
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gm3d_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from gm3d_tpu.models import GM3DStudent, PointMAE

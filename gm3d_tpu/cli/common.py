@@ -30,7 +30,21 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache — first compiles over a TPU tunnel can
+    take minutes; every CLI enables this."""
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gm3d_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def load_config(args):
+    enable_compile_cache()
     cfg = cfg_from_yaml_file(args.config)
     if args.epochs is not None:
         cfg["max_epoch"] = args.epochs
