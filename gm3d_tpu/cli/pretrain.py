@@ -68,6 +68,9 @@ def parse_args():
     p.add_argument("--warmup_epochs", type=int, default=40)
     p.add_argument("--min_lr", type=float, default=0.0)
     p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="scan this many train steps inside one device dispatch "
+                        "(amortises controller latency; gm3d/m2ae_gm3d families)")
     p.add_argument("--classification", action="store_true",
                    help="train a supervised Classifier probe alongside (reference --classification)")
     return p.parse_args()
@@ -191,10 +194,31 @@ def main():
             "w_cd": jnp.asarray(w_cd, jnp.float32),
         }
         probe_iter = iter(svm_train) if probe_step is not None else None
+        k_dispatch = args.steps_per_dispatch
+        use_multi = k_dispatch > 1 and args.model_family in ("gm3d", "m2ae_gm3d")
+        if use_multi and not hasattr(main, "_multi_cache"):
+            from gm3d_tpu.train.pretrain import make_multi_step
+
+            main._multi_cache = make_multi_step(
+                step_fn, has_teacher=args.model_family == "gm3d"
+            )
+        pending = []
         for it, pts in enumerate(train_loader):
             rng, key = jax.random.split(rng)
             pts = jnp.asarray(pts)
-            if args.model_family == "gm3d":
+            if use_multi:
+                pending.append((pts, key))
+                if len(pending) < k_dispatch:
+                    continue
+                stack = jnp.stack([p for p, _ in pending])
+                keys = jnp.stack([k for _, k in pending])
+                pending = []
+                if args.model_family == "gm3d":
+                    state, mstack = main._multi_cache(state, tvars, stack, keys, scalars)
+                else:
+                    state, mstack = main._multi_cache(state, None, stack, keys, scalars)
+                metrics = {k: v[-1] for k, v in mstack.items()}
+            elif args.model_family == "gm3d":
                 state, metrics = step_fn(state, tvars, pts, key, scalars)
             elif args.model_family == "m2ae_gm3d":
                 state, metrics = step_fn(state, pts, key, scalars)
