@@ -22,6 +22,14 @@ from flax import linen as nn
 
 Dtype = jnp.dtype
 
+# reference init: trunc_normal(std=0.02) for Linear/Conv weights, zero bias
+# (``models/Point_MAE.py:255-266`` _init_weights)
+KINIT = nn.initializers.truncated_normal(0.02)
+
+
+def _dense(features, dtype, name=None, use_bias=True):
+    return nn.Dense(features, dtype=dtype, name=name, use_bias=use_bias, kernel_init=KINIT)
+
 
 def drop_path(
     x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]
@@ -45,10 +53,10 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.hidden_dim, self.dtype, "fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = _dense(self.dim, self.dtype, "fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -71,7 +79,7 @@ class Attention(nn.Module):
         batch, seq, _ = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = _dense(self.dim * 3, self.dtype, "qkv", use_bias=self.qkv_bias)(x)
         qkv = qkv.reshape(batch, seq, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
@@ -82,7 +90,7 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(batch, seq, self.dim)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = _dense(self.dim, self.dtype, "proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -187,20 +195,20 @@ class PatchEncoder(nn.Module):
     def __call__(self, point_groups, deterministic: bool = True):
         # point_groups: (B, G, S, 3)
         x = point_groups.astype(self.dtype)
-        x = nn.Dense(128, dtype=self.dtype, name="conv1")(x)
+        x = _dense(128, self.dtype, "conv1")(x)
         x = nn.BatchNorm(
             use_running_average=deterministic, momentum=0.9, dtype=self.dtype, name="bn1"
         )(x)
         x = nn.relu(x)
-        x = nn.Dense(256, dtype=self.dtype, name="conv2")(x)  # (B, G, S, 256)
+        x = _dense(256, self.dtype, "conv2")(x)  # (B, G, S, 256)
         g = jnp.max(x, axis=-2, keepdims=True)  # (B, G, 1, 256)
         x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (B, G, S, 512)
-        x = nn.Dense(512, dtype=self.dtype, name="conv3")(x)
+        x = _dense(512, self.dtype, "conv3")(x)
         x = nn.BatchNorm(
             use_running_average=deterministic, momentum=0.9, dtype=self.dtype, name="bn2"
         )(x)
         x = nn.relu(x)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv4")(x)
+        x = _dense(self.out_dim, self.dtype, "conv4")(x)
         return jnp.max(x, axis=-2)  # (B, G, out_dim)
 
 
@@ -213,6 +221,6 @@ class PosEmbedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, centers):
-        x = nn.Dense(128, dtype=self.dtype, name="fc1")(centers.astype(self.dtype))
+        x = _dense(128, self.dtype, "fc1")(centers.astype(self.dtype))
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return _dense(self.dim, self.dtype, "fc2")(x)
