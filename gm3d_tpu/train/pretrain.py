@@ -156,6 +156,7 @@ def make_gm3d_train_step(
     shared_learnable_tokens: bool = False,
     relative: bool = True,
     augment: bool = True,
+    distill_mode: str = "dino",
 ):
     """The GM3D core path (SURVEY.md §3.1) as one jit:
 
@@ -169,9 +170,15 @@ def make_gm3d_train_step(
 
     ``scalars`` carries the epoch-dependent knobs (ema_decay, keep_ratio,
     w_mse, w_cd) as traced values so no recompilation happens across epochs.
+
+    ``distill_mode``: 'dino' = frozen Point-MAE teacher (reference default
+    ``--learn_feature_loss dino``); 'ema' = feature targets from the EMA's
+    unmasked features (``engine_pretrain_Classifier_SVM.py:148-149``), no
+    teacher replay; 'none' = usual-mode Chamfer only.
     """
     num_mask = int(student.num_group * mask_ratio)
-    use_distill = teacher is not None
+    use_distill = teacher is not None and distill_mode == "dino"
+    use_ema_feats = distill_mode == "ema"
 
     # donate the train state: params/opt/EMA buffers are updated in place,
     # halving their HBM traffic per step
@@ -249,10 +256,28 @@ def make_gm3d_train_step(
                     mutable=["batch_stats"],
                     grouped=grouped,
                 )
-                rebuild_masked = outs["rebuild_points"][:, -num_mask:]
-                loss_outs = losses.gm3d_usual_loss(
-                    rebuild_masked, outs["neighborhood"], outs["mask_idx"]
-                )
+                if use_ema_feats:
+                    # feature targets from the EMA's unmasked pass: normalized
+                    # feature MSE at masked slots, no point-space replay
+                    pred_masked = outs["pix_pred"][:, -num_mask:]
+                    target = take_groups(
+                        jax.lax.stop_gradient(outs_ema["features"]), outs["mask_idx"]
+                    )
+                    pn = pred_masked.astype(jnp.float32)
+                    pn = pn / jnp.maximum(jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-12)
+                    tn = target.astype(jnp.float32)
+                    tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-12)
+                    mse = jnp.sum((pn - tn) ** 2, axis=-1)
+                    loss_outs = {
+                        "MSE_mean": jnp.mean(mse),
+                        "Chamfer_mean": jnp.zeros(()),
+                        "matrix": mse,
+                    }
+                else:
+                    rebuild_masked = outs["rebuild_points"][:, -num_mask:]
+                    loss_outs = losses.gm3d_usual_loss(
+                        rebuild_masked, outs["neighborhood"], outs["mask_idx"]
+                    )
 
             loss = (
                 scalars["w_mse"] * loss_outs["MSE_mean"]
