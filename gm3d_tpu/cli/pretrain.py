@@ -58,6 +58,9 @@ def parse_args():
                    help="teacher .pth (reference pretrain_PMAE.pth) — random teacher if absent")
     p.add_argument("--teacher_config", default=None,
                    help="teacher YAML (defaults to config_m.yaml beside --config)")
+    p.add_argument("--learn_feature_loss", choices=["dino", "ema", "none"], default="dino",
+                   help="dino = frozen Point-MAE teacher distillation (default); "
+                        "ema = EMA feature targets; none = Chamfer-only (usual mode)")
     p.add_argument("--no_learning_loss", action="store_true")
     p.add_argument("--relative", action="store_true", default=True)
     p.add_argument("--shared_learnable_tokens", action="store_true")
@@ -107,23 +110,30 @@ def main():
 
     # ---- build model family
     if args.model_family == "gm3d":
-        student = GM3DStudent(mode=args.mode, dtype=dtype)
+        mode = args.mode if args.learn_feature_loss == "dino" else (
+            "usual" if args.learn_feature_loss == "none" else args.mode
+        )
+        student = GM3DStudent(mode=mode, dtype=dtype)
         num_mask = int(student.num_group * args.mask_ratio)
         mask0 = jnp.zeros((2, student.num_group), bool).at[:, :num_mask].set(True)
         svars = student.init(jax.random.key(1), example[:2], mask0, num_mask)
-        teacher = build_teacher(args, cfg, dtype)
-        if args.dino_path:
-            sd = load_torch_file(args.dino_path)
-            imported = import_torch_checkpoint(sd, POINT_MAE_MAP)
-            unmatched = imported.pop("_unmatched")
-            logger.info(f"teacher import: {len(unmatched)} unmatched keys")
-            tvars = imported
-        else:
-            tvars = teacher.init(jax.random.key(2), example[:2], mask0, num_mask)
-            logger.warning("no --dino_path: teacher is randomly initialised")
+        teacher = None
+        tvars = None
+        if args.learn_feature_loss == "dino":
+            teacher = build_teacher(args, cfg, dtype)
+            if args.dino_path:
+                sd = load_torch_file(args.dino_path)
+                imported = import_torch_checkpoint(sd, POINT_MAE_MAP)
+                unmatched = imported.pop("_unmatched")
+                logger.info(f"teacher import: {len(unmatched)} unmatched keys")
+                tvars = imported
+            else:
+                tvars = teacher.init(jax.random.key(2), example[:2], mask0, num_mask)
+                logger.warning("no --dino_path: teacher is randomly initialised")
         state = create_train_state(svars, tx, with_ema=True)
         step_fn = make_gm3d_train_step(
-            student, teacher, tx, args.mask_ratio, args.shared_learnable_tokens, args.relative
+            student, teacher, tx, args.mask_ratio, args.shared_learnable_tokens,
+            args.relative, distill_mode=args.learn_feature_loss,
         )
         feat_model = student
     elif args.model_family == "pointmae":
