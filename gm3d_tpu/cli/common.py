@@ -27,6 +27,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="use synthetic clouds instead of on-disk datasets")
     p.add_argument("--synthetic_samples", type=int, default=512)
     p.add_argument("--bf16", action="store_true", help="bf16 compute dtype")
+    p.add_argument("--native_loader", action="store_true",
+                   help="use the C++ threaded cloud loader for ShapeNet-style "
+                        ".npy datasets (gm3d_tpu/native)")
+    p.add_argument("--num_workers", type=int, default=4)
     return p
 
 
@@ -73,6 +77,18 @@ def make_loaders(cfg, args, labelled_for_svm: bool = True):
         train_ds = build_dataset_from_cfg(cfg["dataset"]["train"])
         svm_tr = build_dataset_from_cfg(cfg["dataset"]["extra_train_svm"])
         svm_te = build_dataset_from_cfg(cfg["dataset"]["extra_test_svm"])
+    if getattr(args, "native_loader", False) and not args.synthetic:
+        from gm3d_tpu.native import NativeCloudLoader, native_available
+
+        if native_available() and hasattr(train_ds, "file_list"):
+            paths = [
+                os.path.join(train_ds.pc_path, f) for _, _, f in train_ds.file_list
+            ]
+            native = NativeCloudLoader(paths, npoints, bs,
+                                       num_workers=args.num_workers, seed=args.seed)
+            svm_train = _labelled(DataLoader(svm_tr, bs * 2, shuffle=False, drop_last=False))
+            svm_test = _labelled(DataLoader(svm_te, bs * 2, shuffle=False, drop_last=False))
+            return native, svm_train, svm_test
     train_loader = _points_only(DataLoader(train_ds, bs, seed=args.seed))
     # reference doubles the SVM loader batch (main_pretrain.py:262-263)
     svm_train = _labelled(DataLoader(svm_tr, bs * 2, shuffle=False, drop_last=False))

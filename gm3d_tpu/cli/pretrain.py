@@ -93,6 +93,9 @@ def main():
     cfg = load_config(args)
     logger = get_logger("gm3d", os.path.join(args.output_dir, "pretrain.log"))
     jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    from gm3d_tpu.utils.logging import ScalarWriter
+
+    tb = ScalarWriter(os.path.join(args.output_dir, "tfboard"))
     dtype = compute_dtype(args)
 
     epochs = cfg["max_epoch"]
@@ -265,6 +268,16 @@ def main():
         logger.info(f"epoch {epoch}: " + " ".join(f"{k}={v:.5g}" for k, v in stats.items()
                                                   if isinstance(v, (int, float))))
         jsonl.write(stats)
+        # TensorBoard scalars (reference tags, engine_pretrain...:306-315)
+        tb.add_scalar("train_loss", stats.get("loss", 0.0), epoch)
+        tb.add_scalar("train_loss_MSE", stats.get("loss_mse", 0.0), epoch)
+        tb.add_scalar("train_loss_Chfr", stats.get("loss_chfr", 0.0), epoch)
+        tb.add_scalar("train_loss_learn", stats.get("loss_learn", 0.0), epoch)
+        tb.add_scalar("lr", stats.get("lr", 0.0), epoch)
+        tb.add_scalar("grad_norm", stats.get("grad_norm", 0.0), epoch)
+        if "val_svm_acc" in stats:
+            tb.add_scalar("Metric/ACC", stats["val_svm_acc"], epoch)
+        tb.flush()
 
     save_checkpoint(ckpt_dir, state, int(state.step))
     logger.info(f"done; best svm acc {best_acc:.4f}")
