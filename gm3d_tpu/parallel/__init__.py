@@ -13,5 +13,15 @@ from gm3d_tpu.parallel.mesh import (
     shard_batch,
     replicate_tree,
 )
+from gm3d_tpu.parallel.multihost import init_distributed, is_main_process, gather_features
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "replicate_tree"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate_tree",
+    "init_distributed",
+    "is_main_process",
+    "gather_features",
+]

@@ -1,0 +1,180 @@
+"""Dataset-reader tests against generated on-disk fixtures that mirror the
+real benchmark layouts (SURVEY.md §2.5)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from gm3d_tpu.config.registry import DATASETS
+from gm3d_tpu.data.datasets import build_dataset_from_cfg
+
+
+def make_cfg(base, others):
+    return {"_base_": base, "others": others}
+
+
+class TestShapeNet55:
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("shapenet")
+        data = d / "ShapeNet-55"
+        pc = d / "shapenet_pc"
+        data.mkdir()
+        pc.mkdir()
+        rng = np.random.default_rng(0)
+        lines = []
+        for i in range(6):
+            name = f"0{i}234567-deadbeef{i}.npy"
+            np.save(pc / name, rng.standard_normal((500, 3)).astype(np.float32))
+            lines.append(name)
+        (data / "train.txt").write_text("\n".join(lines[:4]))
+        (data / "test.txt").write_text("\n".join(lines[4:]))
+        return str(data), str(pc)
+
+    def test_reads_and_normalises(self, root):
+        data, pc = root
+        ds = build_dataset_from_cfg(make_cfg(
+            {"NAME": "ShapeNet", "DATA_PATH": data, "PC_PATH": pc, "N_POINTS": 8192},
+            {"subset": "train", "npoints": 128},
+        ))
+        assert len(ds) == 4
+        tax, model, pts = ds[0]
+        assert pts.shape == (128, 3)
+        assert np.linalg.norm(pts, axis=1).max() == pytest.approx(1.0, rel=1e-4)
+
+    def test_whole_merges_test(self, root):
+        data, pc = root
+        ds = build_dataset_from_cfg(make_cfg(
+            {"NAME": "ShapeNet", "DATA_PATH": data, "PC_PATH": pc, "N_POINTS": 8192},
+            {"subset": "train", "npoints": 64, "whole": True},
+        ))
+        assert len(ds) == 6
+
+
+class TestModelNet:
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("modelnet")
+        rng = np.random.default_rng(1)
+        cats = ["airplane", "bed"]
+        (d / "modelnet40_shape_names.txt").write_text("\n".join(cats))
+        train_ids, test_ids = [], []
+        for ci, cat in enumerate(cats):
+            (d / cat).mkdir()
+            for j in range(3):
+                sid = f"{cat}_{j:04d}"
+                pts = rng.standard_normal((300, 6)).astype(np.float32)
+                np.savetxt(d / cat / f"{sid}.txt", pts, delimiter=",")
+                (train_ids if j < 2 else test_ids).append(sid)
+        (d / "modelnet40_train.txt").write_text("\n".join(train_ids))
+        (d / "modelnet40_test.txt").write_text("\n".join(test_ids))
+        return str(d)
+
+    def test_reads_with_fps_cache(self, root):
+        ds = build_dataset_from_cfg(make_cfg(
+            {"NAME": "ModelNet", "DATA_PATH": root, "N_POINTS": 8192,
+             "NUM_CATEGORY": 40, "USE_NORMALS": False},
+            {"subset": "train", "npoints": 64},
+        ))
+        assert len(ds) == 4
+        _, _, (pts, label) = ds[0]
+        assert pts.shape == (64, 3)
+        assert label in (0, 1)
+        # cache file created (one-time CPU FPS, ModelNetDataset.py:82-112)
+        assert os.path.exists(os.path.join(root, "modelnet40_train_8192pts_fps.dat"))
+        # second construction hits the cache
+        ds2 = build_dataset_from_cfg(make_cfg(
+            {"NAME": "ModelNet", "DATA_PATH": root, "N_POINTS": 8192,
+             "NUM_CATEGORY": 40, "USE_NORMALS": False},
+            {"subset": "train", "npoints": 64},
+        ))
+        assert len(ds2) == 4
+
+
+class TestScanObjectNN:
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory):
+        import h5py
+
+        d = tmp_path_factory.mktemp("scanobj")
+        rng = np.random.default_rng(2)
+        for split in ("training", "test"):
+            for variant in ("objectdataset", "objectdataset_augmentedrot_scale75"):
+                with h5py.File(d / f"{split}_{variant}.h5", "w") as f:
+                    f["data"] = rng.standard_normal((5, 2048, 3)).astype(np.float32)
+                    f["label"] = rng.integers(0, 15, 5)
+        return str(d)
+
+    def test_both_variants(self, root):
+        for name in ("ScanObjectNN", "ScanObjectNN_hardest"):
+            ds = build_dataset_from_cfg(make_cfg(
+                {"NAME": name, "ROOT": root}, {"subset": "train"},
+            ))
+            assert len(ds) == 5
+            _, _, (pts, label) = ds[0]
+            assert pts.shape == (2048, 3)
+            assert 0 <= label < 15
+
+
+class TestFewShot:
+    def test_pickle_folds(self, tmp_path):
+        rng = np.random.default_rng(3)
+        fold_dir = tmp_path / "5way_10shot"
+        fold_dir.mkdir()
+        items = [(rng.standard_normal((128, 6)).astype(np.float32), i % 5, i) for i in range(50)]
+        with open(fold_dir / "0.pkl", "wb") as f:
+            pickle.dump({"train": items, "test": items[:10]}, f)
+        ds = build_dataset_from_cfg(make_cfg(
+            {"NAME": "ModelNetFewShot", "DATA_PATH": str(tmp_path), "N_POINTS": 8192},
+            {"subset": "train", "way": 5, "shot": 10, "fold": 0},
+        ))
+        assert len(ds) == 50
+        _, _, (pts, label) = ds[0]
+        assert pts.shape == (128, 3)
+
+    def test_generator_roundtrip(self, tmp_path):
+        from gm3d_tpu.data.fewshot_gen import generate_few_shot_folds
+
+        rng = np.random.default_rng(4)
+        pts = rng.standard_normal((200, 64, 3)).astype(np.float32)
+        labels = rng.integers(0, 10, 200)
+        generate_few_shot_folds(pts, labels, pts, labels, str(tmp_path),
+                                ways=(5,), shots=(3,), folds=2)
+        with open(tmp_path / "5way_3shot" / "0.pkl", "rb") as f:
+            fold = pickle.load(f)
+        assert len(fold["train"]) == 15  # 5 ways x 3 shots
+        new_labels = {lbl for _, lbl, _ in fold["train"]}
+        assert new_labels == set(range(5))
+
+
+class TestShapeNetPart:
+    def test_reads_segmentation(self, tmp_path):
+        import json
+
+        rng = np.random.default_rng(5)
+        synset = "02691156"
+        (tmp_path / synset).mkdir()
+        (tmp_path / "synsetoffset2category.txt").write_text(f"Airplane\t{synset}\n")
+        split_dir = tmp_path / "train_test_split"
+        split_dir.mkdir()
+        files = []
+        for i in range(3):
+            token = f"tok{i}"
+            data = np.concatenate([
+                rng.standard_normal((400, 6)).astype(np.float32),
+                rng.integers(0, 4, (400, 1)).astype(np.float32),
+            ], axis=1)
+            np.savetxt(tmp_path / synset / f"{token}.txt", data)
+            files.append(f"shape_data/{synset}/{token}")
+        (split_dir / "shuffled_train_file_list.json").write_text(json.dumps(files))
+        ds = build_dataset_from_cfg(make_cfg(
+            {"NAME": "ShapeNetPart", "DATA_PATH": str(tmp_path), "USE_NORMALS": False},
+            {"subset": "train", "npoints": 256},
+        ))
+        assert len(ds) == 3
+        name, _, (pts, cls_id, seg) = ds[0]
+        assert name == "Airplane"
+        assert pts.shape == (256, 3)
+        assert seg.shape == (256,)
