@@ -6,13 +6,24 @@ the importer maps published reference checkpoints (teacher ``pretrain_PMAE.pth``
 and fine-tune ckpts) 1:1 onto the flax trees.
 """
 
-from gm3d_tpu.ckpt.checkpoint import save_checkpoint, restore_checkpoint, latest_step
-from gm3d_tpu.ckpt.torch_import import import_torch_checkpoint, torch_key_to_flax
+from gm3d_tpu.ckpt.checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+    restore_raw,
+    latest_step,
+)
+from gm3d_tpu.ckpt.torch_import import (
+    export_torch_checkpoint,
+    import_torch_checkpoint,
+    torch_key_to_flax,
+)
 
 __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
+    "restore_raw",
     "latest_step",
+    "export_torch_checkpoint",
     "import_torch_checkpoint",
     "torch_key_to_flax",
 ]

@@ -36,6 +36,23 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return step
 
 
+def restore_raw(ckpt_dir: str, step: Optional[int] = None) -> Optional[dict]:
+    """Restore the checkpoint as a raw pytree (no target structure needed) —
+    for weights-only loads where the optimizer tree differs (e.g. loading a
+    teacher's params into a differently-scheduled state)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None
+    restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    mgr.close()
+    return restored
+
+
 def restore_checkpoint(ckpt_dir: str, target: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure of ``target`` (auto-resume from the latest
     step, the reference's resume-from-last behaviour,

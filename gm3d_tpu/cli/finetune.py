@@ -113,13 +113,24 @@ def main():
     state = create_train_state(variables, tx)
 
     if args.pretrained and not args.torch_ckpt:
-        restored = restore_checkpoint(args.pretrained, state)
-        if restored is not None:
-            # reuse only encoder-compatible params from the pretrain state
-            state = state.replace(params=jax.tree.map(
-                lambda new, old: old if old.shape == new.shape else new,
-                state.params, restored.params))
-            logger.info("loaded orbax pretrain state (shape-matched overlay)")
+        from gm3d_tpu.ckpt import restore_raw
+
+        raw = restore_raw(args.pretrained)
+        if raw is not None:
+            # overlay encoder-compatible params (name+shape matched), the
+            # strict=False surgery of main_finetune.py:297-324
+            def overlay(dst, src):
+                for k, v in src.items():
+                    if isinstance(v, dict):
+                        if isinstance(dst.get(k), dict):
+                            overlay(dst[k], v)
+                    elif k in dst and np.asarray(dst[k]).shape == np.asarray(v).shape:
+                        dst[k] = jnp.asarray(v)
+
+            params = jax.tree.map(lambda x: x, state.params)  # shallow copy tree
+            overlay(params, raw["params"])
+            state = state.replace(params=params)
+            logger.info("loaded orbax pretrain params (shape-matched overlay)")
 
     step_fn = make_finetune_train_step(model, tx, npoints, args.smoothing)
     eval_step = make_eval_step(model, npoints)

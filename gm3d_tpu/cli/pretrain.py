@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("--mask_ratio", type=float, default=0.6)
     p.add_argument("--dino_path", default=None,
                    help="teacher .pth (reference pretrain_PMAE.pth) — random teacher if absent")
+    p.add_argument("--teacher_ckpt", default=None,
+                   help="orbax ckpt dir from an in-framework teacher pretrain "
+                        "(--model_family pointmae run)")
     p.add_argument("--teacher_config", default=None,
                    help="teacher YAML (defaults to config_m.yaml beside --config)")
     p.add_argument("--learn_feature_loss", choices=["dino", "ema", "none"], default="dino",
@@ -130,9 +133,19 @@ def main():
                 unmatched = imported.pop("_unmatched")
                 logger.info(f"teacher import: {len(unmatched)} unmatched keys")
                 tvars = imported
+            elif args.teacher_ckpt:
+                from gm3d_tpu.ckpt import restore_raw
+
+                raw = restore_raw(args.teacher_ckpt)
+                if raw is None:
+                    raise FileNotFoundError(f"no teacher ckpt at {args.teacher_ckpt}")
+                tvars = {"params": raw["params"]}
+                if raw.get("batch_stats") is not None:
+                    tvars["batch_stats"] = raw["batch_stats"]
+                logger.info(f"teacher loaded from orbax step {int(raw['step'])}")
             else:
                 tvars = teacher.init(jax.random.key(2), example[:2], mask0, num_mask)
-                logger.warning("no --dino_path: teacher is randomly initialised")
+                logger.warning("no teacher weights given: teacher is randomly initialised")
         state = create_train_state(svars, tx, with_ema=True)
         step_fn = make_gm3d_train_step(
             student, teacher, tx, args.mask_ratio, args.shared_learnable_tokens,
