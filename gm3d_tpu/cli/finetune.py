@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gm3d_tpu.ckpt import restore_checkpoint, save_checkpoint
+from gm3d_tpu.ckpt import save_checkpoint
 from gm3d_tpu.ckpt.torch_import import (
     POINT_TRANSFORMER_MAP,
     import_torch_checkpoint,

@@ -17,7 +17,7 @@ import numpy as np
 from gm3d_tpu.ckpt import restore_checkpoint
 from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config
 from gm3d_tpu.config import build_model_from_cfg
-from gm3d_tpu.data.datasets import DataLoader, SyntheticClouds, build_dataset_from_cfg
+from gm3d_tpu.data.datasets import SyntheticClouds, build_dataset_from_cfg
 from gm3d_tpu.eval.visualize import dump_loss_heatmap, dump_reconstruction
 from gm3d_tpu.masking import random_mask
 from gm3d_tpu.models import GM3DStudent

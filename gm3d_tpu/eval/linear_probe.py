@@ -4,7 +4,6 @@ single linear layer on frozen pooled encoder features."""
 
 from __future__ import annotations
 
-from typing import Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ whole pipeline (including FPS and subsampling) runs inside the jit.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
