@@ -40,6 +40,9 @@ def build_adamw(
     return tx
 
 
+import re as _re
+
+
 def layerwise_lr_decay_scales(
     params: Any, depth: int = 12, decay: float = 0.75
 ) -> Any:
@@ -47,10 +50,37 @@ def layerwise_lr_decay_scales(
 
     Layer id: patch embed / tokens / pos embeds -> 0; encoder block i -> i+1;
     everything else (norm, head) -> depth+1. scale = decay**(depth+1-layer).
+
+    Handles both flat encoders (``blocks/block{i}``, PointTransformer) and the
+    hierarchical M2AE encoder (``stage{s}/block{i}``) by assigning cumulative
+    block indices across stages.
     """
-    num_layers = depth + 1
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    paths = [path_str(kp) for kp, _ in flat]
+
+    # cumulative block offset per hierarchical stage (stage0 first)
+    stage_blocks = {}
+    for p in paths:
+        m = _re.search(r"stage(\d+)/block(\d+)", p)
+        if m:
+            s, i = int(m.group(1)), int(m.group(2))
+            stage_blocks[s] = max(stage_blocks.get(s, 0), i + 1)
+    stage_offset = {}
+    acc = 0
+    for s in sorted(stage_blocks):
+        stage_offset[s] = acc
+        acc += stage_blocks[s]
+    total_blocks = acc if acc else depth
+    num_layers = max(total_blocks, 1) + 1
 
     def layer_id(path: str) -> int:
+        m = _re.search(r"stage(\d+)/block(\d+)", path)
+        if m:
+            return stage_offset[int(m.group(1))] + int(m.group(2)) + 1
         if "blocks/block" in path:
             i = int(path.split("blocks/block")[1].split("/")[0])
             return i + 1
@@ -59,12 +89,7 @@ def layerwise_lr_decay_scales(
             return 0
         return num_layers
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def path_str(kp):
-        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-
-    scales = {path_str(kp): decay ** (num_layers - layer_id(path_str(kp))) for kp, _ in flat}
+    scales = {p: decay ** (num_layers - layer_id(p)) for p in paths}
 
     def to_scale(kp, _):
         return scales[path_str(kp)]

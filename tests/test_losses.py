@@ -142,3 +142,43 @@ class TestLinearProbe:
         # 120 samples -> 1 step/epoch; give LARS enough steps to converge
         acc = linear_probe(f_tr, l_tr, f_te, l_te, epochs=500)
         assert acc > 0.95
+
+
+class TestLayerDecay:
+    def test_flat_encoder_scales(self):
+        import jax
+
+        from gm3d_tpu.models import PointTransformer
+        from gm3d_tpu.train.optim import layerwise_lr_decay_scales
+
+        model = PointTransformer(trans_dim=48, depth=2, num_heads=2, cls_dim=5,
+                                 group_size=8, num_group=16, encoder_dims=48)
+        variables = model.init(jax.random.key(0), jnp.zeros((2, 64, 3)))
+        scales = layerwise_lr_decay_scales(variables["params"], depth=2, decay=0.75)
+        # head at 1.0, patch embed at 0.75^3, block0 < block1
+        assert scales["cls_head_finetune"]["fc3"]["kernel"] == pytest.approx(1.0)
+        assert scales["encoder"]["conv1"]["kernel"] == pytest.approx(0.75 ** 3)
+        b0 = scales["blocks"]["block0"]["attn"]["qkv"]["kernel"]
+        b1 = scales["blocks"]["block1"]["attn"]["qkv"]["kernel"]
+        assert b0 < b1 < 1.0
+
+    def test_m2ae_hierarchical_scales_progressive(self):
+        import jax
+
+        from gm3d_tpu.models import PointM2AEClassifier
+        from gm3d_tpu.train.optim import layerwise_lr_decay_scales
+
+        model = PointM2AEClassifier(
+            cls_dim=5, num_groups=(32, 16, 8), group_sizes=(8, 4, 4),
+            encoder_depths=(2, 2, 2), encoder_dims=(24, 48, 96),
+            local_radius=(0.32, 0.64, 1.28), num_heads=2)
+        variables = model.init(jax.random.key(0), jnp.zeros((2, 64, 3)))
+        scales = layerwise_lr_decay_scales(variables["params"], decay=0.75)
+        enc = scales["encoder"]
+        s0b0 = enc["stage0"]["block0"]["attn"]["qkv"]["kernel"]
+        s0b1 = enc["stage0"]["block1"]["attn"]["qkv"]["kernel"]
+        s2b1 = enc["stage2"]["block1"]["attn"]["qkv"]["kernel"]
+        assert s0b0 < s0b1 < s2b1 <= 1.0
+        # 6 blocks total -> deepest block scale = decay^1
+        assert s2b1 == pytest.approx(0.75)
+        assert scales["head_out"]["kernel"] == pytest.approx(1.0)
