@@ -202,3 +202,42 @@ class TestFinetune:
         vote = make_vote_eval_step(model, npoints=1024, times=3)
         vlogits = vote(variables, pts, jax.random.key(9))
         assert vlogits.shape == (B, 5)
+
+
+class TestMultiStep:
+    def test_scan_equals_sequential_singles(self):
+        from gm3d_tpu.train.pretrain import make_gm3d_train_step, make_multi_step
+
+        student = GM3DStudent(**SMALL)
+        teacher = PointMAE(**SMALL)
+        pts = synthetic_clouds()
+        num_mask = int(16 * 0.6)
+        mask0 = jnp.zeros((B, 16), bool).at[:, :num_mask].set(True)
+        svars = student.init(jax.random.key(0), pts, mask0, num_mask)
+        tvars = teacher.init(jax.random.key(1), pts, mask0, num_mask)
+        tx = build_adamw(1e-3)
+        step = make_gm3d_train_step(student, teacher, tx, mask_ratio=0.6)
+        multi = make_multi_step(step)
+        scalars = {
+            "keep_ratio": jnp.asarray(0.4),
+            "ema_decay": jnp.asarray(0.99),
+            "w_mse": jnp.asarray(1.0),
+            "w_cd": jnp.asarray(1.0),
+        }
+        stack = jnp.stack([synthetic_clouds(seed=s) for s in range(3)])
+        keys = jax.random.split(jax.random.key(7), 3)
+
+        s_seq = create_train_state(svars, tx, with_ema=True)
+        losses_seq = []
+        for k in range(3):
+            s_seq, m = step(s_seq, tvars, stack[k], keys[k], scalars)
+            losses_seq.append(float(m["loss"]))
+
+        s_multi = create_train_state(svars, tx, with_ema=True)
+        s_multi, mstack = multi(s_multi, tvars, stack, keys, scalars)
+        np.testing.assert_allclose(
+            np.asarray(mstack["loss"]), np.asarray(losses_seq), rtol=2e-4
+        )
+        p_seq = np.asarray(jax.tree.leaves(s_seq.params)[0])
+        p_multi = np.asarray(jax.tree.leaves(s_multi.params)[0])
+        np.testing.assert_allclose(p_multi, p_seq, atol=1e-5)
