@@ -211,7 +211,10 @@ def main():
         meter = MetricLogger()
         t0 = time.time()
         ema_decay = ema_decay_schedule(epoch)
-        kr = keep_ratio_schedule(epoch, epochs, args.after_200_epoch)
+        # usual-mode student always uses the capped min(..., 0.5) ramp
+        # (models_mae_learn_loss_Classifier_SVM.py generate_mask)
+        capped_ramp = args.after_200_epoch or args.learn_feature_loss == "none"
+        kr = keep_ratio_schedule(epoch, epochs, capped_ramp)
         w_mse, w_cd = loss_weights(epoch, args.after_epoch, args.loss_multiply_by)
         scalars = {
             "keep_ratio": jnp.asarray(kr, jnp.float32),
