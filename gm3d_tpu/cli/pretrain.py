@@ -232,9 +232,10 @@ def main():
                 step_fn, has_teacher=args.model_family == "gm3d"
             )
         pending = []
-        for it, pts in enumerate(train_loader):
+        from gm3d_tpu.data.prefetch import device_prefetch
+
+        for it, pts in enumerate(device_prefetch(train_loader)):
             rng, key = jax.random.split(rng)
-            pts = jnp.asarray(pts)
             if use_multi:
                 pending.append((pts, key))
                 if len(pending) < k_dispatch:
@@ -270,9 +271,8 @@ def main():
                      lr=float(sched(int(state.step))))
 
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
-            eval_vars = (
-                state.ema_variables() if args.model_family == "gm3d" else state.variables()
-            )
+            # the reference validates the STUDENT, not the EMA (main_pretrain
+            # validate(model, ...) at :497-498)
             acc = svm_probe(feat_model, state.variables(), svm_train, svm_test,
                             npoints=cfg.get("npoints", 1024))
             stats["val_svm_acc"] = acc
@@ -280,7 +280,6 @@ def main():
                 best_acc = acc
                 save_checkpoint(ckpt_dir, state, int(state.step),
                                 metrics={"svm_acc": acc})
-            del eval_vars
         logger.info(f"epoch {epoch}: " + " ".join(f"{k}={v:.5g}" for k, v in stats.items()
                                                   if isinstance(v, (int, float))))
         jsonl.write(stats)
