@@ -205,6 +205,14 @@ def main():
             state = restored
             logger.info(f"resumed from step {int(state.step)}")
 
+    k_dispatch = args.steps_per_dispatch
+    use_multi = k_dispatch > 1 and args.model_family in ("gm3d", "m2ae_gm3d")
+    multi_fn = None
+    if use_multi:
+        from gm3d_tpu.train.pretrain import make_multi_step
+
+        multi_fn = make_multi_step(step_fn, has_teacher=args.model_family == "gm3d")
+
     best_acc = 0.0
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, epochs):
@@ -223,14 +231,6 @@ def main():
             "w_cd": jnp.asarray(w_cd, jnp.float32),
         }
         probe_iter = iter(svm_train) if probe_step is not None else None
-        k_dispatch = args.steps_per_dispatch
-        use_multi = k_dispatch > 1 and args.model_family in ("gm3d", "m2ae_gm3d")
-        if use_multi and not hasattr(main, "_multi_cache"):
-            from gm3d_tpu.train.pretrain import make_multi_step
-
-            main._multi_cache = make_multi_step(
-                step_fn, has_teacher=args.model_family == "gm3d"
-            )
         pending = []
         from gm3d_tpu.data.prefetch import device_prefetch
 
@@ -244,9 +244,9 @@ def main():
                 keys = jnp.stack([k for _, k in pending])
                 pending = []
                 if args.model_family == "gm3d":
-                    state, mstack = main._multi_cache(state, tvars, stack, keys, scalars)
+                    state, mstack = multi_fn(state, tvars, stack, keys, scalars)
                 else:
-                    state, mstack = main._multi_cache(state, None, stack, keys, scalars)
+                    state, mstack = multi_fn(state, None, stack, keys, scalars)
                 metrics = {k: v[-1] for k, v in mstack.items()}
             elif args.model_family == "gm3d":
                 state, metrics = step_fn(state, tvars, pts, key, scalars)
