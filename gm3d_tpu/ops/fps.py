@@ -8,16 +8,19 @@ Semantics match the CUDA implementation: the first selected point is index 0;
 each subsequent selection is the point with the maximum distance to the
 already-selected set (squared Euclidean metric, ties broken by lowest index).
 
-Two implementations:
-  - ``fps_indices_jax`` (DEFAULT): ``lax.fori_loop`` + ``vmap``. XLA keeps
-    the whole loop on device with the batch dimension vectorised across VPU
-    sublanes — measured 0.1 ms for (256, 1024, 3) -> 64 on a v5e chip.
-  - ``fps_indices_pallas``: a Pallas TPU kernel, one grid row per batch
-    element. Kept for reference/benchmarking: TPU grid steps execute
-    sequentially on a single core, so the per-row formulation serialises
-    batch x iterations (~440 ms on the same shape) and LOSES to the XLA
-    loop. A custom kernel only wins if it processes the full batch per
-    iteration — which is exactly the program XLA already emits.
+Three implementations (honest timings on the round-1 v5e chip, forced-read
+methodology — see CLAUDE.md):
+  - ``fps_indices_pallas_batched`` (TPU DEFAULT): one grid step per batch
+    TILE with batch rows on sublanes and points on lanes; the whole
+    selection loop runs in VMEM as (Bt, N) vector ops with per-row lane
+    argmax. 8.8 ms for (256, 1024) -> 64 and 10 ms for (32, 8192) -> 1200.
+  - ``fps_indices_jax``: ``lax.fori_loop`` + ``vmap``; used on CPU/GPU.
+    On TPU the per-iteration op-dispatch latency dominates: 19 ms for
+    (256, 1024) -> 64 and 225 ms for (32, 8192) -> 1200 — 2-22x slower
+    than the batched kernel.
+  - ``fps_indices_pallas``: the naive one-grid-row-PER-BATCH-ELEMENT kernel,
+    kept as a cautionary reference: TPU grid steps execute sequentially, so
+    it serialises batch x iterations (~440 ms on the pretrain shape).
 """
 
 from __future__ import annotations
@@ -140,12 +143,91 @@ def fps_indices_pallas(xyz: jax.Array, n_samples: int, *, interpret: bool = Fals
 
 
 # ---------------------------------------------------------------------------
+# Pallas TPU kernel, batched-in-sublanes formulation
+# ---------------------------------------------------------------------------
+
+
+def _fps_batched_kernel(x_ref, y_ref, z_ref, out_ref, *, n_samples: int, num_points: int):
+    """A tile of batch rows per grid step; the WHOLE selection loop runs in
+    VMEM with (Bt, N) vector ops — per-row argmax over lanes each iteration.
+
+    Unlike the XLA ``fori_loop`` (whose ~180 us/iteration op-dispatch latency
+    dominates at large n_samples), in-kernel iterations are a handful of VPU
+    instructions."""
+    bt, npad = x_ref.shape
+    x = x_ref[:, :]
+    y = y_ref[:, :]
+    z = z_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, npad), 1)
+    valid = lane < num_points
+    npad_out = out_ref.shape[-1]
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (bt, npad_out), 1)
+
+    def coords_at(idx):
+        sel = lane == idx[:, None]
+        cx = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        cy = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+        cz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+        return cx, cy, cz
+
+    def body(i, carry):
+        last, dmin, outvec = carry
+        cx, cy, cz = coords_at(last)
+        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        dmin = jnp.minimum(dmin, jnp.where(valid, d, -jnp.inf))
+        nxt = jnp.argmax(dmin, axis=1).astype(jnp.int32)  # (Bt,)
+        outvec = jnp.where(out_lane == i, nxt[:, None], outvec)
+        return nxt, dmin, outvec
+
+    dist0 = jnp.where(valid, jnp.inf, -jnp.inf)
+    out0 = jnp.zeros((bt, npad_out), jnp.int32)
+    last0 = jnp.zeros((bt,), jnp.int32)
+    _, _, outvec = jax.lax.fori_loop(1, n_samples, body, (last0, dist0, out0))
+    out_ref[:, :] = outvec
+
+
+def fps_indices_pallas_batched(
+    xyz: jax.Array, n_samples: int, *, batch_tile: int = 32, interpret: bool = False
+) -> jax.Array:
+    """xyz: (B, N, 3) -> (B, n_samples) int32. Batch rows on sublanes, points
+    on lanes; grid over batch tiles."""
+    batch, num_points, _ = xyz.shape
+    npad = _round_up(num_points, _LANE)
+    npad_out = _round_up(n_samples, _LANE)
+    bt = min(batch_tile, batch)
+    bpad = _round_up(batch, bt)
+
+    coords = jnp.zeros((3, bpad, npad), jnp.float32)
+    coords = coords.at[:, :batch, :num_points].set(
+        xyz.astype(jnp.float32).transpose(2, 0, 1)
+    )
+
+    kernel = functools.partial(
+        _fps_batched_kernel, n_samples=n_samples, num_points=num_points
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bpad // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, npad), lambda i, c=c: (i, 0), memory_space=pltpu.VMEM)
+            for c in range(3)
+        ],
+        out_specs=pl.BlockSpec((bt, npad_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bpad, npad_out), jnp.int32),
+        interpret=interpret,
+    )(coords[0], coords[1], coords[2])
+    return out[:batch, :n_samples]
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
 
 def fps_indices(xyz: jax.Array, n_samples: int) -> jax.Array:
     """Furthest-point-sample indices. xyz: (B, N, 3) -> (B, n_samples) int32."""
+    if jax.default_backend() == "tpu":
+        return fps_indices_pallas_batched(xyz, n_samples)
     return fps_indices_jax(xyz, n_samples)
 
 

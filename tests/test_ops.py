@@ -162,3 +162,27 @@ class TestEMD:
         emd = np.asarray(emd_loss(a, b))
         cd = np.asarray(chamfer_group(a, b)) / 2.0
         assert np.all(emd > cd * 0.5)
+
+
+class TestBatchedPallasFPS:
+    def test_matches_oracle_multiple_tiles(self):
+        from gm3d_tpu.ops.fps import fps_indices_pallas_batched
+
+        rng = np.random.default_rng(11)
+        pts = rng.standard_normal((10, 200, 3)).astype(np.float32)
+        got = np.asarray(
+            fps_indices_pallas_batched(jnp.asarray(pts), 24, batch_tile=4, interpret=True)
+        )
+        want = np.stack([numpy_fps_indices(c, 24) for c in pts])
+        np.testing.assert_array_equal(got, want)
+
+    def test_large_n_samples(self):
+        from gm3d_tpu.ops.fps import fps_indices_pallas_batched
+
+        rng = np.random.default_rng(12)
+        pts = rng.standard_normal((2, 512, 3)).astype(np.float32)
+        got = np.asarray(
+            fps_indices_pallas_batched(jnp.asarray(pts), 300, batch_tile=2, interpret=True)
+        )
+        want = np.stack([numpy_fps_indices(c, 300) for c in pts])
+        np.testing.assert_array_equal(got, want)
