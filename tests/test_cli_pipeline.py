@@ -1,0 +1,49 @@
+"""Full CLI pipeline integration test (slow): teacher pretrain -> GM3D with
+distillation -> classification fine-tune, all through the real entry points
+on synthetic data."""
+
+import importlib
+import json
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def run_cli(module_name, argv):
+    sys.argv = argv
+    module = importlib.import_module(module_name)
+    importlib.reload(module)
+    return module.main()
+
+
+def test_teacher_gm3d_finetune_pipeline(tmp_path):
+    teach = str(tmp_path / "teacher")
+    gm3d = str(tmp_path / "gm3d")
+    ft = str(tmp_path / "ft")
+
+    run_cli("gm3d_tpu.cli.pretrain", [
+        "pt", "--config", "configs/pointmae/config_m.yaml", "--model_family", "pointmae",
+        "--synthetic", "--epochs", "1", "--batch_size", "8", "--synthetic_samples", "16",
+        "--output_dir", teach,
+    ])
+    assert os.path.isdir(os.path.join(teach, "ckpt"))
+
+    acc = run_cli("gm3d_tpu.cli.pretrain", [
+        "pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+        "--epochs", "1", "--batch_size", "8", "--synthetic_samples", "16",
+        "--teacher_ckpt", os.path.join(teach, "ckpt"), "--output_dir", gm3d,
+    ])
+    assert 0.0 <= acc <= 1.0
+    log = [json.loads(l) for l in open(os.path.join(gm3d, "log.txt"))]
+    assert "val_svm_acc" in log[-1]
+    assert all(k in log[-1] for k in ("loss", "loss_mse", "loss_chfr", "loss_learn"))
+
+    best = run_cli("gm3d_tpu.cli.finetune", [
+        "ft", "--config", "configs/pointmae/finetune_modelnet.yaml", "--synthetic",
+        "--epochs", "1", "--batch_size", "8", "--synthetic_samples", "16",
+        "--pretrained", os.path.join(gm3d, "ckpt"), "--output_dir", ft,
+    ])
+    assert best >= 0.0
