@@ -266,6 +266,13 @@ def main():
                     probe_state, state.variables(), jnp.asarray(cls_pts),
                     jnp.asarray(cls_labels), key)
                 meter.update(**{k: float(v) for k, v in pmetrics.items()})
+        # flush a partial multi-dispatch group as single steps
+        for pts, key in pending:
+            if args.model_family == "gm3d":
+                state, metrics = step_fn(state, tvars, pts, key, scalars)
+            else:
+                state, metrics = step_fn(state, pts, key, scalars)
+            meter.update(**{k: float(v) for k, v in metrics.items()})
         stats = meter.global_avgs()
         stats.update(epoch=epoch, time=round(time.time() - t0, 2),
                      lr=float(sched(int(state.step))))
