@@ -13,13 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gm3d_tpu.ckpt import restore_checkpoint
 from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_cls_loaders
 from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.eval.metrics import accuracy
 from gm3d_tpu.train.finetune import make_eval_step, make_vote_eval_step
-from gm3d_tpu.train.optim import build_adamw
-from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.utils import get_logger
 
 
@@ -43,11 +40,14 @@ def main():
     pts0, _ = next(iter(val_loader))
     variables = model.init(jax.random.key(0), jnp.asarray(pts0[:2, :npoints]))
     if args.ckpt:
-        state = create_train_state(variables, build_adamw(1e-3))
-        restored = restore_checkpoint(args.ckpt, state)
-        if restored is not None:
-            variables = restored.variables()
-            logger.info(f"restored ckpt step {int(restored.step)}")
+        from gm3d_tpu.ckpt import restore_raw
+
+        raw = restore_raw(args.ckpt)
+        if raw is not None:
+            variables = {"params": raw["params"]}
+            if raw.get("batch_stats") is not None:
+                variables["batch_stats"] = raw["batch_stats"]
+            logger.info(f"restored ckpt step {int(raw['step'])}")
 
     eval_step = make_eval_step(model, npoints)
     logits, labels_all = [], []
