@@ -1,0 +1,113 @@
+"""Gradient-flow parity tests.
+
+The reference computes the complete-to-partial Chamfer branch inside
+torch.no_grad() (``engine_pretrain_Classifier_SVM.py:140-147``) — the Chamfer
+term (weighted x1000!) must contribute NO gradient to the student; only the
+feature MSE and the learning loss do. Getting this wrong trains a different
+model (docs/DESIGN.md §3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.models import GM3DStudent, PointMAE
+from gm3d_tpu.train.optim import build_adamw
+from gm3d_tpu.train.pretrain import make_gm3d_train_step
+from gm3d_tpu.train.state import create_train_state
+
+SMALL = dict(trans_dim=48, depth=2, num_heads=2, decoder_depth=1, decoder_num_heads=2,
+             group_size=8, num_group=16, encoder_dims=48)
+B, N = 4, 128
+
+
+def build(seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32) * 0.5)
+    student = GM3DStudent(**SMALL)
+    teacher = PointMAE(**SMALL)
+    num_mask = 10
+    mask0 = jnp.zeros((B, 16), bool).at[:, :num_mask].set(True)
+    svars = student.init(jax.random.key(0), pts, mask0, num_mask)
+    tvars = teacher.init(jax.random.key(1), pts, mask0, num_mask)
+    tx = build_adamw(1e-3)
+    return student, teacher, svars, tvars, tx, pts
+
+
+def test_chamfer_branch_carries_no_gradient():
+    student, teacher, svars, tvars, tx, pts = build()
+    step = make_gm3d_train_step(student, teacher, tx, mask_ratio=10 / 16)
+
+    def run(w_cd):
+        state = create_train_state(svars, tx, with_ema=True)
+        scalars = {
+            "keep_ratio": jnp.asarray(0.5),
+            "ema_decay": jnp.asarray(0.999),
+            "w_mse": jnp.asarray(1.0),
+            "w_cd": jnp.asarray(w_cd),
+        }
+        new_state, metrics = step(state, tvars, pts, jax.random.key(3), scalars)
+        return new_state, metrics
+
+    s_zero, m_zero = run(0.0)
+    s_huge, m_huge = run(1e6)
+    # loss VALUES differ wildly...
+    assert abs(float(m_huge["loss"]) - float(m_zero["loss"])) > 1.0
+    # ...but the parameter update is identical: chamfer is stop-gradiented
+    p0 = np.asarray(jax.tree.leaves(s_zero.params)[0])
+    p1 = np.asarray(jax.tree.leaves(s_huge.params)[0])
+    np.testing.assert_allclose(p0, p1, atol=1e-7)
+
+
+def test_mse_branch_does_carry_gradient():
+    student, teacher, svars, tvars, tx, pts = build(1)
+    step = make_gm3d_train_step(student, teacher, tx, mask_ratio=10 / 16)
+
+    def run(w_mse):
+        state = create_train_state(svars, tx, with_ema=True)
+        scalars = {
+            "keep_ratio": jnp.asarray(0.5),
+            "ema_decay": jnp.asarray(0.999),
+            "w_mse": jnp.asarray(w_mse),
+            "w_cd": jnp.asarray(0.0),
+        }
+        return step(state, tvars, pts, jax.random.key(3), scalars)[0]
+
+    s_lo = run(0.0)
+    s_hi = run(100.0)
+    p0 = np.asarray(jax.tree.leaves(s_lo.params)[0])
+    p1 = np.asarray(jax.tree.leaves(s_hi.params)[0])
+    assert np.abs(p0 - p1).max() > 1e-6
+
+
+def test_teacher_receives_no_update():
+    """The teacher is frozen: its variables pass through the step untouched
+    (they are inputs, not state) — verify the step's output state contains no
+    teacher entries and teacher vars are unchanged by reference semantics."""
+    student, teacher, svars, tvars, tx, pts = build(2)
+    step = make_gm3d_train_step(student, teacher, tx, mask_ratio=10 / 16)
+    before = np.asarray(jax.tree.leaves(tvars["params"])[0]).copy()
+    state = create_train_state(svars, tx, with_ema=True)
+    scalars = {
+        "keep_ratio": jnp.asarray(0.5),
+        "ema_decay": jnp.asarray(0.999),
+        "w_mse": jnp.asarray(1.0),
+        "w_cd": jnp.asarray(1.0),
+    }
+    step(state, tvars, pts, jax.random.key(0), scalars)
+    np.testing.assert_array_equal(before, np.asarray(jax.tree.leaves(tvars["params"])[0]))
+
+
+def test_knn_probe_and_multihost_gather():
+    from gm3d_tpu.eval.knn import knn_classifier
+    from gm3d_tpu.parallel import gather_features
+
+    rng = np.random.default_rng(0)
+    f_tr = np.concatenate([rng.normal(0, .2, (40, 8)), rng.normal(2, .2, (40, 8))]).astype(np.float32)
+    l_tr = np.array([0] * 40 + [1] * 40)
+    f_te = np.concatenate([rng.normal(0, .2, (10, 8)), rng.normal(2, .2, (10, 8))]).astype(np.float32)
+    l_te = np.array([0] * 10 + [1] * 10)
+    assert knn_classifier(f_tr, l_tr, f_te, l_te, k=5) == 1.0
+    # single-process gather is the identity
+    g_f, g_l = gather_features(f_tr, l_tr)
+    np.testing.assert_array_equal(g_f, f_tr)
+    np.testing.assert_array_equal(g_l, l_tr)
