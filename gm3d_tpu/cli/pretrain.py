@@ -274,8 +274,10 @@ def main():
                 state, metrics = step_fn(state, pts, key, scalars)
             meter.update(**{k: float(v) for k, v in metrics.items()})
         stats = meter.global_avgs()
-        stats.update(epoch=epoch, time=round(time.time() - t0, 2),
-                     lr=float(sched(int(state.step))))
+        epoch_time = time.time() - t0
+        stats.update(epoch=epoch, time=round(epoch_time, 2),
+                     lr=float(sched(int(state.step))),
+                     clouds_per_sec=round(steps_per_epoch * batch / max(epoch_time, 1e-9), 1))
 
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
             # the reference validates the STUDENT, not the EMA (main_pretrain

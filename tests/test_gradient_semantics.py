@@ -111,3 +111,59 @@ def test_knn_probe_and_multihost_gather():
     g_f, g_l = gather_features(f_tr, l_tr)
     np.testing.assert_array_equal(g_f, f_tr)
     np.testing.assert_array_equal(g_l, l_tr)
+
+
+def test_step_is_deterministic_given_seed():
+    """Same state + same rng key -> bitwise-identical updates (reproducible
+    training, unlike the reference's host-numpy mask shuffles)."""
+    student, teacher, svars, tvars, tx, pts = build(3)
+    step = make_gm3d_train_step(student, teacher, tx, mask_ratio=10 / 16)
+    scalars = {
+        "keep_ratio": jnp.asarray(0.5),
+        "ema_decay": jnp.asarray(0.999),
+        "w_mse": jnp.asarray(1.0),
+        "w_cd": jnp.asarray(1.0),
+    }
+    s1, m1 = step(create_train_state(svars, tx, with_ema=True), tvars, pts,
+                  jax.random.key(42), scalars)
+    s2, m2 = step(create_train_state(svars, tx, with_ema=True), tvars, pts,
+                  jax.random.key(42), scalars)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(s1.params)[0]), np.asarray(jax.tree.leaves(s2.params)[0])
+    )
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_m2ae_pretrain_to_classifier_overlay():
+    """M2AE pretrain encoder weights transfer into the classifier by
+    name+shape overlay (the finetune surgery)."""
+    from gm3d_tpu.models import PointM2AE, PointM2AEClassifier
+
+    kw = dict(num_groups=(32, 16, 8), group_sizes=(8, 4, 4), encoder_depths=(1, 1, 1),
+              encoder_dims=(24, 48, 96), local_radius=(0.32, 0.64, 1.28), num_heads=2)
+    pre = PointM2AE(decoder_dims=(96, 48), decoder_depths=(1, 1), **kw)
+    cls = PointM2AEClassifier(cls_dim=5, **kw)
+    pts = jnp.asarray(np.random.default_rng(0).standard_normal((2, 128, 3)).astype(np.float32))
+    vis = jnp.ones((2, 8), bool)
+    pvars = pre.init(jax.random.key(0), pts, vis)
+    cvars = cls.init(jax.random.key(1), pts)
+
+    def overlay(dst, src):
+        n = 0
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if isinstance(dst.get(k), dict):
+                    n += overlay(dst[k], v)
+            elif k in dst and np.asarray(dst[k]).shape == np.asarray(v).shape:
+                dst[k] = v
+                n += 1
+        return n
+
+    cparams = jax.tree.map(lambda x: x, cvars["params"])
+    transferred = overlay(cparams, pvars["params"])
+    assert transferred > 20  # encoder weights moved
+    enc_leaf = cparams["encoder"]["stage0"]["block0"]["attn"]["qkv"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(enc_leaf),
+        np.asarray(pvars["params"]["encoder"]["stage0"]["block0"]["attn"]["qkv"]["kernel"]),
+    )
