@@ -223,7 +223,12 @@ def main():
         # (models_mae_learn_loss_Classifier_SVM.py generate_mask)
         capped_ramp = args.after_200_epoch or args.learn_feature_loss == "none"
         kr = keep_ratio_schedule(epoch, epochs, capped_ramp)
-        w_mse, w_cd = loss_weights(epoch, args.after_epoch, args.loss_multiply_by)
+        if args.learn_feature_loss == "none":
+            # usual-mode engine: FIXED mix 13.889*MSE + 1*CD from epoch 0
+            # (engine_pretrain.py:149-153, `if epoch < -1` dead branch)
+            w_mse, w_cd = 13.889, 1.0
+        else:
+            w_mse, w_cd = loss_weights(epoch, args.after_epoch, args.loss_multiply_by)
         scalars = {
             "keep_ratio": jnp.asarray(kr, jnp.float32),
             "ema_decay": jnp.asarray(ema_decay, jnp.float32),
