@@ -8,7 +8,7 @@ Reference native deps (see /root/reference README.md:30-40):
   - Group (FPS+KNN+gather+center, Point_MAE.py:50-78)       -> group.py
 """
 
-from gm3d_tpu.ops.fps import fps_indices, fps_gather, fps
+from gm3d_tpu.ops.fps import fps_indices, fps_indices_pallas_batched, fps_gather, fps
 from gm3d_tpu.ops.knn import knn_indices
 from gm3d_tpu.ops.group import group_points
 from gm3d_tpu.ops.chamfer import (

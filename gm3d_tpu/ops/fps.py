@@ -209,8 +209,8 @@ def fps_indices_pallas_batched(
         kernel,
         grid=(bpad // bt,),
         in_specs=[
-            pl.BlockSpec((bt, npad), lambda i, c=c: (i, 0), memory_space=pltpu.VMEM)
-            for c in range(3)
+            pl.BlockSpec((bt, npad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
         ],
         out_specs=pl.BlockSpec((bt, npad_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bpad, npad_out), jnp.int32),
