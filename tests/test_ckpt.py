@@ -144,3 +144,83 @@ class TestTorchImport:
         np.testing.assert_array_equal(
             imported["params"]["pos_embed"]["fc1"]["kernel"], w.numpy().T
         )
+
+
+def make_torch_pointmae_state_dict(depth=2, dec_depth=1, dim=48, S=8):
+    """Reference Point_MAE pretrain ckpt layout (models/Point_MAE.py:346-398),
+    wrapped as {'base_model': ...} like tools/builder.py saves."""
+    torch = pytest.importorskip("torch")
+    sd = {}
+
+    def lin(name, din, dout, bias=True):
+        sd[f"{name}.weight"] = torch.randn(dout, din) * 0.02
+        if bias:
+            sd[f"{name}.bias"] = torch.zeros(dout)
+
+    def conv(name, din, dout):
+        sd[f"{name}.weight"] = torch.randn(dout, din, 1) * 0.02
+        sd[f"{name}.bias"] = torch.zeros(dout)
+
+    def bn(name, d):
+        sd[f"{name}.weight"] = torch.ones(d)
+        sd[f"{name}.bias"] = torch.zeros(d)
+        sd[f"{name}.running_mean"] = torch.zeros(d)
+        sd[f"{name}.running_var"] = torch.ones(d)
+        sd[f"{name}.num_batches_tracked"] = torch.tensor(0)
+
+    def ln(name, d):
+        sd[f"{name}.weight"] = torch.ones(d)
+        sd[f"{name}.bias"] = torch.zeros(d)
+
+    def blocks(prefix, n):
+        for i in range(n):
+            ln(f"{prefix}.{i}.norm1", dim)
+            ln(f"{prefix}.{i}.norm2", dim)
+            lin(f"{prefix}.{i}.attn.qkv", dim, dim * 3, bias=False)
+            lin(f"{prefix}.{i}.attn.proj", dim, dim)
+            lin(f"{prefix}.{i}.mlp.fc1", dim, dim * 4)
+            lin(f"{prefix}.{i}.mlp.fc2", dim * 4, dim)
+
+    conv("MAE_encoder.encoder.first_conv.0", 3, 128)
+    bn("MAE_encoder.encoder.first_conv.1", 128)
+    conv("MAE_encoder.encoder.first_conv.3", 128, 256)
+    conv("MAE_encoder.encoder.second_conv.0", 512, 512)
+    bn("MAE_encoder.encoder.second_conv.1", 512)
+    conv("MAE_encoder.encoder.second_conv.3", 512, dim)
+    lin("MAE_encoder.pos_embed.0", 3, 128)
+    lin("MAE_encoder.pos_embed.2", 128, dim)
+    blocks("MAE_encoder.blocks.blocks", depth)
+    ln("MAE_encoder.norm", dim)
+    sd["mask_token"] = torch.zeros(1, 1, dim)
+    lin("decoder_pos_embed.0", 3, 128)
+    lin("decoder_pos_embed.2", 128, dim)
+    blocks("MAE_decoder.blocks", dec_depth)
+    ln("MAE_decoder.norm", dim)
+    conv("increase_dim.0", dim, 3 * S)
+    return {"base_model": sd}
+
+
+class TestPointMAETeacherImport:
+    def test_full_layout_imports_and_runs(self):
+        from gm3d_tpu.ckpt.torch_import import POINT_MAE_MAP
+
+        ckpt = make_torch_pointmae_state_dict()
+        imported = import_torch_checkpoint(ckpt["base_model"], POINT_MAE_MAP)
+        unmatched = imported.pop("_unmatched")
+        assert unmatched == [], unmatched
+
+        teacher = PointMAE(trans_dim=48, depth=2, num_heads=2, decoder_depth=1,
+                           decoder_num_heads=2, group_size=8, num_group=16,
+                           encoder_dims=48)
+        pts = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 3)).astype(np.float32))
+        # structure matches a fresh init
+        mask = jnp.zeros((2, 16), bool).at[:, :9].set(True)
+        fresh = teacher.init(jax.random.key(0), pts, mask, 9)
+        assert tree_paths(imported["params"]) == tree_paths(
+            jax.tree.map(np.asarray, fresh["params"]))
+        # teacher replay paths run on the imported weights
+        feats = teacher.apply(imported, pts, method=teacher.encode_features)
+        rebuilt = teacher.apply(imported, feats, jnp.zeros((2, 16, 3)),
+                                method=teacher.decode_replay)
+        assert rebuilt.shape == (2, 16, 8, 3)
+        assert np.isfinite(np.asarray(rebuilt)).all()
