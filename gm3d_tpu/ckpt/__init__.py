@@ -17,6 +17,7 @@ from gm3d_tpu.ckpt.torch_import import (
     import_torch_checkpoint,
     torch_key_to_flax,
 )
+from gm3d_tpu.ckpt.transfer import load_pretrained_into, overlay_pretrained
 
 __all__ = [
     "save_checkpoint",
@@ -26,4 +27,6 @@ __all__ = [
     "export_torch_checkpoint",
     "import_torch_checkpoint",
     "torch_key_to_flax",
+    "load_pretrained_into",
+    "overlay_pretrained",
 ]

@@ -7,6 +7,12 @@ import os
 from typing import Tuple
 
 import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS (CLAUDE.md); GM3D_PLATFORM=cpu
+# forces the backend for all CLIs (applied before first backend use).
+if os.environ.get("GM3D_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["GM3D_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 

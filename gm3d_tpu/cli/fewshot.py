@@ -30,7 +30,10 @@ def parse_args():
     p.add_argument("--way", type=int, default=5)
     p.add_argument("--shot", type=int, default=10)
     p.add_argument("--folds", type=int, default=10)
-    p.add_argument("--pretrained", default=None)
+    p.add_argument("--pretrained", default=None,
+                   help="pretrain ckpt dir (orbax) or .pth — fine-tuned from "
+                        "per fold, the reference few-shot protocol")
+    p.add_argument("--torch_ckpt", action="store_true", help="--pretrained is a torch .pth")
     return p.parse_args()
 
 
@@ -63,6 +66,20 @@ def run_fold(args, cfg, fold, logger):
 
     pts0 = jnp.asarray(next(iter(test_loader))[0][:2, :npoints])
     variables = model.init(jax.random.key(fold), pts0)
+    if args.pretrained:
+        # every fold fine-tunes FROM the pretrain ckpt (fewshot = finetune
+        # protocol, cfgs/fewshot.yaml + main_finetune.py path)
+        from gm3d_tpu.ckpt.transfer import load_pretrained_into
+
+        params, batch_stats, _ = load_pretrained_into(
+            variables["params"], variables.get("batch_stats"),
+            args.pretrained, torch_ckpt=args.torch_ckpt,
+            logger=logger if fold == 0 else None,
+        )
+        variables = dict(variables)
+        variables["params"] = params
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
     epochs = cfg["max_epoch"]
     steps_per_epoch = max(len(train_loader), 1)
     sched = cosine_warmup_schedule(cfg["optimizer"]["kwargs"]["lr"], 1e-6, 10,

@@ -16,11 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gm3d_tpu.ckpt import save_checkpoint
-from gm3d_tpu.ckpt.torch_import import (
-    POINT_TRANSFORMER_MAP,
-    import_torch_checkpoint,
-    load_torch_file,
-)
+from gm3d_tpu.ckpt.transfer import load_pretrained_into
 from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_cls_loaders
 from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.eval.metrics import accuracy
@@ -43,28 +39,6 @@ def parse_args():
     p.add_argument("--layer_decay", type=float, default=0.75)
     p.add_argument("--smoothing", type=float, default=0.0)
     return p.parse_args()
-
-
-def merge_pretrained_encoder(params, batch_stats, imported):
-    """Overlay imported encoder weights onto a fresh finetune model
-    (strict=False semantics of ``main_finetune.py:297-324``)."""
-
-    def overlay(dst, src):
-        for k, v in src.items():
-            if isinstance(v, dict) and isinstance(dst.get(k), dict):
-                overlay(dst[k], v)
-            elif k in dst and not isinstance(v, dict):
-                if np.asarray(dst[k]).shape == np.asarray(v).shape:
-                    dst[k] = jnp.asarray(v)
-        return dst
-
-    import flax
-
-    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else dict(params)
-    overlay(params, imported.get("params", {}))
-    if batch_stats is not None and imported.get("batch_stats"):
-        overlay(batch_stats, imported["batch_stats"])
-    return params, batch_stats
 
 
 def evaluate(loader, eval_step, variables):
@@ -92,12 +66,10 @@ def main():
     variables = model.init(jax.random.key(args.seed), jnp.asarray(pts0[:2, :npoints]))
     params, batch_stats = variables["params"], variables.get("batch_stats")
 
-    if args.pretrained and args.torch_ckpt:
-        sd = load_torch_file(args.pretrained)
-        imported = import_torch_checkpoint(sd, POINT_TRANSFORMER_MAP, strip_mae_encoder=True)
-        unmatched = imported.pop("_unmatched")
-        logger.info(f"torch import: {len(unmatched)} unmatched keys (strict=False)")
-        params, batch_stats = merge_pretrained_encoder(params, batch_stats, imported)
+    if args.pretrained:
+        params, batch_stats, _ = load_pretrained_into(
+            params, batch_stats, args.pretrained, torch_ckpt=args.torch_ckpt, logger=logger
+        )
 
     lr = cfg["optimizer"]["kwargs"]["lr"]
     sched = cosine_warmup_schedule(lr, 1e-6, cfg["scheduler"]["kwargs"]["initial_epochs"],
@@ -111,26 +83,6 @@ def main():
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
     state = create_train_state(variables, tx)
-
-    if args.pretrained and not args.torch_ckpt:
-        from gm3d_tpu.ckpt import restore_raw
-
-        raw = restore_raw(args.pretrained)
-        if raw is not None:
-            # overlay encoder-compatible params (name+shape matched), the
-            # strict=False surgery of main_finetune.py:297-324
-            def overlay(dst, src):
-                for k, v in src.items():
-                    if isinstance(v, dict):
-                        if isinstance(dst.get(k), dict):
-                            overlay(dst[k], v)
-                    elif k in dst and np.asarray(dst[k]).shape == np.asarray(v).shape:
-                        dst[k] = jnp.asarray(v)
-
-            params = jax.tree.map(lambda x: x, state.params)  # shallow copy tree
-            overlay(params, raw["params"])
-            state = state.replace(params=params)
-            logger.info("loaded orbax pretrain params (shape-matched overlay)")
 
     step_fn = make_finetune_train_step(model, tx, npoints, args.smoothing)
     eval_step = make_eval_step(model, npoints)

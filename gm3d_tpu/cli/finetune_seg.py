@@ -58,7 +58,9 @@ class SyntheticParts:
 
 def parse_args():
     p = base_parser("part segmentation fine-tune")
-    p.add_argument("--pretrained", default=None)
+    p.add_argument("--pretrained", default=None,
+                   help="pretrain ckpt dir (orbax) or .pth")
+    p.add_argument("--torch_ckpt", action="store_true", help="--pretrained is a torch .pth")
     return p.parse_args()
 
 
@@ -83,6 +85,18 @@ def main():
 
     pts0, cls0, _ = next(iter(val_loader))
     variables = model.init(jax.random.key(args.seed), jnp.asarray(pts0[:2]), jnp.asarray(cls0[:2]))
+    if args.pretrained:
+        # seg model holds blocks at the module root -> flatten "blocks"
+        from gm3d_tpu.ckpt.transfer import load_pretrained_into
+
+        params, batch_stats, _ = load_pretrained_into(
+            variables["params"], variables.get("batch_stats"), args.pretrained,
+            torch_ckpt=args.torch_ckpt, logger=logger, flatten=("blocks",),
+        )
+        variables = dict(variables)
+        variables["params"] = params
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
     epochs = cfg["max_epoch"]
     steps_per_epoch = max(len(train_loader), 1)
     sched = cosine_warmup_schedule(cfg["optimizer"]["kwargs"]["lr"], 1e-6, 10, epochs,

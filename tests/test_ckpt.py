@@ -224,3 +224,81 @@ class TestPointMAETeacherImport:
                                 method=teacher.decode_replay)
         assert rebuilt.shape == (2, 16, 8, 3)
         assert np.isfinite(np.asarray(rebuilt)).all()
+
+
+class TestPretrainFinetuneTransfer:
+    """Round-1 VERDICT bug: the orbax pretrain->finetune overlay transferred
+    ZERO leaves because the pretrain tree nests the encoder under
+    MAE_encoder/ while PointTransformer holds it at root. These tests pin the
+    re-rooted overlay (reference surgery: main_finetune.py:297-324)."""
+
+    dims = dict(trans_dim=48, depth=2, num_heads=2, group_size=8, num_group=16,
+                encoder_dims=48)
+
+    def _pretrain_state(self, tmp_path):
+        from gm3d_tpu.models import GM3DStudent
+
+        model = GM3DStudent(decoder_depth=1, decoder_num_heads=2, **self.dims)
+        pts = jnp.zeros((2, 64, 3))
+        mask = jnp.zeros((2, 16), bool).at[:, :9].set(True)
+        variables = model.init(jax.random.key(1), pts, mask, 9)
+        tx = build_adamw(1e-3)
+        state = create_train_state(variables, tx, with_ema=True)
+        ckpt_dir = str(tmp_path / "pre")
+        save_checkpoint(ckpt_dir, state, step=1)
+        return ckpt_dir, variables
+
+    def test_orbax_transfer_nonzero_and_exact(self, tmp_path):
+        from gm3d_tpu.ckpt import load_pretrained_into
+
+        ckpt_dir, pre_vars = self._pretrain_state(tmp_path)
+        ft_model = PointTransformer(cls_dim=5, **self.dims)
+        pts = jnp.zeros((2, 64, 3))
+        ft_vars = ft_model.init(jax.random.key(2), pts)
+        params, batch_stats, n = load_pretrained_into(
+            ft_vars["params"], ft_vars.get("batch_stats"), ckpt_dir)
+        assert n > 0
+        # every encoder leaf must equal the pretrain encoder's (not random)
+        pre_enc = tree_paths(pre_vars["params"]["MAE_encoder"])
+        got_enc = tree_paths({k: params[k] for k in ("encoder", "pos_embed", "blocks", "norm")})
+        assert set(pre_enc) == set(got_enc)
+        np.testing.assert_allclose(
+            np.asarray(params["blocks"]["block0"]["attn"]["qkv"]["kernel"]),
+            np.asarray(pre_vars["params"]["MAE_encoder"]["blocks"]["block0"]["attn"]["qkv"]["kernel"]),
+        )
+        # and the overlaid model must produce different logits than random init
+        v2 = {"params": params}
+        if batch_stats is not None:
+            v2["batch_stats"] = batch_stats
+        pts_r = jax.random.normal(jax.random.key(3), (2, 64, 3))
+        logits_pre = ft_model.apply(v2, pts_r)
+        logits_rand = ft_model.apply(ft_vars, pts_r)
+        assert not np.allclose(np.asarray(logits_pre), np.asarray(logits_rand))
+
+    def test_zero_transfer_raises(self, tmp_path):
+        from gm3d_tpu.ckpt import load_pretrained_into
+
+        ckpt_dir, _ = self._pretrain_state(tmp_path)
+        # a tree with entirely different names must fail loudly
+        bogus = {"something": {"kernel": jnp.zeros((3, 3))}}
+        with pytest.raises(ValueError, match="0 parameters"):
+            load_pretrained_into(bogus, None, ckpt_dir)
+
+    def test_seg_transfer_flattens_blocks(self, tmp_path):
+        from gm3d_tpu.ckpt import load_pretrained_into
+        from gm3d_tpu.models.segmentation import PointMAESeg
+
+        ckpt_dir, pre_vars = self._pretrain_state(tmp_path)
+        seg = PointMAESeg(trans_dim=48, depth=2, num_heads=2, group_size=8,
+                          num_group=16, encoder_dims=48, feature_blocks=(0, 1))
+        pts = jnp.zeros((2, 64, 3))
+        cls = jnp.zeros((2,), jnp.int32)
+        seg_vars = seg.init(jax.random.key(4), pts, cls)
+        params, _, n = load_pretrained_into(
+            seg_vars["params"], seg_vars.get("batch_stats"), ckpt_dir,
+            flatten=("blocks",))
+        assert n > 0
+        np.testing.assert_allclose(
+            np.asarray(params["block0"]["attn"]["qkv"]["kernel"]),
+            np.asarray(pre_vars["params"]["MAE_encoder"]["blocks"]["block0"]["attn"]["qkv"]["kernel"]),
+        )

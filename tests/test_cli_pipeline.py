@@ -4,6 +4,7 @@ on synthetic data."""
 
 import importlib
 import json
+import re
 import os
 import sys
 
@@ -47,3 +48,11 @@ def test_teacher_gm3d_finetune_pipeline(tmp_path):
         "--pretrained", os.path.join(gm3d, "ckpt"), "--output_dir", ft,
     ])
     assert best >= 0.0
+    # the pretrain->finetune handoff must actually transfer weights (round-1
+    # VERDICT bug: MAE_encoder re-rooting missing -> 0 leaves overlaid).
+    # load_pretrained_into raises on a zero count; also assert the logged
+    # count is substantial (the full 12-block encoder is ~150 leaves).
+    ft_log = open(os.path.join(ft, "finetune.log")).read()
+    m = re.search(r"pretrain->finetune transfer: (\d+) leaves", ft_log)
+    assert m, "transfer log line missing"
+    assert int(m.group(1)) > 100
