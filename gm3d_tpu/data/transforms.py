@@ -30,6 +30,40 @@ def scale_and_translate(
     return pts * scale + shift
 
 
+def scale(
+    rng: jax.Array, pts: jax.Array, scale_low: float = 2.0 / 3.0, scale_high: float = 3.0 / 2.0
+) -> jax.Array:
+    """Per-sample anisotropic scale only (``data_transforms.py:50-62``
+    ``PointcloudScale`` — inactive in reference training, capability parity)."""
+    batch = pts.shape[0]
+    s = jax.random.uniform(rng, (batch, 1, 3), minval=scale_low, maxval=scale_high)
+    return pts * s
+
+
+def translate(rng: jax.Array, pts: jax.Array, translate_range: float = 0.2) -> jax.Array:
+    """Per-sample translate only (``data_transforms.py:64-75``
+    ``PointcloudTranslate``)."""
+    batch = pts.shape[0]
+    t = jax.random.uniform(rng, (batch, 1, 3), minval=-translate_range, maxval=translate_range)
+    return pts + t
+
+
+def random_horizontal_flip(
+    rng: jax.Array, pts: jax.Array, upright_axis: int = 2, p_apply: float = 0.95
+) -> jax.Array:
+    """Mirror each non-upright axis about its per-sample max with prob 0.5,
+    gated by a 0.95 per-sample apply prob (``data_transforms.py:96-118``
+    ``RandomHorizontalFlip``)."""
+    batch = pts.shape[0]
+    r_apply, r_flip = jax.random.split(rng)
+    apply = jax.random.uniform(r_apply, (batch, 1, 1)) < p_apply
+    flip = jax.random.uniform(r_flip, (batch, 1, 3)) < 0.5
+    axis_sel = jnp.arange(3) != upright_axis  # (3,)
+    do_flip = apply & flip & axis_sel[None, None, :]
+    coord_max = jnp.max(pts, axis=1, keepdims=True)  # (B, 1, 3)
+    return jnp.where(do_flip, coord_max - pts, pts)
+
+
 def rotate_z(rng: jax.Array, pts: jax.Array) -> jax.Array:
     """Random rotation about the up axis (``data_transforms.py`` Rotate)."""
     batch = pts.shape[0]

@@ -8,6 +8,7 @@ forward); the SVC fit stays on host, matching the reference exactly:
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Iterable, Tuple
 
 import jax
@@ -17,8 +18,14 @@ import numpy as np
 from gm3d_tpu.ops.fps import fps
 
 
+@functools.lru_cache(maxsize=8)
 def make_feature_fn(model, npoints: int = 1024) -> Callable:
-    """Jitted noaug encoder forward: points -> (B, G, D) features."""
+    """Jitted noaug encoder forward: points -> (B, G, D) features.
+
+    Memoized on (model, npoints) — flax modules are frozen dataclasses, so
+    repeated probes (every validation epoch) reuse ONE jitted fn instead of
+    re-tracing a fresh closure each call (first compiles cost 20–500 s on the
+    tunneled TPU, CLAUDE.md)."""
 
     @jax.jit
     def feature_fn(variables, pts):
