@@ -17,6 +17,7 @@ Examples:
 
 from __future__ import annotations
 
+import argparse
 import os
 import time
 
@@ -79,6 +80,11 @@ def parse_args():
                         "(amortises controller latency; gm3d/m2ae_gm3d families)")
     p.add_argument("--classification", action="store_true",
                    help="train a supervised Classifier probe alongside (reference --classification)")
+    p.add_argument("--shared_opt", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="one optimizer over all params (reference default); "
+                        "--no-shared_opt = separated recon / loss-pred "
+                        "optimizers (train_one_epoch_seperated)")
     return p.parse_args()
 
 
@@ -146,10 +152,19 @@ def main():
             else:
                 tvars = teacher.init(jax.random.key(2), example[:2], mask0, num_mask)
                 logger.warning("no teacher weights given: teacher is randomly initialised")
+        if not args.shared_opt:
+            from gm3d_tpu.train.optim import build_gm3d_separated_optimizer
+
+            tx = build_gm3d_separated_optimizer(
+                svars["params"], sched, cfg["optimizer"]["kwargs"]["weight_decay"],
+                accum_steps=args.accum_iter,
+            )
+            logger.info("separated recon / loss-pred optimizers (--no-shared_opt)")
         state = create_train_state(svars, tx, with_ema=True)
         step_fn = make_gm3d_train_step(
             student, teacher, tx, args.mask_ratio, args.shared_learnable_tokens,
             args.relative, distill_mode=args.learn_feature_loss,
+            shared_opt=args.shared_opt,
         )
         feat_model = student
     elif args.model_family == "pointmae":

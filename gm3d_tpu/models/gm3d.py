@@ -21,6 +21,7 @@ mode, the default ``--mode feature``; and the ``_Classifier_SVM.py`` twin for
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -109,6 +110,7 @@ class GM3DStudent(nn.Module):
         shared_learnable_tokens: bool = False,
         deterministic: bool = True,
         grouped=None,
+        detach_loss_pred_branch: bool = False,
     ):
         """Full student forward (``...feature_besed.py:1007-1059``).
 
@@ -117,6 +119,13 @@ class GM3DStudent(nn.Module):
         exactly what ``generate_mask`` consumes.
         ``grouped`` lets the train step share ONE FPS/KNN grouping across the
         EMA, student and teacher passes (they all see the same cloud).
+        ``detach_loss_pred_branch`` stop-gradients the encoder features before
+        the loss-prediction decoder — the separated-optimizer semantics
+        (``--shared_opt False``): the reference's recon optimizer steps before
+        ``loss_learn.backward()`` and both are zeroed afterwards, so the
+        learning loss never updates the encoder
+        (``engine_pretrain_Classifier_SVM.py:546-574``,
+        ``main_pretrain.py:414-440``).
         Returns a dict mirroring the reference ``out`` keys.
         """
         batch = pts.shape[0]
@@ -127,6 +136,7 @@ class GM3DStudent(nn.Module):
         )
 
         vis_idx, mask_idx = mask_split_indices(mask, num_mask)
+        x_vis_lp = jax.lax.stop_gradient(x_vis) if detach_loss_pred_branch else x_vis
         pos_vis = self.decoder_pos_embed(take_groups(grouped.center, vis_idx))
         if num_mask:
             pos_mask = self.decoder_pos_embed(take_groups(grouped.center, mask_idx))
@@ -136,16 +146,16 @@ class GM3DStudent(nn.Module):
             )
             x_full = jnp.concatenate([x_vis, mask_tok], axis=1)
             if shared_learnable_tokens:
-                x_loss = x_full
+                x_loss = jnp.concatenate([x_vis_lp, mask_tok], axis=1)
             else:
                 mask_tok_lp = jnp.broadcast_to(
                     self.mask_token_loss_pred.astype(self.dtype),
                     (batch, num_mask, self.trans_dim),
                 )
-                x_loss = jnp.concatenate([x_vis, mask_tok_lp], axis=1)
+                x_loss = jnp.concatenate([x_vis_lp, mask_tok_lp], axis=1)
         else:
             x_full = x_vis
-            x_loss = x_vis
+            x_loss = x_vis_lp
             pos_full = pos_vis
 
         # reconstruction decoder: full normed sequence; pix_pred = features

@@ -40,6 +40,59 @@ def build_adamw(
     return tx
 
 
+# --shared_opt False param split (main_pretrain.py:414-440): the recon
+# optimizer owns encoder + recon decoder + coordinate head; the loss-pred
+# optimizer owns the loss-pred decoder + feature head (increase_dim_2).
+# decoder_pos_embed and both mask tokens sit in NEITHER param group in the
+# reference, so they receive no updates — reproduced via the "frozen" label.
+GM3D_RECON_MODULES = ("MAE_encoder", "MAE_decoder", "coord_head")
+GM3D_LOSS_PRED_MODULES = ("MAE_decoder_loss_pred", "head_fc1", "head_bn", "head_fc2")
+
+
+def gm3d_separated_labels(params: Any) -> Any:
+    """Top-level-module labels for the separated-optimizer split."""
+
+    def label(kp, _):
+        top = str(getattr(kp[0], "key", kp[0]))
+        if top in GM3D_RECON_MODULES:
+            return "recon"
+        if top in GM3D_LOSS_PRED_MODULES:
+            return "loss_pred"
+        return "frozen"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_gm3d_separated_optimizer(
+    params: Any,
+    learning_rate,
+    weight_decay: float = 0.05,
+    betas=(0.9, 0.95),
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    """Two AdamW states over disjoint param subsets (``--shared_opt False``,
+    ``engine_pretrain_Classifier_SVM.py:335-642``).
+
+    Combined with ``detach_loss_pred_branch`` in the student forward, one
+    backward pass yields exactly the separated semantics: the recon loss
+    updates only the recon subset (the learning loss can't reach the encoder
+    through the stop_gradient) and the learning loss updates only the
+    loss-pred subset.  No grad clip: the reference's ``clip_grad_norm_`` runs
+    BEFORE backward on zeroed grads — an effective no-op
+    (``engine...:546-548`` + zero_grad at ``:571-574``)."""
+    tx = optax.multi_transform(
+        {
+            "recon": build_adamw(learning_rate, weight_decay, betas),
+            "loss_pred": build_adamw(learning_rate, weight_decay, betas),
+            "frozen": optax.set_to_zero(),
+        },
+        gm3d_separated_labels(params),
+    )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
 import re as _re
 
 

@@ -94,6 +94,7 @@ def gm3d_forward_distill(
     rngs: Optional[dict],
     mutable: bool,
     grouped=None,
+    detach_loss_pred: bool = False,
 ):
     """Student forward + frozen-teacher complete-to-partial replay.
 
@@ -114,11 +115,13 @@ def gm3d_forward_distill(
             rngs=rngs,
             mutable=["batch_stats"],
             grouped=grouped,
+            detach_loss_pred_branch=detach_loss_pred,
         )
     else:
         outs = student.apply(
             student_vars, samples, mask, num_mask, shared_learnable_tokens,
             deterministic=True, grouped=grouped,
+            detach_loss_pred_branch=detach_loss_pred,
         )
         updates = {}
 
@@ -157,6 +160,7 @@ def make_gm3d_train_step(
     relative: bool = True,
     augment: bool = True,
     distill_mode: str = "dino",
+    shared_opt: bool = True,
 ):
     """The GM3D core path (SURVEY.md §3.1) as one jit:
 
@@ -179,6 +183,10 @@ def make_gm3d_train_step(
     num_mask = int(student.num_group * mask_ratio)
     use_distill = teacher is not None and distill_mode == "dino"
     use_ema_feats = distill_mode == "ema"
+    # --shared_opt False: stop-gradient the loss-pred branch at the encoder
+    # boundary so one backward reproduces the two-optimizer split (pair this
+    # step with build_gm3d_separated_optimizer)
+    detach_lp = not shared_opt
 
     # donate the train state: params/opt/EMA buffers are updated in place,
     # halving their HBM traffic per step
@@ -235,6 +243,7 @@ def make_gm3d_train_step(
                         rngs,
                         mutable=True,
                         grouped=grouped,
+                        detach_loss_pred=detach_lp,
                     )
                 )
                 loss_outs = losses.gm3d_feature_loss(
@@ -255,6 +264,7 @@ def make_gm3d_train_step(
                     rngs=rngs,
                     mutable=["batch_stats"],
                     grouped=grouped,
+                    detach_loss_pred_branch=detach_lp,
                 )
                 if use_ema_feats:
                     # feature targets from the EMA's unmasked pass: normalized

@@ -167,3 +167,80 @@ def test_m2ae_pretrain_to_classifier_overlay():
         np.asarray(enc_leaf),
         np.asarray(pvars["params"]["encoder"]["stage0"]["block0"]["attn"]["qkv"]["kernel"]),
     )
+
+
+class TestSeparatedOptimizer:
+    """--shared_opt False (reference train_one_epoch_seperated,
+    engine_pretrain_Classifier_SVM.py:335-642 + main_pretrain.py:414-440):
+    recon optimizer owns encoder/decoder/coord head, loss-pred optimizer owns
+    the loss-pred decoder/feature head, everything else is frozen, and the
+    learning loss never updates the encoder."""
+
+    def test_labels_partition(self):
+        from gm3d_tpu.train.optim import gm3d_separated_labels
+
+        student, _, svars, _, _, _ = build()
+        labels = gm3d_separated_labels(svars["params"])
+        tops = {k: set(jax.tree.leaves(v)) for k, v in labels.items()}
+        assert tops["MAE_encoder"] == {"recon"}
+        assert tops["MAE_decoder"] == {"recon"}
+        assert tops["coord_head"] == {"recon"}
+        assert tops["MAE_decoder_loss_pred"] == {"loss_pred"}
+        assert tops["head_fc1"] == tops["head_fc2"] == {"loss_pred"}
+        assert tops["decoder_pos_embed"] == {"frozen"}
+        assert tops["mask_token"] == tops["mask_token_loss_pred"] == {"frozen"}
+
+    def test_learning_loss_never_reaches_encoder(self):
+        """grad of loss_pred w.r.t. encoder params is zero with the detached
+        branch, nonzero without."""
+        student, _, svars, _, _, pts = build()
+        num_mask = 10
+        mask = jnp.zeros((B, 16), bool).at[:, :num_mask].set(True)
+
+        def lp_sum(params, detach):
+            out = student.apply({"params": params, "batch_stats": svars["batch_stats"]},
+                                pts, mask, num_mask,
+                                detach_loss_pred_branch=detach)
+            return jnp.sum(out["loss_pred"] ** 2)
+
+        g_detached = jax.grad(lambda p: lp_sum(p, True))(svars["params"])
+        g_attached = jax.grad(lambda p: lp_sum(p, False))(svars["params"])
+        enc_detached = np.max(np.abs(np.concatenate(
+            [np.ravel(x) for x in jax.tree.leaves(g_detached["MAE_encoder"])])))
+        enc_attached = np.max(np.abs(np.concatenate(
+            [np.ravel(x) for x in jax.tree.leaves(g_attached["MAE_encoder"])])))
+        assert enc_detached == 0.0
+        assert enc_attached > 0.0
+        # loss-pred decoder grads are identical in both modes
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(g_detached["MAE_decoder_loss_pred"])[0]),
+            np.asarray(jax.tree.leaves(g_attached["MAE_decoder_loss_pred"])[0]),
+            rtol=1e-6)
+
+    def test_separated_step_updates_disjoint_subsets(self):
+        from gm3d_tpu.train.optim import build_gm3d_separated_optimizer
+
+        student, teacher, svars, tvars, _, pts = build()
+        tx = build_gm3d_separated_optimizer(svars["params"], 1e-3)
+        step = make_gm3d_train_step(student, teacher, tx, mask_ratio=10 / 16,
+                                    shared_opt=False)
+        state = create_train_state(svars, tx, with_ema=True)
+        scalars = {"keep_ratio": jnp.asarray(0.5), "ema_decay": jnp.asarray(0.999),
+                   "w_mse": jnp.asarray(1.0), "w_cd": jnp.asarray(1.0)}
+        new_state, metrics = step(state, tvars, pts, jax.random.key(3), scalars)
+
+        def delta(tree_a, tree_b):
+            return max(float(jnp.max(jnp.abs(a - b)))
+                       for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)))
+
+        p0, p1 = svars["params"], new_state.params
+        # frozen in the separated path (in neither reference param group)
+        assert delta(p0["decoder_pos_embed"], p1["decoder_pos_embed"]) == 0.0
+        assert delta(p0["mask_token"], p1["mask_token"]) == 0.0
+        assert delta(p0["mask_token_loss_pred"], p1["mask_token_loss_pred"]) == 0.0
+        # both optimizers actually step their own subsets
+        assert delta(p0["MAE_encoder"], p1["MAE_encoder"]) > 0.0
+        assert delta(p0["MAE_decoder"], p1["MAE_decoder"]) > 0.0
+        assert delta(p0["MAE_decoder_loss_pred"], p1["MAE_decoder_loss_pred"]) > 0.0
+        assert delta(p0["head_fc1"], p1["head_fc1"]) > 0.0
+        assert float(metrics["loss"]) == float(metrics["loss"])  # finite
