@@ -37,7 +37,9 @@ def parse_args():
     p.add_argument("--torch_ckpt", action="store_true", help="--pretrained is a torch .pth")
     p.add_argument("--vote", action="store_true", help="run 10x voting eval at the end")
     p.add_argument("--layer_decay", type=float, default=0.75)
-    p.add_argument("--smoothing", type=float, default=0.0)
+    p.add_argument("--smoothing", type=float, default=None,
+                   help="label smoothing; defaults to the config's model.smooth "
+                        "(e.g. 0.3 for finetune_modelnet_PointM2AE.yaml)")
     return p.parse_args()
 
 
@@ -84,7 +86,10 @@ def main():
         variables["batch_stats"] = batch_stats
     state = create_train_state(variables, tx)
 
-    step_fn = make_finetune_train_step(model, tx, npoints, args.smoothing)
+    smoothing = args.smoothing if args.smoothing is not None else cfg["model"].get("smooth", 0.0)
+    if smoothing:
+        logger.info(f"label smoothing {smoothing}")
+    step_fn = make_finetune_train_step(model, tx, npoints, smoothing)
     eval_step = make_eval_step(model, npoints)
 
     rng = jax.random.key(args.seed)

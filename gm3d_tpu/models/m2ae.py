@@ -231,6 +231,24 @@ class PointM2AE(nn.Module):
             nn.Dense(self.decoder_dims[i], dtype=self.dtype, name=f"dec_proj{i}")
             for i in range(len(self.decoder_dims))
         ]
+        # decoder_up_blocks[i] transformer blocks run right after the i-th
+        # upsample (config ``decoder_up_blocks`` [1, 1],
+        # ``config_Point_M2AE.yaml:57-104``): up_stage i refines tokens at the
+        # newly-entered scale before that scale's main dec_stage; the LAST
+        # entry refines at the finest scale just before the reconstruction
+        # head (which previously had no blocks at all).
+        up_dims = list(self.decoder_dims[1:]) + [self.decoder_dims[-1]]
+        self.dec_up_stages = [
+            TransformerEncoder(
+                up_dims[i],
+                self.decoder_up_blocks[i],
+                self.num_heads,
+                self.drop_path_rate,
+                dtype=self.dtype,
+                name=f"dec_up{i}",
+            )
+            for i in range(len(self.decoder_up_blocks))
+        ]
         self.mask_token = self.param(
             "mask_token", nn.initializers.truncated_normal(0.02), (1, 1, self.decoder_dims[0])
         )
@@ -289,6 +307,7 @@ class PointM2AE(nn.Module):
             )
             x = self.dec_proj[i](jnp.concatenate([up, skip], axis=-1))
             pos = self.dec_pos[i](centers[scale])
+            x = self.dec_up_stages[i - 1](x, pos, deterministic)
             x = self.dec_stages[i](x, pos, deterministic)
 
         # ---- final upsample to the finest scale and reconstruct patches
@@ -296,6 +315,9 @@ class PointM2AE(nn.Module):
             scale -= 1
             nearest = knn_indices(centers[scale + 1], centers[scale], 1)[..., 0]
             x = jnp.take_along_axis(x, nearest[..., None], axis=1)
+        # last up-blocks refine at the finest scale before the rec head
+        fine_pos = self.dec_pos[-1](centers[0])
+        x = self.dec_up_stages[-1](x, fine_pos, deterministic)
 
         batch = pts.shape[0]
         rebuild = self.rec_head(x).reshape(batch, self.num_groups[0], self.group_sizes[0], 3)
@@ -344,7 +366,12 @@ class PointM2AEClassifier(nn.Module):
             self.drop_path_rate,
             dtype=self.dtype,
         )
-        self.norm = nn.LayerNorm(dtype=self.dtype)
+        # one norm per scale: the head pools EVERY scale (public Point-M2AE
+        # concatenates multi-scale mean+max features, not just the coarsest)
+        self.scale_norms = [
+            nn.LayerNorm(dtype=self.dtype, name=f"norm{s}")
+            for s in range(len(self.num_groups))
+        ]
         self.head_fc1 = nn.Dense(256, dtype=self.dtype)
         self.head_bn1 = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
         self.head_fc2 = nn.Dense(256, dtype=self.dtype)
@@ -354,8 +381,11 @@ class PointM2AEClassifier(nn.Module):
 
     def __call__(self, pts, deterministic: bool = True):
         tokens_all, _, _ = self.encoder(pts, None, deterministic)
-        x = self.norm(tokens_all[-1])
-        pooled = jnp.concatenate([jnp.mean(x, axis=1), jnp.max(x, axis=1)], axis=-1)
+        parts = []
+        for s, tokens in enumerate(tokens_all):
+            x = self.scale_norms[s](tokens)
+            parts.extend([jnp.mean(x, axis=1), jnp.max(x, axis=1)])
+        pooled = jnp.concatenate(parts, axis=-1)
         h = self.head_fc1(pooled)
         h = self.head_bn1(h, use_running_average=deterministic)
         h = nn.relu(h)

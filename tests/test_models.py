@@ -175,3 +175,25 @@ class TestPointM2AE:
         variables = model.init(jax.random.key(0), pts)
         logits = model.apply(variables, pts)
         assert logits.shape == (B, 15)
+
+    def test_classifier_pools_all_scales(self, pts):
+        """Public Point-M2AE concatenates multi-scale mean+max features; the
+        head input must be 2 * sum(encoder_dims), not 2 * dims[-1]."""
+        model = PointM2AEClassifier(cls_dim=15, **{k: v for k, v in self.kw.items() if not k.startswith("decoder")})
+        variables = model.init(jax.random.key(0), pts)
+        fc1_in = variables["params"]["head_fc1"]["kernel"].shape[0]
+        assert fc1_in == 2 * sum(self.kw["encoder_dims"])
+
+    def test_decoder_up_blocks_consumed(self, pts):
+        """decoder_up_blocks must create real decoder params (round-1 dead
+        knob) and change the forward when varied."""
+        coarse_vis = random_mask(3, key=1)[:, :16] == False  # noqa: E712
+
+        m1 = PointM2AE(**self.kw, decoder_up_blocks=(1, 1))
+        v1 = m1.init(jax.random.key(0), pts, coarse_vis)
+        assert "dec_up0" in v1["params"] and "dec_up1" in v1["params"]
+        # depth-2 up stage has one more block than depth-1
+        m2 = PointM2AE(**self.kw, decoder_up_blocks=(2, 1))
+        v2 = m2.init(jax.random.key(0), pts, coarse_vis)
+        assert "block1" in v2["params"]["dec_up0"]
+        assert "block1" not in v1["params"]["dec_up0"]
