@@ -37,7 +37,34 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="use the C++ threaded cloud loader for ShapeNet-style "
                         ".npy datasets (gm3d_tpu/native)")
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="data-parallel devices (default: all visible); the "
+                        "global batch is sharded over a 1-D mesh and grads "
+                        "psum over ICI (reference DDP, main_pretrain.py:389-391)")
     return p
+
+
+def setup_mesh(args, batch: int, logger=None):
+    """Data-parallel mesh + batch sharding for the training CLIs.
+
+    Calls ``init_distributed()`` (no-op single-process), builds the 1-D
+    ``data`` mesh, and validates the global batch divides the device count.
+    Returns ``(mesh, batch_sharding)``.
+    """
+    from gm3d_tpu.parallel import batch_sharding, make_mesh
+    from gm3d_tpu.parallel.multihost import init_distributed
+
+    init_distributed()
+    mesh = make_mesh(args.num_devices)
+    n_dev = int(mesh.devices.size)
+    if batch % n_dev:
+        raise ValueError(
+            f"global batch {batch} not divisible by {n_dev} devices; "
+            "adjust --batch_size or --num_devices"
+        )
+    if logger and n_dev > 1:
+        logger.info(f"data-parallel over {n_dev} devices ({mesh.devices.ravel()[0].platform})")
+    return mesh, batch_sharding(mesh)
 
 
 def enable_compile_cache():

@@ -61,6 +61,9 @@ def main():
     model = build_model_from_cfg(cfg["model"], dtype=dtype)
     npoints = cfg.get("npoints", 1024)
     epochs = cfg["max_epoch"]
+    from gm3d_tpu.cli.common import setup_mesh
+
+    mesh, bshard = setup_mesh(args, cfg["total_bs"], logger)
     train_loader, val_loader = make_cls_loaders(cfg, args)
     steps_per_epoch = max(len(train_loader), 1)
 
@@ -92,15 +95,20 @@ def main():
     step_fn = make_finetune_train_step(model, tx, npoints, smoothing)
     eval_step = make_eval_step(model, npoints)
 
+    from gm3d_tpu.data.prefetch import device_prefetch
+    from gm3d_tpu.parallel import replicate_tree
+
+    state = replicate_tree(mesh, state)
+
     rng = jax.random.key(args.seed)
     best = 0.0
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
     for epoch in range(epochs):
         meter = MetricLogger()
         t0 = time.time()
-        for pts, labels in train_loader:
+        for pts, labels in device_prefetch(train_loader, sharding=bshard):
             rng, key = jax.random.split(rng)
-            state, metrics = step_fn(state, jnp.asarray(pts), jnp.asarray(labels), key)
+            state, metrics = step_fn(state, pts, labels, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
         stats = meter.global_avgs()
         stats.update(epoch=epoch, time=round(time.time() - t0, 2))

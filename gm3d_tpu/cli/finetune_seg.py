@@ -74,6 +74,9 @@ def main():
     model = build_model_from_cfg(cfg["model"], dtype=dtype)
     npoints = cfg.get("npoints", 2048)
     bs = cfg["total_bs"]
+    from gm3d_tpu.cli.common import setup_mesh
+
+    mesh, bshard = setup_mesh(args, bs, logger)
     if args.synthetic:
         train_ds = SyntheticParts(args.synthetic_samples, npoints, seed=1)
         val_ds = SyntheticParts(max(args.synthetic_samples // 4, 32), npoints, seed=2)
@@ -108,15 +111,19 @@ def main():
     step_fn = make_seg_train_step(model, tx)
     eval_step = make_seg_eval_step(model)
 
+    from gm3d_tpu.data.prefetch import device_prefetch
+    from gm3d_tpu.parallel import replicate_tree
+
+    state = replicate_tree(mesh, state)
+
     rng = jax.random.key(args.seed)
     best = {"instance_miou": 0.0, "class_miou": 0.0}
     for epoch in range(epochs):
         meter = MetricLogger()
         t0 = time.time()
-        for pts, cls_label, seg in train_loader:
+        for pts, cls_label, seg in device_prefetch(train_loader, sharding=bshard):
             rng, key = jax.random.split(rng)
-            state, metrics = step_fn(state, jnp.asarray(pts), jnp.asarray(cls_label),
-                                     jnp.asarray(seg), key)
+            state, metrics = step_fn(state, pts, cls_label, seg, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
         stats = meter.global_avgs()
         stats.update(epoch=epoch, time=round(time.time() - t0, 2))

@@ -109,6 +109,9 @@ def main():
 
     epochs = cfg["max_epoch"]
     batch = cfg["total_bs"]
+    from gm3d_tpu.cli.common import setup_mesh
+
+    mesh, bshard = setup_mesh(args, batch, logger)
     train_loader, svm_train, svm_test = make_loaders(cfg, args)
     steps_per_epoch = max(len(train_loader), 1)
 
@@ -220,6 +223,15 @@ def main():
             state = restored
             logger.info(f"resumed from step {int(state.step)}")
 
+    # ---- data parallel: replicate state/teacher on the mesh, shard batches
+    # (the jitted step sees batch-sharded inputs and replicated params; XLA
+    # inserts the grad psum over ICI — reference DDP, tools/builder.py:17-23)
+    from gm3d_tpu.parallel import replicate_tree
+
+    state = replicate_tree(mesh, state)
+    if tvars is not None:
+        tvars = replicate_tree(mesh, tvars)
+
     k_dispatch = args.steps_per_dispatch
     use_multi = k_dispatch > 1 and args.model_family in ("gm3d", "m2ae_gm3d")
     multi_fn = None
@@ -254,7 +266,7 @@ def main():
         pending = []
         from gm3d_tpu.data.prefetch import device_prefetch
 
-        for it, pts in enumerate(device_prefetch(train_loader)):
+        for it, pts in enumerate(device_prefetch(train_loader, sharding=bshard)):
             rng, key = jax.random.split(rng)
             if use_multi:
                 pending.append((pts, key))
