@@ -264,3 +264,71 @@ def load_torch_file(path: str) -> Dict[str, Any]:
         if isinstance(ckpt, dict) and key in ckpt:
             return ckpt[key]
     return ckpt
+
+
+def import_clip_visual(state_dict: Dict[str, Any]):
+    """CLIP checkpoint -> (tower_config, flax params) for CLIPVisionTower.
+
+    Mirrors the reference's ``build_model`` config inference
+    (``models_clip.py:406-420``: patch from conv1, grid from the positional
+    embedding, heads = width // 64) and accepts either a full CLIP state dict
+    (``visual.*`` keys, the ``--clip_path`` file) or a bare visual tower.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = strip_prefixes(k)
+        if k.startswith("visual."):
+            sd[k[len("visual."):]] = v
+        elif not ("transformer" in k and "resblocks" in k and "visual" not in k):
+            sd.setdefault(k, v)
+
+    def arr(key):
+        return np.asarray(sd[key].float().cpu() if hasattr(sd[key], "float") else sd[key])
+
+    conv1 = arr("conv1.weight")  # (width, 3, P, P)
+    width, _, patch, _ = conv1.shape
+    grid2 = arr("positional_embedding").shape[0] - 1
+    layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")})
+    out_dim = arr("proj").shape[1]
+    cfg = dict(
+        input_resolution=int(round(grid2**0.5)) * patch,
+        patch_size=patch,
+        width=width,
+        layers=layers,
+        heads=width // 64,
+        output_dim=out_dim,
+    )
+
+    params = {
+        "conv1": {"kernel": np.ascontiguousarray(conv1.transpose(2, 3, 1, 0))},
+        "class_embedding": arr("class_embedding"),
+        "positional_embedding": arr("positional_embedding"),
+        "proj": arr("proj"),
+        "ln_pre": {"scale": arr("ln_pre.weight"), "bias": arr("ln_pre.bias")},
+        "ln_post": {"scale": arr("ln_post.weight"), "bias": arr("ln_post.bias")},
+    }
+    for i in range(layers):
+        p = f"transformer.resblocks.{i}."
+        params[f"block{i}"] = {
+            "ln_1": {"scale": arr(p + "ln_1.weight"), "bias": arr(p + "ln_1.bias")},
+            "ln_2": {"scale": arr(p + "ln_2.weight"), "bias": arr(p + "ln_2.bias")},
+            "attn": {
+                "qkv": {
+                    "kernel": np.ascontiguousarray(arr(p + "attn.in_proj_weight").T),
+                    "bias": arr(p + "attn.in_proj_bias"),
+                },
+                "out": {
+                    "kernel": np.ascontiguousarray(arr(p + "attn.out_proj.weight").T),
+                    "bias": arr(p + "attn.out_proj.bias"),
+                },
+            },
+            "c_fc": {
+                "kernel": np.ascontiguousarray(arr(p + "mlp.c_fc.weight").T),
+                "bias": arr(p + "mlp.c_fc.bias"),
+            },
+            "c_proj": {
+                "kernel": np.ascontiguousarray(arr(p + "mlp.c_proj.weight").T),
+                "bias": arr(p + "mlp.c_proj.bias"),
+            },
+        }
+    return cfg, {"params": params}

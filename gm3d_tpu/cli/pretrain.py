@@ -62,9 +62,15 @@ def parse_args():
                         "(--model_family pointmae run)")
     p.add_argument("--teacher_config", default=None,
                    help="teacher YAML (defaults to config_m.yaml beside --config)")
-    p.add_argument("--learn_feature_loss", choices=["dino", "ema", "none"], default="dino",
+    p.add_argument("--learn_feature_loss", choices=["dino", "ema", "clip", "none"],
+                   default="dino",
                    help="dino = frozen Point-MAE teacher distillation (default); "
-                        "ema = EMA feature targets; none = Chamfer-only (usual mode)")
+                        "ema = EMA feature targets; clip = frozen CLIP vision "
+                        "tower over depth renders (--clip_path); "
+                        "none = Chamfer-only (usual mode)")
+    p.add_argument("--clip_path", default=None,
+                   help="CLIP .pt/.pth checkpoint for --learn_feature_loss clip "
+                        "(reference --clip_path); small random tower if absent")
     p.add_argument("--no_learning_loss", action="store_true")
     p.add_argument("--relative", action="store_true", default=True)
     p.add_argument("--shared_learnable_tokens", action="store_true")
@@ -155,6 +161,25 @@ def main():
             else:
                 tvars = teacher.init(jax.random.key(2), example[:2], mask0, num_mask)
                 logger.warning("no teacher weights given: teacher is randomly initialised")
+        elif args.learn_feature_loss == "clip":
+            from gm3d_tpu.models.clip import CLIPVisionTower, render_depth_views
+
+            if args.clip_path:
+                from gm3d_tpu.ckpt.torch_import import import_clip_visual
+
+                clip_cfg, tvars = import_clip_visual(load_torch_file(args.clip_path))
+                if clip_cfg["output_dim"] != student.trans_dim:
+                    raise ValueError(
+                        f"CLIP output_dim {clip_cfg['output_dim']} != student "
+                        f"trans_dim {student.trans_dim}; pick a checkpoint whose "
+                        "projection matches (or retrain the projection)")
+                teacher = CLIPVisionTower(**clip_cfg, dtype=dtype)
+                logger.info(f"CLIP teacher loaded: {clip_cfg}")
+            else:
+                teacher = CLIPVisionTower(output_dim=student.trans_dim, dtype=dtype)
+                imgs0 = render_depth_views(example[:2], teacher.input_resolution)
+                tvars = teacher.init(jax.random.key(2), imgs0)
+                logger.warning("no --clip_path: CLIP teacher is randomly initialised")
         if not args.shared_opt:
             from gm3d_tpu.train.optim import build_gm3d_separated_optimizer
 

@@ -183,6 +183,13 @@ def make_gm3d_train_step(
     num_mask = int(student.num_group * mask_ratio)
     use_distill = teacher is not None and distill_mode == "dino"
     use_ema_feats = distill_mode == "ema"
+    use_clip = distill_mode == "clip"
+    if use_clip:
+        assert teacher is not None and hasattr(teacher, "output_dim"), (
+            "distill_mode='clip' needs a CLIPVisionTower teacher")
+        assert teacher.output_dim == student.trans_dim, (
+            f"CLIP output_dim {teacher.output_dim} must match student "
+            f"trans_dim {student.trans_dim} for the feature MSE")
     # --shared_opt False: stop-gradient the loss-pred branch at the encoder
     # boundary so one backward reproduces the two-optimizer split (pair this
     # step with build_gm3d_separated_optimizer)
@@ -223,6 +230,14 @@ def make_gm3d_train_step(
         mask = geometric_mask(
             r_mask, outs_ema["loss_pred"], num_mask, scalars["keep_ratio"]
         )
+        if use_clip:
+            # frozen CLIP tower over on-device depth renders of the full
+            # cloud; one target token per group center (models/clip.py)
+            from gm3d_tpu.models.clip import clip_group_targets
+
+            clip_targets = clip_group_targets(
+                teacher, teacher_params, samples, grouped.center
+            )
 
         def loss_fn(params):
             student_vars = {"params": params}
@@ -266,13 +281,17 @@ def make_gm3d_train_step(
                     grouped=grouped,
                     detach_loss_pred_branch=detach_lp,
                 )
-                if use_ema_feats:
-                    # feature targets from the EMA's unmasked pass: normalized
-                    # feature MSE at masked slots, no point-space replay
+                if use_ema_feats or use_clip:
+                    # feature targets from the EMA's unmasked pass (ema) or
+                    # the frozen CLIP tower (clip): normalized feature MSE at
+                    # masked slots, no point-space replay
                     pred_masked = outs["pix_pred"][:, -num_mask:]
-                    target = take_groups(
-                        jax.lax.stop_gradient(outs_ema["features"]), outs["mask_idx"]
-                    )
+                    if use_clip:
+                        target = take_groups(clip_targets, outs["mask_idx"])
+                    else:
+                        target = take_groups(
+                            jax.lax.stop_gradient(outs_ema["features"]), outs["mask_idx"]
+                        )
                     pn = pred_masked.astype(jnp.float32)
                     pn = pn / jnp.maximum(jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-12)
                     tn = target.astype(jnp.float32)
