@@ -86,6 +86,12 @@ def parse_args():
                         "(amortises controller latency; gm3d/m2ae_gm3d families)")
     p.add_argument("--classification", action="store_true",
                    help="train a supervised Classifier probe alongside (reference --classification)")
+    p.add_argument("--sync_bn", default=True, action=argparse.BooleanOptionalAction,
+                   help="synced BatchNorm stats across data-parallel shards "
+                        "(reference --sync_bn, tools/runner_pretrain.py:88-91). "
+                        "Always on here: jit/GSPMD computes global-batch "
+                        "statistics by construction; per-replica BN is a DDP "
+                        "artifact this framework does not reproduce")
     p.add_argument("--shared_opt", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="one optimizer over all params (reference default); "
@@ -118,6 +124,11 @@ def main():
     from gm3d_tpu.cli.common import setup_mesh
 
     mesh, bshard = setup_mesh(args, batch, logger)
+    if not args.sync_bn:
+        logger.warning(
+            "--no-sync_bn ignored: BatchNorm reductions under jit/GSPMD are "
+            "global-batch by construction (see tests/test_parallel.py "
+            "TestSyncBatchNorm); per-shard BN stats do not exist here")
     train_loader, svm_train, svm_test = make_loaders(cfg, args)
     steps_per_epoch = max(len(train_loader), 1)
 

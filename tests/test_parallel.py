@@ -157,3 +157,27 @@ class TestCliMeshWiring:
         # updated params stay replicated for the next step
         leaf = jax.tree.leaves(new8.params)[0]
         assert len(leaf.sharding.device_set) == 8
+
+
+class TestSyncBatchNorm:
+    def test_sharded_bn_stats_equal_full_batch_stats(self):
+        """--sync_bn parity (tools/runner_pretrain.py:88-91): under jit+GSPMD
+        a batch-axis reduction is GLOBAL, so BatchNorm running stats on the
+        sharded step equal the full-batch single-device stats — SyncBN is the
+        inherent (and only) semantics here, no shard_map needed."""
+        model = PointMAE(**SMALL)
+        pts = clouds(11)
+        num_mask = 10
+        mask0 = jnp.zeros((B, 16), bool).at[:, :num_mask].set(True)
+        variables = model.init(jax.random.key(0), pts, mask0, num_mask)
+        tx = build_adamw(1e-3)
+        step = make_pointmae_train_step(model, tx, 10 / 16, augment=False)
+
+        s1 = create_train_state(variables, tx)
+        s1, _ = step(s1, pts, jax.random.key(3))
+        mesh = make_mesh()
+        s8 = replicate_tree(mesh, create_train_state(variables, tx))
+        s8, _ = step(s8, shard_batch(mesh, pts), jax.random.key(3))
+
+        for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
