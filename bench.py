@@ -11,7 +11,14 @@ dispatch (amortising controller/tunnel latency) and the clock stops on a
 FORCED HOST READ of the final loss — ``block_until_ready`` alone does not
 guarantee completion on the axon remote backend.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+roofline fields {"tflops", "mfu_vs_measured_peak", "mfu_vs_spec_peak",
+"flops_per_step"} — FLOPs/step come from XLA's own ``cost_analysis`` of the
+compiled step (exact for this program; derivation cross-checked analytically
+in docs/BENCHMARKS.md §FLOP accounting), the measured peak from an inline
+chained-4096^2-GEMM loop timed with the same forced-host-read methodology, and the
+spec peak from the chip generation (v5e bf16 = 197 TFLOP/s).
+
 ``BASELINE_CLOUDS_PER_SEC`` is this repo's recorded round-1 roofline; later
 rounds report their speedup against it.
 """
@@ -30,6 +37,113 @@ NPOINTS = 1024
 SCAN_STEPS = 8
 WARMUP_DISPATCHES = 2
 TIMED_DISPATCHES = 3
+
+
+# bf16 peak TFLOP/s per chip by TPU generation (public spec sheets); used
+# for mfu_vs_spec_peak. Unknown generations report null.
+SPEC_PEAK_TFLOPS = {
+    "v4": 275.0,
+    "v5 lite": 197.0,  # v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6e": 918.0,
+}
+
+
+def _spec_peak_tflops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in SPEC_PEAK_TFLOPS.items():
+        if key in kind:
+            return val
+    return None
+
+
+def measure_peak_tflops(jax, jnp, dtype) -> float:
+    """Measured GEMM peak with the bench's own timing methodology (forced
+    host read). The chip is time-shared (CLAUDE.md) so this is the honest
+    denominator for 'fraction of what the hardware gives US today'."""
+    import time as _time
+
+    n = 4096
+    a = jnp.ones((n, n), dtype)
+    b = jnp.ones((n, n), dtype)
+
+    @jax.jit
+    def chain(a, b):
+        x = a
+        for _ in range(8):
+            x = x @ b
+        return jnp.float32(x[0, 0])
+
+    _ = np.asarray(chain(a, b))  # compile + warm
+    t0 = _time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = chain(a, b)
+    _ = np.asarray(out)
+    dt = _time.perf_counter() - t0
+    flops = 2.0 * n * n * n * 8 * reps
+    return flops / dt / 1e12
+
+
+def analytic_gm3d_flops(batch: int, num_group: int = 64, vis: int = 26,
+                        dim: int = 384, depth: int = 12, dec_depth: int = 4,
+                        lp_depth: int = 12, group_size: int = 32) -> float:
+    """Analytic matmul FLOPs per GM3D train step (fallback when XLA
+    cost_analysis is unavailable; derivation in docs/BENCHMARKS.md).
+
+    Counts 2*m*n*k per GEMM for the transformer stacks (qkv, attn scores,
+    attn*v, proj, mlp 4x), patch embeds and heads. Grad path costs 2x the
+    trained forwards; EMA and teacher passes are forward-only.
+    """
+
+    def block_flops(tokens: int, width: int) -> float:
+        gemms = (
+            2 * tokens * width * 3 * width      # qkv
+            + 2 * tokens * tokens * width       # scores
+            + 2 * tokens * tokens * width       # attn @ v
+            + 2 * tokens * width * width        # out proj
+            + 2 * 2 * tokens * width * 4 * width  # mlp fc1+fc2
+        )
+        return float(gemms)
+
+    def stack(tokens: int, width: int, layers: int) -> float:
+        return layers * block_flops(tokens, width)
+
+    def patch_embed(groups: int) -> float:
+        # mini-PointNet: per point 3->128, 128->256, 512->512, 512->384
+        per_point = 2 * (3 * 128 + 128 * 256 + 512 * 512 + 512 * dim)
+        return float(groups * group_size * per_point)
+
+    def pos_embed(tokens: int) -> float:
+        return float(tokens * 2 * (3 * 128 + 128 * dim))
+
+    # student fwd (trained, x3 for fwd+bwd)
+    student_fwd = (
+        patch_embed(num_group)
+        + pos_embed(vis) + stack(vis, dim, depth)           # encoder on visible
+        + pos_embed(num_group) * 2                          # decoder pos (both decoders)
+        + stack(num_group, dim, dec_depth)                  # recon decoder
+        + stack(num_group, dim, lp_depth)                   # loss-pred decoder
+        + 2 * num_group * dim * 3 * group_size              # coord head
+        + 2 * num_group * (dim * 1024 + 1024 * dim)         # feature head
+    )
+    # EMA fwd: full 64 tokens, forward only
+    ema_fwd = (
+        patch_embed(num_group) + pos_embed(num_group) + stack(num_group, dim, depth)
+        + pos_embed(num_group) * 2 + stack(num_group, dim, dec_depth)
+        + stack(num_group, dim, lp_depth)
+        + 2 * num_group * dim * 3 * group_size
+        + 2 * num_group * (dim * 1024 + 1024 * dim)
+    )
+    # teacher: full encode + two decoder replays (G and M=num_group-vis tokens)
+    teacher_fwd = (
+        patch_embed(num_group) + pos_embed(num_group) + stack(num_group, dim, depth)
+        + 2 * (pos_embed(num_group) + stack(num_group, dim, dec_depth)
+               + 2 * num_group * dim * 3 * group_size)
+    )
+    per_cloud = 3.0 * student_fwd + ema_fwd + teacher_fwd
+    return batch * per_cloud
 
 
 def main():
@@ -91,6 +205,25 @@ def main():
         state, metrics = multi(state, tvars, pts_stack, rngs, scalars)
         return state, metrics
 
+    # ---- FLOPs per step: XLA cost analysis of the compiled multi-step.
+    # NOTE: HloCostAnalysis counts a lax.scan body ONCE (verified: the
+    # scanned program reports exactly 1/SCAN_STEPS of the unscanned step's
+    # flops), so the scanned program's count IS the per-step count. The
+    # analytic derivation (docs/BENCHMARKS.md) agrees within 2% and is the
+    # fallback + sanity bound.
+    analytic = analytic_gm3d_flops(BATCH, vis=student.num_group - num_mask)
+    flops_per_step, flops_source = analytic, "analytic"
+    try:
+        rngs0 = jax.random.split(jax.random.key(0), SCAN_STEPS)
+        compiled = multi.lower(state, tvars, pts_stack, rngs0, scalars).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        xla_flops = float(cost["flops"]) if cost and cost.get("flops") else 0.0
+        if xla_flops and abs(xla_flops - analytic) / analytic < 0.25:
+            flops_per_step, flops_source = xla_flops, "xla_cost_analysis"
+    except Exception:
+        pass
+
     for i in range(WARMUP_DISPATCHES):
         state, metrics = run(state, i)
     _ = np.asarray(metrics["loss"])  # force completion
@@ -103,16 +236,29 @@ def main():
 
     total_clouds = BATCH * SCAN_STEPS * TIMED_DISPATCHES
     clouds_per_sec = total_clouds / dt
-    print(
-        json.dumps(
-            {
-                "metric": "gm3d_pretrain_clouds_per_sec_per_chip",
-                "value": round(clouds_per_sec, 1),
-                "unit": "clouds/s",
-                "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
-            }
-        )
-    )
+
+    result = {
+        "metric": "gm3d_pretrain_clouds_per_sec_per_chip",
+        "value": round(clouds_per_sec, 1),
+        "unit": "clouds/s",
+        "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
+        "tflops": None,
+        "mfu_vs_measured_peak": None,
+        "mfu_vs_spec_peak": None,
+        "flops_per_step": flops_per_step,
+        "flops_source": flops_source,
+    }
+    if flops_per_step:
+        steps_timed = SCAN_STEPS * TIMED_DISPATCHES
+        achieved = flops_per_step * steps_timed / dt
+        result["tflops"] = round(achieved / 1e12, 3)
+        peak_measured = measure_peak_tflops(jax, jnp, dtype)
+        result["measured_peak_tflops"] = round(peak_measured, 2)
+        result["mfu_vs_measured_peak"] = round(achieved / 1e12 / peak_measured, 4)
+        spec = _spec_peak_tflops(jax.devices()[0])
+        if spec:
+            result["mfu_vs_spec_peak"] = round(achieved / 1e12 / spec, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
