@@ -71,6 +71,44 @@ POINT_MAE_MAP.update(
         "increase_dim.0": ("increase_dim", "conv"),
     }
 )
+# Export-direction disambiguation: the inverted table is last-wins per flax
+# path. The teacher's encoder norm is ``MAE_encoder.norm``
+# (models/Point_MAE.py:252) while PointTransformer (:482) and the GM3D student
+# MaskTransformer (...feature_besed.py:1356) call theirs ``norm_p``; re-insert
+# the right torch key last so exports round-trip into each torch model.
+POINT_MAE_MAP["MAE_encoder.norm"] = POINT_MAE_MAP.pop("MAE_encoder.norm")
+
+# GM3D student (``MaskedAutoencoderViT``, ...feature_besed.py:849-937):
+# encoder + dual decoders + two mask tokens + feature/coordinate heads.
+GM3D_STUDENT_MAP = {
+    "MAE_encoder." + k: ("MAE_encoder/" + v, kind) for k, (v, kind) in _COMMON_ENCODER.items()
+}
+GM3D_STUDENT_MAP.update(
+    {
+        "decoder_pos_embed.0": ("decoder_pos_embed/fc1", "linear"),
+        "decoder_pos_embed.2": ("decoder_pos_embed/fc2", "linear"),
+        # feature head ``increase_dim_2`` (:912-918)
+        "increase_dim_2.0": ("head_fc1", "conv"),
+        "increase_dim_2.1": ("head_bn", "bn"),
+        "increase_dim_2.3": ("head_fc2", "conv"),
+        # coordinate head (:920-927)
+        "increase_dim_just_network_without_feature.0": ("coord_head", "conv"),
+    }
+)
+for _dec in ("MAE_decoder", "MAE_decoder_loss_pred"):
+    GM3D_STUDENT_MAP.update(
+        {
+            f"{_dec}.blocks.{{i}}.norm1": (f"{_dec}/block{{i}}/norm1", "ln"),
+            f"{_dec}.blocks.{{i}}.norm2": (f"{_dec}/block{{i}}/norm2", "ln"),
+            f"{_dec}.blocks.{{i}}.attn.qkv": (f"{_dec}/block{{i}}/attn/qkv", "linear"),
+            f"{_dec}.blocks.{{i}}.attn.proj": (f"{_dec}/block{{i}}/attn/proj", "linear"),
+            f"{_dec}.blocks.{{i}}.mlp.fc1": (f"{_dec}/block{{i}}/mlp/fc1", "linear"),
+            f"{_dec}.blocks.{{i}}.mlp.fc2": (f"{_dec}/block{{i}}/mlp/fc2", "linear"),
+            f"{_dec}.norm": (f"{_dec}/norm", "ln"),
+        }
+    )
+# last-wins for export: the student's encoder norm is ``norm_p``
+GM3D_STUDENT_MAP["MAE_encoder.norm_p"] = GM3D_STUDENT_MAP.pop("MAE_encoder.norm_p")
 
 
 def strip_prefixes(key: str) -> str:

@@ -122,7 +122,10 @@ def make_loaders(cfg, args, labelled_for_svm: bool = True):
             svm_train = _labelled(DataLoader(svm_tr, bs * 2, shuffle=False, drop_last=False))
             svm_test = _labelled(DataLoader(svm_te, bs * 2, shuffle=False, drop_last=False))
             return native, svm_train, svm_test
-    train_loader = _points_only(DataLoader(train_ds, bs, seed=args.seed))
+    train_loader = _points_only(
+        DataLoader(train_ds, bs, seed=args.seed,
+                   num_workers=getattr(args, "num_workers", 0))
+    )
     # reference doubles the SVM loader batch (main_pretrain.py:262-263)
     svm_train = _labelled(DataLoader(svm_tr, bs * 2, shuffle=False, drop_last=False))
     svm_test = _labelled(DataLoader(svm_te, bs * 2, shuffle=False, drop_last=False))
@@ -140,6 +143,9 @@ class _points_only:
         for batch in self.loader:
             yield batch[0] if isinstance(batch, tuple) else batch
 
+    def __getattr__(self, name):  # state()/load_state()/epoch passthrough
+        return getattr(self.loader, name)
+
 
 class _labelled:
     def __init__(self, loader):
@@ -151,6 +157,9 @@ class _labelled:
     def __iter__(self):
         for batch in self.loader:
             yield batch  # (points, labels)
+
+    def __getattr__(self, name):
+        return getattr(self.loader, name)
 
 
 def make_cls_loaders(cfg, args) -> Tuple:

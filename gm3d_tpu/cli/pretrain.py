@@ -278,6 +278,10 @@ def main():
 
     best_acc = 0.0
     start_epoch = int(state.step) // steps_per_epoch
+    if hasattr(train_loader, "load_state"):
+        # continue the deterministic shuffle sequence on resume (the epoch-e
+        # order is a pure function of (seed, e) — see data.datasets.DataLoader)
+        train_loader.load_state({"epoch": start_epoch, "batch": 0})
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
         t0 = time.time()

@@ -27,13 +27,19 @@ def pc_normalize(pc: np.ndarray) -> np.ndarray:
     return pc / scale
 
 
-def numpy_fps(points: np.ndarray, n: int) -> np.ndarray:
+def numpy_fps(points: np.ndarray, n: int, rng: np.random.RandomState | None = None) -> np.ndarray:
     """CPU FPS used for one-time ModelNet preprocessing
-    (``datasets/ModelNetDataset.py:25-46``)."""
+    (``datasets/ModelNetDataset.py:25-46``).
+
+    The reference seeds FPS from a RANDOM point (``:37``
+    ``np.random.randint(0, N)``), unlike the CUDA kernel (index 0). Pass
+    ``rng`` to reproduce that distribution deterministically per item;
+    without it the seed is index 0 (the on-device convention)."""
     num = points.shape[0]
     out = np.zeros(n, dtype=np.int64)
     dist = np.full(num, np.inf)
-    last = 0
+    last = int(rng.randint(0, num)) if rng is not None else 0
+    out[0] = last
     for i in range(1, n):
         d = ((points[:, :3] - points[last, :3]) ** 2).sum(axis=1)
         dist = np.minimum(dist, d)
@@ -117,9 +123,12 @@ class ModelNet:
                 self.points, self.labels = pickle.load(f)
         else:
             pts_list, lbl_list = [], []
-            for name, path in self.datapath:
+            # random FPS seed point per item, as the reference's preprocessing
+            # does (``datasets/ModelNetDataset.py:37``) — deterministic here
+            # via a per-item RandomState so the cache is reproducible.
+            for item_i, (name, path) in enumerate(self.datapath):
                 raw = io.read_txt_points(path)
-                pts_list.append(numpy_fps(raw, 8192))
+                pts_list.append(numpy_fps(raw, 8192, rng=np.random.RandomState(item_i)))
                 lbl_list.append(self.classes[name])
             self.points = np.stack(pts_list)
             self.labels = np.asarray(lbl_list, np.int64)
@@ -305,41 +314,91 @@ class SyntheticClouds:
 
 
 class DataLoader:
-    """Minimal host-side batcher: shuffle, drop-last, stacked numpy batches.
+    """Host-side batcher: deterministic shuffle, drop-last, stacked numpy
+    batches, optional worker threads, checkpointable iterator state.
 
     Replaces torch DataLoader + DistributedSampler (``tools/builder.py:14-31``)
     for the single-controller JAX setup: every host sees the full dataset and
     the device mesh shards each batch along the leading axis.
+
+    Determinism: the epoch-``e`` order is a pure function of ``(seed, e)``, so
+    the stream is identical for any ``num_workers`` and reproducible across
+    restarts. Checkpointing: ``state()`` returns ``{"epoch", "batch"}``;
+    ``load_state()`` resumes mid-epoch at the exact next batch (the worker
+    pool only changes WHO materialises items, never their order — per-batch
+    futures are consumed in submission order).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True, drop_last: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, num_workers: int = 0, prefetch: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.epoch = 0
         self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+        self._next_batch = 0  # resume offset within self.epoch
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    # -- checkpointable iterator state ------------------------------------
+    def state(self) -> dict:
+        """Position of the NEXT batch to be yielded (resume token)."""
+        return {"epoch": self.epoch, "batch": self._next_batch}
+
+    def load_state(self, state: dict) -> None:
+        self.epoch = int(state.get("epoch", 0))
+        self._next_batch = int(state.get("batch", 0))
+
+    # ----------------------------------------------------------------------
+    def _epoch_batches(self, epoch: int):
+        """Deterministic list of per-batch index arrays for ``epoch``."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        stop = n - (self.batch_size - 1 if self.drop_last else 0)
+        return [order[s : s + self.batch_size] for s in range(0, stop, self.batch_size)]
+
+    def _materialize(self, idx):
+        items = [self.dataset[int(i)] for i in idx]
+        payloads = [it[2] for it in items]
+        if isinstance(payloads[0], tuple):
+            cols = list(zip(*payloads))
+            return tuple(
+                np.stack(c) if isinstance(c[0], np.ndarray) else np.asarray(c) for c in cols
+            )
+        return np.stack(payloads)
+
+    def __iter__(self):
+        batches = self._epoch_batches(self.epoch)[self._next_batch :]
+        if self.num_workers <= 0:
+            for idx in batches:
+                self._next_batch += 1
+                yield self._materialize(idx)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pending = []
+                it = iter(batches)
+                for idx in it:
+                    pending.append(pool.submit(self._materialize, idx))
+                    if len(pending) >= self.prefetch:
+                        break
+                while pending:
+                    out = pending.pop(0).result()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        pending.append(pool.submit(self._materialize, nxt))
+                    self._next_batch += 1
+                    yield out
         self.epoch += 1
-        for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0), self.batch_size):
-            idx = order[start : start + self.batch_size]
-            items = [self.dataset[int(i)] for i in idx]
-            payloads = [it[2] for it in items]
-            if isinstance(payloads[0], tuple):
-                cols = list(zip(*payloads))
-                yield tuple(np.stack(c) if isinstance(c[0], np.ndarray) else np.asarray(c) for c in cols)
-            else:
-                yield np.stack(payloads)
+        self._next_batch = 0
 
 
 def build_dataset_from_cfg(cfg):

@@ -113,12 +113,12 @@ class Block(nn.Module):
             rng_a, rng_m = jax.random.split(rng)
         else:
             rng_a = rng_m = None
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, dtype=self.dtype, qkv_bias=self.qkv_bias, name="attn")(
             h, deterministic, attn_mask
         )
         x = x + drop_path(h, self.drop_path_rate, deterministic, rng_a)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             h, deterministic
         )
@@ -173,7 +173,7 @@ class TransformerDecoder(nn.Module):
             x = Block(
                 self.dim, self.num_heads, drop_path_rate=rate, dtype=self.dtype, name=f"block{i}"
             )(x + pos, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if return_tokens:
             x = x[:, -return_tokens:]
         return x

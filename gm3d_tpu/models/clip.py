@@ -61,9 +61,9 @@ class CLIPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         x = x + CLIPAttention(self.width, self.heads, dtype=self.dtype, name="attn")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
@@ -102,12 +102,12 @@ class CLIPVisionTower(nn.Module):
             "positional_embedding", nn.initializers.normal(scale),
             (self.grid**2 + 1, self.width),
         )
-        self.ln_pre = nn.LayerNorm(dtype=self.dtype, name="ln_pre")
+        self.ln_pre = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")
         self.blocks = [
             CLIPBlock(self.width, self.heads, dtype=self.dtype, name=f"block{i}")
             for i in range(self.layers)
         ]
-        self.ln_post = nn.LayerNorm(dtype=self.dtype, name="ln_post")
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")
         self.proj = self.param(
             "proj", nn.initializers.normal(scale), (self.width, self.output_dim)
         )

@@ -369,7 +369,7 @@ class PointM2AEClassifier(nn.Module):
         # one norm per scale: the head pools EVERY scale (public Point-M2AE
         # concatenates multi-scale mean+max features, not just the coarsest)
         self.scale_norms = [
-            nn.LayerNorm(dtype=self.dtype, name=f"norm{s}")
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{s}")
             for s in range(len(self.num_groups))
         ]
         self.head_fc1 = nn.Dense(256, dtype=self.dtype)

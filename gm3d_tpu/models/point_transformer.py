@@ -58,7 +58,7 @@ class PointTransformer(nn.Module):
         self.blocks = TransformerEncoder(
             self.trans_dim, self.depth, self.num_heads, self.drop_path_rate, dtype=self.dtype
         )
-        self.norm = nn.LayerNorm(dtype=self.dtype)
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.cls_head_finetune = ClsHead(self.cls_dim, dtype=self.dtype)
 
     def features(self, pts, deterministic: bool = True):
@@ -90,6 +90,6 @@ class Classifier(nn.Module):
 
     @nn.compact
     def __call__(self, feats, deterministic: bool = True):
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(feats)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(feats)
         pooled = jnp.mean(x, axis=1) + jnp.max(x, axis=1)
         return ClsHead(self.cls_dim, dtype=self.dtype, name="head")(pooled, deterministic)

@@ -64,7 +64,7 @@ class MaskTransformer(nn.Module):
         self.blocks = TransformerEncoder(
             self.trans_dim, self.depth, self.num_heads, self.drop_path_rate, dtype=self.dtype
         )
-        self.norm = nn.LayerNorm(dtype=self.dtype)
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
     def __call__(self, neighborhood, center, mask, num_mask: int, deterministic: bool = True):
         tokens = self.encoder(neighborhood, deterministic)  # (B, G, C)

@@ -61,7 +61,7 @@ class PointMAESeg(nn.Module):
                   dtype=self.dtype, name=f"block{i}")
             for i in range(self.depth)
         ]
-        self.norm = nn.LayerNorm(dtype=self.dtype)
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         tap_dim = self.trans_dim * len(self.feature_blocks)
         self.label_embed = nn.Dense(64, dtype=self.dtype)
         self.prop_proj = nn.Dense(512, dtype=self.dtype)

@@ -111,7 +111,8 @@ def mse_learning_loss(loss_pred: jax.Array, loss_target: jax.Array) -> jax.Array
     """Per-row-normalised MSE variant (``...feature_besed.py:1132-1140``)."""
     target = loss_target.astype(jnp.float32)
     mean = jnp.mean(target, axis=1, keepdims=True)
-    var = jnp.var(target, axis=1, keepdims=True)
+    # torch.Tensor.var defaults to the UNBIASED estimator (correction=1)
+    var = jnp.var(target, axis=1, keepdims=True, ddof=1)
     target = (target - mean) / jnp.sqrt(var + 1e-6)
     return jnp.mean((loss_pred.astype(jnp.float32) - target) ** 2)
 

@@ -46,7 +46,8 @@ class TestMseLearningLoss:
         rng = np.random.default_rng(1)
         target = rng.standard_normal((2, 16)).astype(np.float32) * 5 + 3
         mean = target.mean(1, keepdims=True)
-        var = target.var(1, keepdims=True)
+        # torch.Tensor.var (the reference, ...feature_besed.py:1135) is UNBIASED
+        var = target.var(1, keepdims=True, ddof=1)
         normed = (target - mean) / np.sqrt(var + 1e-6)
         got = float(mse_learning_loss(jnp.asarray(normed), jnp.asarray(target)))
         assert got == pytest.approx(0.0, abs=1e-5)
