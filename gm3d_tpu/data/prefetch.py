@@ -8,6 +8,7 @@ from typing import Iterable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def device_prefetch(loader: Iterable, size: int = 2, sharding=None) -> Iterator:
@@ -22,7 +23,9 @@ def device_prefetch(loader: Iterable, size: int = 2, sharding=None) -> Iterator:
 
     def put(batch):
         if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
+            from gm3d_tpu.parallel.mesh import _put  # multi-process aware
+
+            return jax.tree.map(lambda x: _put(np.asarray(x), sharding), batch)
         return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), batch)
 
     try:

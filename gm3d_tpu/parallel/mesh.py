@@ -32,12 +32,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding: NamedSharding):
+    """Place a host array under ``sharding``, including onto meshes that span
+    multiple processes (every host holds the FULL array — the loader contract,
+    ``data.datasets.DataLoader`` — and each process materialises only its
+    addressable shards)."""
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a host array batch-sharded on the mesh."""
-    return jax.device_put(batch, batch_sharding(mesh, axis))
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: _put(x, sharding), batch)
 
 
 def replicate_tree(mesh: Mesh, tree):
     """Replicate a pytree (params / train state) across the mesh."""
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: _put(x, sharding), tree)
