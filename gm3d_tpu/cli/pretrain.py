@@ -92,6 +92,10 @@ def parse_args():
                         "Always on here: jit/GSPMD computes global-batch "
                         "statistics by construction; per-replica BN is a DDP "
                         "artifact this framework does not reproduce")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace (TensorBoard/Perfetto) "
+                        "of the first --profile_steps train steps")
+    p.add_argument("--profile_steps", type=int, default=5)
     p.add_argument("--shared_opt", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="one optimizer over all params (reference default); "
@@ -277,6 +281,9 @@ def main():
         multi_fn = make_multi_step(step_fn, has_teacher=args.model_family == "gm3d")
 
     best_acc = 0.0
+    prof_remaining = args.profile_steps if args.profile_dir else 0
+    if prof_remaining:
+        jax.profiler.start_trace(args.profile_dir)
     start_epoch = int(state.step) // steps_per_epoch
     if hasattr(train_loader, "load_state"):
         # continue the deterministic shuffle sequence on resume (the epoch-e
@@ -327,6 +334,11 @@ def main():
             else:
                 state, metrics = step_fn(state, pts, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
+            if prof_remaining:
+                prof_remaining -= 1
+                if prof_remaining == 0:
+                    jax.profiler.stop_trace()
+                    logger.info(f"profiler trace written to {args.profile_dir}")
             if probe_step is not None:
                 try:
                     cls_pts, cls_labels = next(probe_iter)
@@ -375,6 +387,8 @@ def main():
             tb.add_scalar("Metric/ACC", stats["val_svm_acc"], epoch)
         tb.flush()
 
+    if prof_remaining:  # run ended before --profile_steps steps
+        jax.profiler.stop_trace()
     save_checkpoint(ckpt_dir, state, int(state.step))
     logger.info(f"done; best svm acc {best_acc:.4f}")
     return best_acc

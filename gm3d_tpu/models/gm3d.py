@@ -111,6 +111,7 @@ class GM3DStudent(nn.Module):
         deterministic: bool = True,
         grouped=None,
         detach_loss_pred_branch: bool = False,
+        tokens=None,
     ):
         """Full student forward (``...feature_besed.py:1007-1059``).
 
@@ -132,7 +133,8 @@ class GM3DStudent(nn.Module):
         if grouped is None:
             grouped = self.group(pts)
         x_vis = self.MAE_encoder(
-            grouped.neighborhood, grouped.center, mask, num_mask, deterministic
+            grouped.neighborhood, grouped.center, mask, num_mask, deterministic,
+            tokens=tokens,
         )
 
         vis_idx, mask_idx = mask_split_indices(mask, num_mask)

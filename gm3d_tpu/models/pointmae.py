@@ -66,8 +66,13 @@ class MaskTransformer(nn.Module):
         )
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
-    def __call__(self, neighborhood, center, mask, num_mask: int, deterministic: bool = True):
-        tokens = self.encoder(neighborhood, deterministic)  # (B, G, C)
+    def __call__(self, neighborhood, center, mask, num_mask: int, deterministic: bool = True,
+                 tokens=None):
+        """``tokens`` (B, G, C) optionally bypasses the patch embed — the
+        train step feeds the fused Pallas patch-embed output here for the
+        grad-free EMA / teacher passes (``ops/patch_embed.py``)."""
+        if tokens is None:
+            tokens = self.encoder(neighborhood, deterministic)  # (B, G, C)
         if num_mask:
             vis_idx, _ = mask_split_indices(mask, num_mask)
             tokens = take_groups(tokens, vis_idx)
@@ -129,7 +134,7 @@ class PointMAE(nn.Module):
         )
         return x_vis, grouped
 
-    def encode_features(self, pts, deterministic: bool = True, grouped=None):
+    def encode_features(self, pts, deterministic: bool = True, grouped=None, tokens=None):
         """noaug encoder-only forward over all groups (SVM feature path,
         ``main_pretrain.py:656``)."""
         batch = pts.shape[0]
@@ -137,7 +142,7 @@ class PointMAE(nn.Module):
         if grouped is None:
             grouped = self.group(pts)
         return self.MAE_encoder(
-            grouped.neighborhood, grouped.center, mask, 0, deterministic
+            grouped.neighborhood, grouped.center, mask, 0, deterministic, tokens=tokens
         )
 
     def __call__(self, pts, mask, num_mask: int, deterministic: bool = True):

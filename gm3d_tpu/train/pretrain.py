@@ -95,6 +95,7 @@ def gm3d_forward_distill(
     mutable: bool,
     grouped=None,
     detach_loss_pred: bool = False,
+    teacher_tokens=None,
 ):
     """Student forward + frozen-teacher complete-to-partial replay.
 
@@ -132,7 +133,8 @@ def gm3d_forward_distill(
         teacher.num_group == student.num_group and teacher.group_size == student.group_size
     ) else None
     teacher_feats = teacher.apply(
-        teacher_vars, samples, method=teacher.encode_features, grouped=teacher_grouped
+        teacher_vars, samples, method=teacher.encode_features, grouped=teacher_grouped,
+        tokens=teacher_tokens if teacher_grouped is not None else None,
     )  # (B, G, D)
     centers = outs["center"]
     point_target = teacher.apply(
@@ -161,6 +163,7 @@ def make_gm3d_train_step(
     augment: bool = True,
     distill_mode: str = "dino",
     shared_opt: bool = True,
+    use_fused_embed: Optional[bool] = None,
 ):
     """The GM3D core path (SURVEY.md §3.1) as one jit:
 
@@ -194,6 +197,12 @@ def make_gm3d_train_step(
     # boundary so one backward reproduces the two-optimizer split (pair this
     # step with build_gm3d_separated_optimizer)
     detach_lp = not shared_opt
+    # fused Pallas patch embed for the two GRAD-FREE passes (EMA forward and
+    # teacher encode): measured 6.5 ms vs 7.8 ms XLA per call at the pretrain
+    # shape (B=256, 64x32) — auto-on for TPU, interpreted (tests) elsewhere
+    if use_fused_embed is None:
+        use_fused_embed = jax.default_backend() == "tpu"
+    fused_interpret = jax.default_backend() != "tpu"
 
     # donate the train state: params/opt/EMA buffers are updated in place,
     # halving their HBM traffic per step
@@ -215,6 +224,22 @@ def make_gm3d_train_step(
 
         grouped = group_points(samples, student.num_group, student.group_size)
 
+        ema_tokens = teacher_tokens = None
+        if use_fused_embed:
+            from gm3d_tpu.ops.patch_embed import fused_patch_embed, params_from_variables
+
+            ema_tokens = fused_patch_embed(
+                grouped.neighborhood,
+                params_from_variables(state.ema_variables(), ("MAE_encoder", "encoder")),
+                interpret=fused_interpret,
+            )
+            if use_distill:
+                teacher_tokens = fused_patch_embed(
+                    grouped.neighborhood,
+                    params_from_variables(teacher_params, ("MAE_encoder", "encoder")),
+                    interpret=fused_interpret,
+                )
+
         # ---- EMA forward on the unmasked cloud (eval mode, no grad)
         zeros_mask = jnp.zeros((batch, student.num_group), bool)
         outs_ema = student.apply(
@@ -225,6 +250,7 @@ def make_gm3d_train_step(
             shared_learnable_tokens,
             deterministic=True,
             grouped=grouped,
+            tokens=ema_tokens,
         )
         # ---- geometric-complexity mask from EMA loss prediction
         mask = geometric_mask(
@@ -259,6 +285,7 @@ def make_gm3d_train_step(
                         mutable=True,
                         grouped=grouped,
                         detach_loss_pred=detach_lp,
+                        teacher_tokens=teacher_tokens,
                     )
                 )
                 loss_outs = losses.gm3d_feature_loss(

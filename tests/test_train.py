@@ -103,13 +103,14 @@ class TestGM3DStep:
             "w_mse": jnp.asarray(1.0),
             "w_cd": jnp.asarray(1.0),
         }
-        first = None
-        for i in range(10):
+        history = []
+        for i in range(12):
             state, metrics = step(state, tvars, pts, jax.random.key(i), scalars)
             assert np.isfinite(float(metrics["loss"]))
-            if first is None:
-                first = float(metrics["loss_mse"])
-        assert float(metrics["loss_mse"]) < first
+            history.append(float(metrics["loss_mse"]))
+        # loss is noisy step-to-step (mask resampled per step): compare the
+        # mean of the last quarter against the first quarter
+        assert np.mean(history[-3:]) < np.mean(history[:3])
         for k in ("loss", "loss_mse", "loss_chfr", "loss_learn", "grad_norm"):
             assert k in metrics
 
@@ -241,3 +242,35 @@ class TestMultiStep:
         p_seq = np.asarray(jax.tree.leaves(s_seq.params)[0])
         p_multi = np.asarray(jax.tree.leaves(s_multi.params)[0])
         np.testing.assert_allclose(p_multi, p_seq, atol=1e-5)
+
+
+class TestFusedEmbedStep:
+    def test_fused_embed_matches_unfused(self):
+        """The fused Pallas patch embed (grad-free EMA/teacher passes) must
+        reproduce the XLA step: same mask decisions, same losses to fp32
+        rounding (BN folded to affine == running-stats BN in eval mode)."""
+        student = GM3DStudent(**SMALL)
+        teacher = PointMAE(**SMALL)
+        pts = synthetic_clouds(seed=11)
+        num_mask = int(SMALL["num_group"] * 0.6)
+        mask0 = jnp.zeros((2, SMALL["num_group"]), bool).at[:, :num_mask].set(True)
+        import optax
+
+        tx = optax.adamw(1e-4)
+        tvars = teacher.init(jax.random.key(1), pts[:2], mask0, num_mask)
+        scalars = {"keep_ratio": jnp.asarray(0.5), "ema_decay": jnp.asarray(0.999),
+                   "w_mse": jnp.asarray(1.0), "w_cd": jnp.asarray(1.0)}
+
+        def run(use_fused):
+            svars = student.init(jax.random.key(0), pts[:2], mask0, num_mask)
+            state = create_train_state(svars, tx, with_ema=True)
+            step = make_gm3d_train_step(student, teacher, tx, mask_ratio=0.6,
+                                        use_fused_embed=use_fused)
+            state, metrics = step(state, tvars, pts, jax.random.key(7), scalars)
+            return {k: float(v) for k, v in metrics.items()}
+
+        ref = run(False)
+        fused = run(True)
+        assert fused["loss"] == pytest.approx(ref["loss"], rel=2e-4)
+        assert fused["loss_mse"] == pytest.approx(ref["loss_mse"], rel=2e-4)
+        assert fused["loss_chfr"] == pytest.approx(ref["loss_chfr"], rel=2e-4, abs=1e-6)
