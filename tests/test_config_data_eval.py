@@ -86,10 +86,13 @@ class TestData:
         np.testing.assert_allclose(pc.mean(0), 0, atol=1e-6)
 
     def test_loader_epoch_reshuffles(self):
+        # the epoch counter advances when an epoch COMPLETES (required for
+        # mid-epoch resume, see DataLoader.state()), so consecutive full
+        # epochs see different shuffles
         ds = SyntheticClouds(num_samples=16, npoints=32)
         dl = DataLoader(ds, batch_size=16)
-        b1 = next(iter(dl))
-        b2 = next(iter(dl))
+        (b1,) = list(dl)  # epoch 0
+        (b2,) = list(dl)  # epoch 1
         assert (b1 != b2).any()
 
 
