@@ -295,6 +295,12 @@ def load_student_module():
     return _import_from_reference("models_mae_learn_loss_Classifier_SVM_feature_besed")
 
 
+def load_usual_student_module():
+    """The usual-mode twin (``--mode usual``): coordinate pix_pred, depth-4
+    loss-pred decoder, Chamfer-only loss matrix."""
+    return _import_from_reference("models_mae_learn_loss_Classifier_SVM")
+
+
 def load_teacher_module():
     """``models.Point_MAE`` (frozen distillation teacher / legacy pretrain)."""
     return _import_from_reference("models.Point_MAE")

@@ -325,3 +325,70 @@ def test_teacher_replay_matches_reference(teacher_pair, data):
     np.testing.assert_allclose(
         np.asarray(rebuild_reco).reshape(B, M, -1), rebuild_reco_t.numpy(), atol=2e-4
     )
+
+
+@pytest.fixture(scope="module")
+def usual_pair():
+    """(reference usual-mode torch student, our model, our variables)
+    (``models_mae_learn_loss_Classifier_SVM.py:849-...``: coordinate
+    pix_pred, depth-4 loss-pred decoder, Chamfer-only matrix)."""
+    ref_mod = reference_shims.load_usual_student_module()
+    model = GM3DStudent(mode="usual")
+    pts0 = jnp.zeros((B, N, 3), jnp.float32)
+    mask0 = jnp.zeros((B, G), bool).at[:, :M].set(True)
+    variables = model.init(jax.random.PRNGKey(2), pts0, mask0, M)
+    variables = {k: _randomize(v, "u/" + k) for k, v in variables.items()}
+
+    sd = export_torch_checkpoint(variables, GM3D_STUDENT_MAP)
+    torch.manual_seed(0)
+    ref_model = ref_mod.MaskedAutoencoderViT().eval()
+    result = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert set(result.missing_keys) <= {"norm_p.weight", "norm_p.bias"}, result.missing_keys
+    assert result.unexpected_keys == [], result.unexpected_keys
+    return ref_model, model, variables
+
+
+def test_usual_mode_forward_matches_reference(usual_pair, data):
+    """Usual-mode forward: pix_pred are rebuilt COORDINATES over the full
+    sequence (``..._Classifier_SVM.py:665,676``), loss_pred as in feature
+    mode (depth-4 decoder)."""
+    ref_model, model, variables = usual_pair
+    pts, mask = data
+    with torch.no_grad():
+        outs_t = ref_model(torch.from_numpy(pts), torch.from_numpy(mask))
+    outs = model.apply(variables, jnp.asarray(pts), jnp.asarray(mask), M)
+    np.testing.assert_allclose(
+        np.asarray(outs["pix_pred"]), outs_t["pix_pred"].numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["loss_pred"]), outs_t["loss_pred"].numpy(), atol=2e-4
+    )
+
+
+def test_usual_mode_forward_loss_matches_reference(usual_pair, data):
+    """Usual-mode ``forward_loss`` (``..._Classifier_SVM.py:967-982``):
+    per-group Chamfer only, MSE zeroed."""
+    ref_model, _, _ = usual_pair
+    _, mask = data
+    rng = np.random.RandomState(23)
+    pred = rng.randn(B, M, S * 3).astype(np.float32)  # rebuilt coords, masked slots
+    target = rng.randn(B, G, S, 3).astype(np.float32)  # neighborhood (gt patches)
+    with torch.no_grad():
+        ref_out = ref_model.forward_loss(
+            torch.from_numpy(pred.reshape(B, M, S, 3)),
+            torch.from_numpy(target),
+            torch.from_numpy(mask),
+        )
+    ours = losses.gm3d_usual_loss(
+        jnp.asarray(pred), jnp.asarray(target), jnp.asarray(_mask_idx(mask))
+    )
+    assert float(ours["MSE_mean"]) == 0.0 and float(ref_out["MSE_mean"]) == 0.0
+    np.testing.assert_allclose(
+        float(ours["Chamfer_mean"]), float(ref_out["Chamfer_mean"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["matrix"]), ref_out["matrix"].numpy(), rtol=1e-4, atol=1e-6
+    )
