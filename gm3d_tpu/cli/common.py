@@ -174,7 +174,9 @@ def make_cls_loaders(cfg, args) -> Tuple:
     else:
         train_ds = build_dataset_from_cfg(cfg["dataset"]["train"])
         val_ds = build_dataset_from_cfg(cfg["dataset"]["val"])
+    workers = getattr(args, "num_workers", 0)
     return (
-        _labelled(DataLoader(train_ds, bs, seed=args.seed)),
-        _labelled(DataLoader(val_ds, bs, shuffle=False, drop_last=False)),
+        _labelled(DataLoader(train_ds, bs, seed=args.seed, num_workers=workers)),
+        _labelled(DataLoader(val_ds, bs, shuffle=False, drop_last=False,
+                             num_workers=workers)),
     )
