@@ -392,3 +392,113 @@ def test_usual_mode_forward_loss_matches_reference(usual_pair, data):
     np.testing.assert_allclose(
         np.asarray(ours["matrix"]), ref_out["matrix"].numpy(), rtol=1e-4, atol=1e-6
     )
+
+
+def test_gradient_parity_full_gm3d_loss(student_pair, teacher_pair, data):
+    """GRADIENT parity on the full GM3D objective: the reference's
+    ``backward()`` through student forward + no-grad teacher replay +
+    forward_loss + forward_learning_loss (engine composition,
+    ``engine_pretrain_Classifier_SVM.py:140-240``: total = w_mse*MSE +
+    w_cd*Chamfer + loss_learn, matrix detached) must equal ``jax.grad`` of
+    the rebuild's loss, leaf by leaf, after mapping torch grads through the
+    SAME layout table the weights use. Catches stop-gradient and
+    train/eval-semantics bugs forward parity can't."""
+    ref_student, model, svars = student_pair
+    ref_teacher, tmodel, tvars = teacher_pair
+    pts, mask = data
+    from gm3d_tpu.ckpt.torch_import import import_torch_checkpoint
+    from gm3d_tpu.train.pretrain import gm3d_forward_distill
+
+    # ---- torch side (eval mode: BN running stats, droppath off — matched
+    # by deterministic=True on the jax side; grads still flow)
+    ref_student.zero_grad(set_to_none=True)
+    pts_t, mask_t = torch.from_numpy(pts), torch.from_numpy(mask)
+    outs_t = ref_student(pts_t, mask_t)
+    Mn = int(outs_t["mask_num"])
+    with torch.no_grad():  # forward_features_Decoder runs under no_grad
+        x_vis_t, m0 = ref_teacher.MAE_encoder(
+            outs_t["neighborhood"], outs_t["center"], noaug=False
+        )
+        Bv, Nv, C = x_vis_t.shape
+        pos_vis = ref_teacher.decoder_pos_embed(outs_t["center"][~m0]).reshape(Bv, -1, C)
+        point_target_t = ref_teacher.increase_dim(
+            ref_teacher.MAE_decoder(x_vis_t, pos_vis, Nv).transpose(1, 2)
+        ).transpose(1, 2)
+        pos_mask = ref_teacher.decoder_pos_embed(outs_t["center"][mask_t]).reshape(Bv, -1, C)
+        point_reco_t = ref_teacher.increase_dim(
+            ref_teacher.MAE_decoder(
+                outs_t["pix_pred"][:, -Mn:], pos_mask, Nv
+            ).transpose(1, 2)
+        ).transpose(1, 2)
+    loss_outs_t = ref_student.forward_loss(
+        outs_t["pix_pred"][:, -Mn:],
+        x_vis_t.detach(),
+        mask_t,
+        point_target_t.reshape(B, G, S, 3),
+        point_reco_t.reshape(B, Mn, S, 3),
+    )
+    loss_t = loss_outs_t["MSE_mean"] + loss_outs_t["Chamfer_mean"]
+    loss_learn_t = ref_student.forward_learning_loss(
+        outs_t["loss_pred"][:, -Mn:], mask_t, loss_outs_t["matrix"].detach(),
+        relative=True,
+    )
+    (loss_t + loss_learn_t).backward()
+    torch_grads = {
+        name: p.grad for name, p in ref_student.named_parameters() if p.grad is not None
+    }
+    mapped = import_torch_checkpoint(torch_grads, GM3D_STUDENT_MAP)
+    mapped.pop("_unmatched", None)
+    ref_grads = mapped["params"]
+
+    # ---- jax side: same objective via the train-step helper (eval mode)
+    def loss_fn(params):
+        student_vars = {"params": params, "batch_stats": svars["batch_stats"]}
+        outs, _, teacher_feats, point_target, point_reco, pred_masked = (
+            gm3d_forward_distill(
+                model, tmodel, student_vars, tvars, jnp.asarray(pts),
+                jnp.asarray(mask), M, False, None, mutable=False,
+            )
+        )
+        lo = losses.gm3d_feature_loss(
+            pred_masked,
+            jax.lax.stop_gradient(teacher_feats),
+            outs["mask_idx"],
+            jax.lax.stop_gradient(point_target),
+            point_reco,
+        )
+        loss = lo["MSE_mean"] + lo["Chamfer_mean"]
+        loss_learn = losses.relative_learning_loss(
+            outs["loss_pred"][:, -M:], jax.lax.stop_gradient(lo["matrix"])
+        )
+        return loss + loss_learn
+
+    our_grads = jax.grad(loss_fn)(svars["params"])
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(flatten(v, p))
+            else:
+                out[p] = np.asarray(v, np.float64)
+        return out
+
+    ref_flat = flatten(ref_grads)
+    our_flat = flatten(our_grads)
+    # the reference tree also has grads for its dead root norm_p (weight
+    # decay-free, grad 0) — those don't map; every mapped leaf must exist here
+    assert len(ref_flat) > 150, sorted(ref_flat)[:5]
+    compared = 0
+    for path, g_ref in ref_flat.items():
+        assert path in our_flat, f"reference grad leaf {path} missing in rebuild"
+        g_our = our_flat[path]
+        # per-leaf absolute tolerance scaled by the leaf's own magnitude:
+        # leaves whose gradient is analytically ~0 (e.g. the feature-head
+        # bias, which cancels in the pairwise ranking loss) compare at 1e-6
+        tol = 1e-6 + 1e-3 * float(np.abs(g_ref).max())
+        np.testing.assert_allclose(
+            g_our, g_ref, atol=tol, err_msg=f"gradient mismatch at {path}"
+        )
+        compared += 1
+    assert compared == len(ref_flat)
