@@ -92,6 +92,9 @@ def parse_args():
                         "Always on here: jit/GSPMD computes global-batch "
                         "statistics by construction; per-replica BN is a DDP "
                         "artifact this framework does not reproduce")
+    p.add_argument("--save_interval", type=int, default=100,
+                   help="periodic epoch snapshots under <ckpt>/epochs "
+                        "(reference saves every 100 epochs); 0 disables")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace (TensorBoard/Perfetto) "
                         "of the first --profile_steps train steps")
@@ -371,8 +374,17 @@ def main():
             stats["val_svm_acc"] = acc
             if acc > best_acc:
                 best_acc = acc
-                save_checkpoint(ckpt_dir, state, int(state.step),
-                                metrics={"svm_acc": acc})
+                # ckpt/best mirrors *_temp_best.pth (main_pretrain.py:591-611)
+                save_checkpoint(os.path.join(ckpt_dir, "best"), state,
+                                int(state.step), metrics={"svm_acc": acc},
+                                max_to_keep=1)
+        # rolling last-epoch save (*_temp_last.pth parity — crash resume
+        # continues from the last completed epoch, not the last best)
+        save_checkpoint(ckpt_dir, state, int(state.step))
+        if args.save_interval and (epoch + 1) % args.save_interval == 0:
+            # periodic snapshots every N epochs ({model}_{epoch:04d}.pth parity)
+            save_checkpoint(os.path.join(ckpt_dir, "epochs"), state,
+                            int(state.step), max_to_keep=1000)
         logger.info(f"epoch {epoch}: " + " ".join(f"{k}={v:.5g}" for k, v in stats.items()
                                                   if isinstance(v, (int, float))))
         jsonl.write(stats)
@@ -389,7 +401,10 @@ def main():
 
     if prof_remaining:  # run ended before --profile_steps steps
         jax.profiler.stop_trace()
-    save_checkpoint(ckpt_dir, state, int(state.step))
+    from gm3d_tpu.ckpt.checkpoint import latest_step
+
+    if latest_step(ckpt_dir) != int(state.step):  # 0-epoch runs (resume at end)
+        save_checkpoint(ckpt_dir, state, int(state.step))
     logger.info(f"done; best svm acc {best_acc:.4f}")
     return best_acc
 
