@@ -103,7 +103,18 @@ def main():
     rng = jax.random.key(args.seed)
     best = 0.0
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
-    for epoch in range(epochs):
+    start_epoch = 0
+    if args.resume:
+        from gm3d_tpu.ckpt import restore_checkpoint
+
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state = replicate_tree(mesh, restored)
+            start_epoch = int(restored.step) // steps_per_epoch
+            logger.info(f"resumed from step {int(restored.step)} (epoch {start_epoch})")
+            if hasattr(train_loader, "load_state"):
+                train_loader.load_state({"epoch": start_epoch, "batch": 0})
+    for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
         t0 = time.time()
         for pts, labels in device_prefetch(train_loader, sharding=bshard):
@@ -117,7 +128,10 @@ def main():
             stats["val_acc"] = acc
             if acc > best:
                 best = acc
-                save_checkpoint(ckpt_dir, state, int(state.step), metrics={"acc": acc})
+                save_checkpoint(os.path.join(ckpt_dir, "best"), state,
+                                int(state.step), metrics={"acc": acc}, max_to_keep=1)
+        # rolling last-epoch save (ckpt-last.pth parity, tools/builder.py:128-137)
+        save_checkpoint(ckpt_dir, state, int(state.step))
         logger.info(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
         jsonl.write(stats)
