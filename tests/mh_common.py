@@ -53,10 +53,15 @@ def run_training(steps: int = 3):
         return state.replace(params=params, batch_stats=bs,
                              opt_state=opt_state, step=state.step + 1), loss
 
+    # feed batches through the CLIs' actual input path: sharded device
+    # prefetch (multi-process aware via parallel.mesh._put)
+    from gm3d_tpu.data.prefetch import device_prefetch
+    from gm3d_tpu.parallel.mesh import batch_sharding
+
+    mask_dev = shard_batch(mesh, mask_host)
     losses = []
-    for _ in range(steps):
-        batch = shard_batch(mesh, pts_host)
-        mask_dev = shard_batch(mesh, mask_host)
+    loader = [pts_host] * steps
+    for batch in device_prefetch(loader, sharding=batch_sharding(mesh)):
         state, loss = step_fn(state, batch, mask_dev)
         losses.append(float(jax.device_get(loss)))
     return losses
