@@ -340,6 +340,7 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self._next_batch = 0  # resume offset within self.epoch
+        self._resume_pending = False
 
     def __len__(self):
         n = len(self.dataset)
@@ -353,6 +354,11 @@ class DataLoader:
     def load_state(self, state: dict) -> None:
         self.epoch = int(state.get("epoch", 0))
         self._next_batch = int(state.get("batch", 0))
+        # honor the mid-epoch offset only for the NEXT iteration: every other
+        # __iter__ must deliver the full epoch (a peeked-and-abandoned
+        # iterator, e.g. `next(iter(loader))` for an example batch, must not
+        # make later iterations skip batches)
+        self._resume_pending = True
 
     # ----------------------------------------------------------------------
     def _epoch_batches(self, epoch: int):
@@ -375,7 +381,10 @@ class DataLoader:
         return np.stack(payloads)
 
     def __iter__(self):
-        batches = self._epoch_batches(self.epoch)[self._next_batch :]
+        start = self._next_batch if self._resume_pending else 0
+        self._resume_pending = False
+        self._next_batch = start
+        batches = self._epoch_batches(self.epoch)[start:]
         if self.num_workers <= 0:
             for idx in batches:
                 self._next_batch += 1

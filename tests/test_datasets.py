@@ -233,3 +233,11 @@ class TestDataLoader:
         assert len(got) == len(flat)
         for xa, xb in zip(got, flat):
             np.testing.assert_array_equal(xa, xb)
+
+    def test_peek_does_not_consume_epoch(self):
+        # `next(iter(loader))` example-batch peeks (cli/*.py init) must not
+        # make the following full iteration skip batches
+        dl = self._loader()
+        _ = next(iter(dl))
+        assert len(list(dl)) == 5
+        assert len(list(dl)) == 5
