@@ -118,7 +118,18 @@ def main():
 
     rng = jax.random.key(args.seed)
     best = {"instance_miou": 0.0, "class_miou": 0.0}
-    for epoch in range(epochs):
+    ckpt_dir = os.path.join(args.output_dir, "ckpt")
+    start_epoch = 0
+    if args.resume:
+        from gm3d_tpu.ckpt import restore_checkpoint
+
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state = replicate_tree(mesh, restored)
+            start_epoch = int(restored.step) // steps_per_epoch
+            logger.info(f"resumed from step {int(restored.step)} (epoch {start_epoch})")
+            train_loader.load_state({"epoch": start_epoch, "batch": 0})
+    for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
         t0 = time.time()
         for pts, cls_label, seg in device_prefetch(train_loader, sharding=bshard):
@@ -143,8 +154,12 @@ def main():
             stats["class_miou"] = miou["class_miou"] * 100
             if miou["instance_miou"] > best["instance_miou"]:
                 best = {k: miou[k] for k in ("instance_miou", "class_miou")}
-                save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
-                                int(state.step), metrics={"instance_miou": miou["instance_miou"]})
+                save_checkpoint(os.path.join(ckpt_dir, "best"), state,
+                                int(state.step),
+                                metrics={"instance_miou": miou["instance_miou"]},
+                                max_to_keep=1)
+        # rolling last-epoch save (ckpt-last.pth parity)
+        save_checkpoint(ckpt_dir, state, int(state.step))
         logger.info(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
         jsonl.write(stats)
