@@ -502,3 +502,39 @@ def test_gradient_parity_full_gm3d_loss(student_pair, teacher_pair, data):
         )
         compared += 1
     assert compared == len(ref_flat)
+
+
+@pytest.mark.parametrize("epoch,total,mask_ratio", [
+    (0, 200, 0.75),    # len_loss == 0 -> pure-random branch (:1086-1089)
+    (7, 200, 0.75),
+    (99, 200, 0.6),
+    (150, 200, 0.75),
+])
+def test_generate_mask_contract_sweep(student_pair, epoch, total, mask_ratio):
+    """The deterministic contract of ``generate_mask`` across the keep_ratio
+    ramp, including the pure-random branch when ``len_loss <= 0``."""
+    ref_model, _, _ = student_pair
+    keep_ratio = keep_ratio_schedule(epoch, total)
+    rng = np.random.RandomState(29 + epoch)
+    loss_pred = rng.randn(B, G).astype(np.float32)
+    len_keep = int(G * (1 - mask_ratio))
+    num_mask = G - len_keep
+    len_loss = int(num_mask * keep_ratio)
+
+    torch.manual_seed(epoch)
+    np.random.seed(epoch)
+    with torch.no_grad():
+        ref_mask = ref_model.generate_mask(
+            torch.from_numpy(loss_pred), mask_ratio=mask_ratio, guide=True,
+            epoch=epoch, total_epoch=total,
+        ).numpy().astype(bool)
+    our_mask = np.asarray(
+        geometric_mask(jax.random.PRNGKey(31 + epoch), jnp.asarray(loss_pred),
+                       num_mask, jnp.float32(keep_ratio))
+    )
+    top_loss = np.argsort(loss_pred, axis=1)[:, G - len_loss:]
+    for m in (ref_mask, our_mask):
+        assert m.sum(axis=1).tolist() == [num_mask] * B
+        if len_loss > 0:
+            for i in range(B):
+                assert m[i, top_loss[i]].all()
