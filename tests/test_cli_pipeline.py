@@ -41,6 +41,11 @@ def test_teacher_gm3d_finetune_pipeline(tmp_path):
     log = [json.loads(l) for l in open(os.path.join(gm3d, "log.txt"))]
     assert "val_svm_acc" in log[-1]
     assert all(k in log[-1] for k in ("loss", "loss_mse", "loss_chfr", "loss_learn"))
+    # checkpoint cadence: rolling last (numeric step dirs) + best on SVM
+    # improvement (reference *_temp_last / *_temp_best parity)
+    ckpt = os.path.join(gm3d, "ckpt")
+    assert any(d.isdigit() for d in os.listdir(ckpt)), os.listdir(ckpt)
+    assert os.path.isdir(os.path.join(ckpt, "best"))
 
     best = run_cli("gm3d_tpu.cli.finetune", [
         "ft", "--config", "configs/pointmae/finetune_modelnet.yaml", "--synthetic",
