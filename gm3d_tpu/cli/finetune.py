@@ -29,6 +29,7 @@ from gm3d_tpu.train.optim import build_finetune_optimizer
 from gm3d_tpu.train.schedules import cosine_warmup_schedule
 from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
+from gm3d_tpu.utils.debug import check_finite_loss
 
 
 def parse_args():
@@ -121,6 +122,8 @@ def main():
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, pts, labels, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
+            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
+            check_finite_loss(float(metrics["loss"]), logger)
         stats = meter.global_avgs()
         stats.update(epoch=epoch, time=round(time.time() - t0, 2))
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:

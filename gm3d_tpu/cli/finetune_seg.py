@@ -29,6 +29,7 @@ from gm3d_tpu.train.segmentation import (
 )
 from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
+from gm3d_tpu.utils.debug import check_finite_loss
 
 CLS_NAMES = sorted(SEG_CLASSES)
 
@@ -136,6 +137,8 @@ def main():
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, pts, cls_label, seg, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
+            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
+            check_finite_loss(float(metrics["loss"]), logger)
         stats = meter.global_avgs()
         stats.update(epoch=epoch, time=round(time.time() - t0, 2))
 

@@ -47,6 +47,7 @@ from gm3d_tpu.train.schedules import (
 from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.masking import keep_ratio_schedule
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
+from gm3d_tpu.utils.debug import check_finite_loss
 
 
 def parse_args():
@@ -81,9 +82,14 @@ def parse_args():
     p.add_argument("--warmup_epochs", type=int, default=40)
     p.add_argument("--min_lr", type=float, default=0.0)
     p.add_argument("--accum_iter", type=int, default=1)
-    p.add_argument("--steps_per_dispatch", type=int, default=1,
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
                    help="scan this many train steps inside one device dispatch "
-                        "(amortises controller latency; gm3d/m2ae_gm3d families)")
+                        "(amortises controller latency; gm3d/m2ae_gm3d families). "
+                        "Default 8 matches bench.py — per-step dispatch costs "
+                        "measurable throughput under a remote controller. All "
+                        "K steps' metrics feed the meters; a partial trailing "
+                        "group is flushed as single steps. Set 1 to debug "
+                        "step-by-step")
     p.add_argument("--classification", action="store_true",
                    help="train a supervised Classifier probe alongside (reference --classification)")
     p.add_argument("--sync_bn", default=True, action=argparse.BooleanOptionalAction,
@@ -144,8 +150,13 @@ def main():
 
     lr = effective_lr(args.blr, batch, args.accum_iter)
     sched = cosine_warmup_schedule(lr, args.min_lr, args.warmup_epochs, epochs, steps_per_epoch)
+    # HPM-style engines clip grads to global-norm 5 on every step — the
+    # NativeScaler DEFAULT clip_grad=5. (util/misc.py:256), never overridden
+    # by the pretrain mains. The legacy teacher path (tools/runner_pretrain.py
+    # :138-151) uses plain backward with NO clip.
+    grad_clip = 5.0 if args.model_family in ("gm3d", "m2ae_gm3d") else None
     tx = build_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"],
-                     accum_steps=args.accum_iter)
+                     grad_clip=grad_clip, accum_steps=args.accum_iter)
 
     # ---- build model family
     if args.model_family == "gm3d":
@@ -153,7 +164,9 @@ def main():
             "usual" if args.learn_feature_loss == "none" else args.mode
         )
         student = GM3DStudent(mode=mode, dtype=dtype)
-        num_mask = int(student.num_group * args.mask_ratio)
+        from gm3d_tpu.masking import gm3d_num_mask
+
+        num_mask = gm3d_num_mask(student.num_group, args.mask_ratio)
         mask0 = jnp.zeros((2, student.num_group), bool).at[:, :num_mask].set(True)
         svars = student.init(jax.random.key(1), example[:2], mask0, num_mask)
         teacher = None
@@ -210,7 +223,7 @@ def main():
         step_fn = make_gm3d_train_step(
             student, teacher, tx, args.mask_ratio, args.shared_learnable_tokens,
             args.relative, distill_mode=args.learn_feature_loss,
-            shared_opt=args.shared_opt,
+            shared_opt=args.shared_opt, accum_steps=args.accum_iter,
         )
         feat_model = student
     elif args.model_family == "pointmae":
@@ -329,14 +342,25 @@ def main():
                     state, mstack = multi_fn(state, tvars, stack, keys, scalars)
                 else:
                     state, mstack = multi_fn(state, None, stack, keys, scalars)
-                metrics = {k: v[-1] for k, v in mstack.items()}
-            elif args.model_family == "gm3d":
-                state, metrics = step_fn(state, tvars, pts, key, scalars)
-            elif args.model_family == "m2ae_gm3d":
-                state, metrics = step_fn(state, pts, key, scalars)
+                # the scanned stacks are (K,): feed EVERY step to the meters
+                # so epoch averages cover all steps, not 1/K of them
+                host = {k: np.asarray(v) for k, v in mstack.items()}
+                for j in range(k_dispatch):
+                    meter.update(**{k: float(v[j]) for k, v in host.items()})
+                # sum is non-finite iff any step's loss is (NaN/inf propagate)
+                loss_val = float(np.sum(host["loss"]))
             else:
-                state, metrics = step_fn(state, pts, key)
-            meter.update(**{k: float(v) for k, v in metrics.items()})
+                if args.model_family == "gm3d":
+                    state, metrics = step_fn(state, tvars, pts, key, scalars)
+                elif args.model_family == "m2ae_gm3d":
+                    state, metrics = step_fn(state, pts, key, scalars)
+                else:
+                    state, metrics = step_fn(state, pts, key)
+                meter.update(**{k: float(v) for k, v in metrics.items()})
+                loss_val = float(metrics["loss"])
+            # NaN-loss hard exit (engine_pretrain_Classifier_SVM.py:232-234);
+            # the loss is already read for the meters, so no extra host sync
+            check_finite_loss(loss_val, logger)
             if prof_remaining:
                 prof_remaining -= 1
                 if prof_remaining == 0:
@@ -360,10 +384,14 @@ def main():
             else:
                 state, metrics = step_fn(state, pts, key, scalars)
             meter.update(**{k: float(v) for k, v in metrics.items()})
+            check_finite_loss(float(metrics["loss"]), logger)
         stats = meter.global_avgs()
         epoch_time = time.time() - t0
         stats.update(epoch=epoch, time=round(epoch_time, 2),
                      lr=float(sched(int(state.step))),
+                     # meter coverage: must equal steps_per_epoch regardless of
+                     # --steps_per_dispatch (every scanned step feeds the meters)
+                     steps=meter.meters["loss"].count if "loss" in meter.meters else 0,
                      clouds_per_sec=round(steps_per_epoch * batch / max(epoch_time, 1e-9), 1))
 
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:

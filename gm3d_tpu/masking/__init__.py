@@ -10,7 +10,14 @@ from gm3d_tpu.masking.masks import (
     random_mask,
     block_mask,
     geometric_mask,
+    gm3d_num_mask,
     keep_ratio_schedule,
 )
 
-__all__ = ["random_mask", "block_mask", "geometric_mask", "keep_ratio_schedule"]
+__all__ = [
+    "random_mask",
+    "block_mask",
+    "geometric_mask",
+    "gm3d_num_mask",
+    "keep_ratio_schedule",
+]

@@ -28,6 +28,18 @@ def block_mask(rng: jax.Array, centers: jax.Array, num_mask: int) -> jax.Array:
     return _rank(dist) < num_mask
 
 
+def gm3d_num_mask(num_groups: int, mask_ratio: float) -> int:
+    """Masked-slot count of the GM3D ``generate_mask``
+    (``...feature_besed.py:1065``): ``L - int(L * (1 - mask_ratio))``.
+
+    NOT ``int(L * mask_ratio)``: at the default ratio 0.6 with L=64 the
+    reference masks 64 - int(25.6) = 39 groups, not 38.  (The teacher's own
+    random mask, ``models/Point_MAE.py:308``, DOES use ``int(L * ratio)`` —
+    the two conventions differ whenever ``L * ratio`` is non-integral.)
+    """
+    return num_groups - int(num_groups * (1.0 - mask_ratio))
+
+
 def keep_ratio_schedule(epoch: float, total_epochs: int, after_200_epoch: bool = False) -> float:
     """Fraction of the masked slots chosen by predicted loss, ramped over
     training (``...feature_besed.py:1073-1082``)."""

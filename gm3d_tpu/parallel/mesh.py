@@ -49,6 +49,20 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return jax.tree.map(lambda x: _put(x, sharding), batch)
 
 
+def shard_eval_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Batch-shard when the leading dim divides the mesh, replicate otherwise
+    — eval loaders run ``drop_last=False`` and may end with a ragged batch."""
+    n = int(mesh.devices.size)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.shape[0] % n == 0:
+            return _put(x, batch_sharding(mesh, axis))
+        return _put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)
+
+
 def replicate_tree(mesh: Mesh, tree):
     """Replicate a pytree (params / train state) across the mesh."""
     sharding = replicated(mesh)

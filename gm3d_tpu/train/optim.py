@@ -69,6 +69,7 @@ def build_gm3d_separated_optimizer(
     weight_decay: float = 0.05,
     betas=(0.9, 0.95),
     accum_steps: int = 1,
+    grad_clip: float | None = 5.0,
 ) -> optax.GradientTransformation:
     """Two AdamW states over disjoint param subsets (``--shared_opt False``,
     ``engine_pretrain_Classifier_SVM.py:335-642``).
@@ -77,13 +78,18 @@ def build_gm3d_separated_optimizer(
     backward pass yields exactly the separated semantics: the recon loss
     updates only the recon subset (the learning loss can't reach the encoder
     through the stop_gradient) and the learning loss updates only the
-    loss-pred subset.  No grad clip: the reference's ``clip_grad_norm_`` runs
-    BEFORE backward on zeroed grads — an effective no-op
-    (``engine...:546-548`` + zero_grad at ``:571-574``)."""
+    loss-pred subset.
+
+    Grad clipping: the engine's explicit ``clip_grad_norm_(..., 1.0)`` runs
+    BEFORE backward on zeroed grads — an effective no-op (``engine...:546-548``
+    + zero_grad at ``:571-574``) — but ``NativeScalerWithGradNormCount``
+    defaults ``clip_grad=5.`` (``util/misc.py:256``) and each loss_scaler call
+    clips ITS subset's gradients to global-norm 5 before stepping; reproduced
+    per-label here."""
     tx = optax.multi_transform(
         {
-            "recon": build_adamw(learning_rate, weight_decay, betas),
-            "loss_pred": build_adamw(learning_rate, weight_decay, betas),
+            "recon": build_adamw(learning_rate, weight_decay, betas, grad_clip=grad_clip),
+            "loss_pred": build_adamw(learning_rate, weight_decay, betas, grad_clip=grad_clip),
             "frozen": optax.set_to_zero(),
         },
         gm3d_separated_labels(params),

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import optax
 
 from gm3d_tpu.data.transforms import scale_and_translate
-from gm3d_tpu.masking import block_mask, geometric_mask, random_mask
+from gm3d_tpu.masking import block_mask, geometric_mask, gm3d_num_mask, random_mask
 from gm3d_tpu.models.gm3d import GM3DStudent
 from gm3d_tpu.models.pointmae import PointMAE, take_groups
 from gm3d_tpu.train import losses
@@ -35,6 +35,8 @@ def make_pointmae_train_step(
 ):
     """Legacy Point-MAE pretrain step (SURVEY.md §3.4) — how the distillation
     teacher's weights are produced (``tools/runner_pretrain.py:58-207``)."""
+    # Point_MAE's OWN random mask uses int(G * ratio) (models/Point_MAE.py:308)
+    # — unlike GM3D's generate_mask (see masking.gm3d_num_mask)
     num_mask = int(model.num_group * mask_ratio)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -164,6 +166,7 @@ def make_gm3d_train_step(
     distill_mode: str = "dino",
     shared_opt: bool = True,
     use_fused_embed: Optional[bool] = None,
+    accum_steps: int = 1,
 ):
     """The GM3D core path (SURVEY.md §3.1) as one jit:
 
@@ -183,7 +186,7 @@ def make_gm3d_train_step(
     unmasked features (``engine_pretrain_Classifier_SVM.py:148-149``), no
     teacher replay; 'none' = usual-mode Chamfer only.
     """
-    num_mask = int(student.num_group * mask_ratio)
+    num_mask = gm3d_num_mask(student.num_group, mask_ratio)
     use_distill = teacher is not None and distill_mode == "dino"
     use_ema_feats = distill_mode == "ema"
     use_clip = distill_mode == "clip"
@@ -358,16 +361,20 @@ def make_gm3d_train_step(
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, new_updates)
+        # EMA updates only on optimizer-update steps when accumulating
+        # (engine...:262-266: model_ema.update inside the accum_iter gate)
         decay = scalars["ema_decay"]
+        if accum_steps > 1:
+            is_update = ((state.step + 1) % accum_steps) == 0
+            decay = jnp.where(is_update, decay, 1.0)
+        new_batch_stats = aux["updates"].get("batch_stats", state.batch_stats)
         new_state = state.replace(
             step=state.step + 1,
             params=params,
-            batch_stats=aux["updates"].get("batch_stats", state.batch_stats),
+            batch_stats=new_batch_stats,
             opt_state=opt_state,
             ema_params=ema_update(state.ema_params, params, decay),
-            ema_batch_stats=ema_update(
-                state.ema_batch_stats, aux["updates"].get("batch_stats", state.batch_stats), decay
-            ),
+            ema_batch_stats=ema_update(state.ema_batch_stats, new_batch_stats, decay),
         )
         metrics = {
             "loss": total,
@@ -534,7 +541,9 @@ def make_m2ae_gm3d_train_step(
     analog of the Point-MAE GM3D path (SURVEY.md §7.2 step 8: mask generated
     at the coarsest scale, propagated coarse->fine)."""
     coarse_groups = model.num_groups[-1]
-    num_mask = int(coarse_groups * mask_ratio)
+    # GM3D generate_mask count convention (L - int(L*(1-r)), see gm3d_num_mask)
+    # — this is the GM3D masking applied at the coarse scale
+    num_mask = gm3d_num_mask(coarse_groups, mask_ratio)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(

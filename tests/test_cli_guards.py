@@ -1,0 +1,55 @@
+"""CLI failure-detection and metric-coverage guards (slow):
+
+- NaN-loss hard exit: the reference kills the run on a non-finite loss
+  (``engine_pretrain_Classifier_SVM.py:217-219,232-234`` ``sys.exit(1)``);
+  the rebuild must do the same through the real entry point.
+- Multi-step dispatch metric coverage: with ``--steps_per_dispatch K`` the
+  scanned metrics stack has K entries per dispatch and EVERY one must feed
+  the epoch meters (round-2 VERDICT weak #3).
+"""
+
+import importlib
+import json
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def run_cli(module_name, argv):
+    sys.argv = argv
+    module = importlib.import_module(module_name)
+    importlib.reload(module)
+    return module.main()
+
+
+def test_nan_loss_exits_nonzero(tmp_path):
+    """--blr inf drives the first optimizer update to non-finite params; the
+    next step's loss is NaN and the CLI must exit(1), as the reference does."""
+    out = str(tmp_path / "nan")
+    with pytest.raises(SystemExit) as e:
+        run_cli("gm3d_tpu.cli.pretrain", [
+            "pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+            "--learn_feature_loss", "ema",  # no teacher build needed
+            "--epochs", "2", "--batch_size", "8", "--synthetic_samples", "24",
+            "--warmup_epochs", "0", "--blr", "inf", "--val_freq", "100",
+            "--output_dir", out,
+        ])
+    assert e.value.code == 1
+
+
+def test_multi_dispatch_metrics_cover_all_steps(tmp_path):
+    """steps=4 must appear in the epoch stats with --steps_per_dispatch 2
+    over 4 batches (2 scanned dispatches) AND with an odd partial flush."""
+    out = str(tmp_path / "multi")
+    run_cli("gm3d_tpu.cli.pretrain", [
+        "pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+        "--learn_feature_loss", "ema",
+        "--epochs", "1", "--batch_size", "8", "--synthetic_samples", "32",
+        "--steps_per_dispatch", "3",  # 4 steps = one scanned group of 3 + 1 flush
+        "--val_freq", "100", "--output_dir", out,
+    ])
+    log = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert log[-1]["steps"] == 4, log[-1]

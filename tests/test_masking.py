@@ -92,3 +92,27 @@ class TestKeepRatioSchedule:
         # min((ep+1)/(E/2)*0.5, 0.5)
         assert abs(keep_ratio_schedule(74, 300, True) - 0.25) < 1e-9
         assert keep_ratio_schedule(250, 300, True) == 0.5
+
+
+class TestGm3dNumMask:
+    """GM3D mask count is ``L - int(L*(1-r))`` (``...feature_besed.py:1065``),
+    which differs from the teacher's ``int(L*r)`` whenever L*r is fractional —
+    at the DEFAULT pretrain ratio 0.6 with L=64 the reference masks 39, not 38."""
+
+    def test_matches_reference_formula(self):
+        from gm3d_tpu.masking import gm3d_num_mask
+
+        for G in (64, 128, 256):
+            for r in (0.5, 0.6, 0.75, 0.8):
+                assert gm3d_num_mask(G, r) == G - int(G * (1 - r))
+        assert gm3d_num_mask(64, 0.6) == 39      # teacher int(64*0.6) would be 38
+        assert gm3d_num_mask(64, 0.75) == 48     # agrees when divisible
+
+    def test_train_step_uses_gm3d_convention(self):
+        """The flagship train step must mask 39 of 64 at ratio 0.6."""
+        import inspect
+
+        from gm3d_tpu.train import pretrain as P
+
+        src = inspect.getsource(P.make_gm3d_train_step)
+        assert "gm3d_num_mask" in src
