@@ -163,7 +163,7 @@ def main():
     import jax.numpy as jnp
 
     from gm3d_tpu.models import GM3DStudent, PointMAE
-    from gm3d_tpu.train.optim import build_adamw
+    from gm3d_tpu.train.optim import build_gm3d_shared_optimizer
     from gm3d_tpu.train.pretrain import make_gm3d_train_step, make_multi_step
     from gm3d_tpu.train.schedules import cosine_warmup_schedule, effective_lr
     from gm3d_tpu.train.state import create_train_state
@@ -190,9 +190,10 @@ def main():
         )
 
     sched = cosine_warmup_schedule(effective_lr(1e-3, BATCH), 0.0, 40, 300, 100)
-    # clip_grad=5. matches the reference engine (NativeScaler default,
-    # util/misc.py:256) — the benched step is the real training step
-    tx = build_adamw(sched, grad_clip=5.0)
+    # clip-5 + frozen coord head match the reference shared engine exactly
+    # (util/misc.py:256 NativeScaler default; coord head grad-None in
+    # feature mode) — the benched step is the real training step
+    tx = build_gm3d_shared_optimizer(svars["params"], sched)
     state = create_train_state(svars, tx, with_ema=True)
     step = make_gm3d_train_step(student, teacher, tx, mask_ratio=0.6)
     multi = make_multi_step(step)

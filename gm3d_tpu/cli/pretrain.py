@@ -150,13 +150,14 @@ def main():
 
     lr = effective_lr(args.blr, batch, args.accum_iter)
     sched = cosine_warmup_schedule(lr, args.min_lr, args.warmup_epochs, epochs, steps_per_epoch)
+    wd = cfg["optimizer"]["kwargs"]["weight_decay"]
     # HPM-style engines clip grads to global-norm 5 on every step — the
     # NativeScaler DEFAULT clip_grad=5. (util/misc.py:256), never overridden
     # by the pretrain mains. The legacy teacher path (tools/runner_pretrain.py
-    # :138-151) uses plain backward with NO clip.
-    grad_clip = 5.0 if args.model_family in ("gm3d", "m2ae_gm3d") else None
-    tx = build_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"],
-                     grad_clip=grad_clip, accum_steps=args.accum_iter)
+    # :138-151) uses plain backward with NO clip. The gm3d family replaces
+    # this tx below with the shared/separated builders.
+    grad_clip = 5.0 if args.model_family == "m2ae_gm3d" else None
+    tx = build_adamw(sched, wd, grad_clip=grad_clip, accum_steps=args.accum_iter)
 
     # ---- build model family
     if args.model_family == "gm3d":
@@ -215,10 +216,22 @@ def main():
             from gm3d_tpu.train.optim import build_gm3d_separated_optimizer
 
             tx = build_gm3d_separated_optimizer(
-                svars["params"], sched, cfg["optimizer"]["kwargs"]["weight_decay"],
+                svars["params"], sched, wd,
                 accum_steps=args.accum_iter,
+                # the reference never schedules the loss-pred optimizer
+                # (engine...:376): constant base lr
+                loss_pred_learning_rate=lr,
             )
             logger.info("separated recon / loss-pred optimizers (--no-shared_opt)")
+        else:
+            from gm3d_tpu.train.optim import build_gm3d_shared_optimizer
+
+            tx = build_gm3d_shared_optimizer(
+                svars["params"], sched, wd, accum_steps=args.accum_iter,
+                # feature mode: the coord head is grad-None in the reference
+                # and receives NO updates (see build_gm3d_shared_optimizer)
+                frozen_modules=("coord_head",) if mode == "feature" else (),
+            )
         state = create_train_state(svars, tx, with_ema=True)
         step_fn = make_gm3d_train_step(
             student, teacher, tx, args.mask_ratio, args.shared_learnable_tokens,

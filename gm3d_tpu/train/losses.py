@@ -89,6 +89,47 @@ def gm3d_usual_loss(
     }
 
 
+def gm3d_separated_loss(
+    pred_masked: jax.Array,
+    teacher_feats: jax.Array,
+    mask_idx: jax.Array,
+    rebuild_masked: jax.Array,
+    neighborhood: jax.Array,
+) -> Dict[str, jax.Array]:
+    """Separated-engine loss composition (the "MLP IN Model" ``forward_loss``
+    call, ``engine_pretrain_Classifier_SVM.py:462-469``): normalized feature
+    MSE vs the frozen teacher PLUS per-group Chamfer between the student's
+    OWN rebuilt coordinates (``outs['point_pred']``) and the ground-truth
+    neighborhood. Unlike the shared path, the teacher decoder replay is NOT
+    used and the Chamfer term is inside the grad path (not no_grad), so it
+    back-propagates into the coordinate head / decoder / encoder.
+
+    pred_masked:    (B, M, D) student decoder features at masked slots
+    teacher_feats:  (B, G, D) frozen-teacher features (stop-gradient by caller)
+    rebuild_masked: (B, M, 3*S) student coordinate predictions at masked slots
+    neighborhood:   (B, G, S, 3) center-normalised ground-truth patches
+    """
+    target = take_groups(teacher_feats, mask_idx)
+    pred_n = pred_masked.astype(jnp.float32)
+    pred_n = pred_n / jnp.maximum(jnp.linalg.norm(pred_n, axis=-1, keepdims=True), 1e-12)
+    targ_n = target.astype(jnp.float32)
+    targ_n = targ_n / jnp.maximum(jnp.linalg.norm(targ_n, axis=-1, keepdims=True), 1e-12)
+    loss_mse = jnp.sum((pred_n - targ_n) ** 2, axis=-1)  # (B, M)
+
+    batch, num_mask, _ = rebuild_masked.shape
+    group_size = neighborhood.shape[2]
+    pred = rebuild_masked.reshape(batch, num_mask, group_size, 3).astype(jnp.float32)
+    gt = take_groups(neighborhood, mask_idx).astype(jnp.float32)
+    loss_chamfer = chamfer_group(pred, gt)  # (B, M)
+
+    matrix = loss_mse + loss_chamfer
+    return {
+        "MSE_mean": jnp.mean(loss_mse),
+        "Chamfer_mean": jnp.mean(loss_chamfer),
+        "matrix": matrix,
+    }
+
+
 def relative_learning_loss(loss_pred: jax.Array, loss_target: jax.Array) -> jax.Array:
     """Pairwise relative loss-ordering BCE
     (``...feature_besed.py:1111-1130`` forward_learning_loss, relative=True —

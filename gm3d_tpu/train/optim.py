@@ -40,6 +40,41 @@ def build_adamw(
     return tx
 
 
+def build_gm3d_shared_optimizer(
+    params: Any,
+    learning_rate,
+    weight_decay: float = 0.05,
+    betas=(0.9, 0.95),
+    grad_clip: float | None = 5.0,
+    accum_steps: int = 1,
+    frozen_modules: tuple = ("coord_head",),
+) -> optax.GradientTransformation:
+    """Shared-optimizer GM3D pretrain (``main_pretrain.py:394-398`` AdamW +
+    the engine's NativeScaler clip_grad=5 default, ``util/misc.py:256``).
+
+    ``frozen_modules``: in FEATURE mode the coordinate head's output
+    (``point_pred``) is never consumed by the shared engine's loss, so its
+    grads are ``None`` in torch — and torch AdamW SKIPS None-grad params
+    entirely, including decoupled weight decay. optax applies wd to zero-grad
+    params, so the coord head must be explicitly frozen to match (trajectory
+    parity pinned this). Pass ``()`` for usual mode, where the coord head IS
+    the reconstruction path."""
+    tx = build_adamw(learning_rate, weight_decay, betas, grad_clip=grad_clip)
+    if frozen_modules:
+
+        def label(kp, _):
+            top = str(getattr(kp[0], "key", kp[0]))
+            return "frozen" if top in frozen_modules else "train"
+
+        labels = jax.tree_util.tree_map_with_path(label, params)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels
+        )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
 # --shared_opt False param split (main_pretrain.py:414-440): the recon
 # optimizer owns encoder + recon decoder + coordinate head; the loss-pred
 # optimizer owns the loss-pred decoder + feature head (increase_dim_2).
@@ -70,9 +105,17 @@ def build_gm3d_separated_optimizer(
     betas=(0.9, 0.95),
     accum_steps: int = 1,
     grad_clip: float | None = 5.0,
+    loss_pred_learning_rate=None,
 ) -> optax.GradientTransformation:
     """Two AdamW states over disjoint param subsets (``--shared_opt False``,
     ``engine_pretrain_Classifier_SVM.py:335-642``).
+
+    ``loss_pred_learning_rate``: the separated engine applies the cosine
+    schedule ONLY to the recon optimizer (``adjust_learning_rate(optimizer,
+    ...)`` at ``engine...:376``; ``optimizer_loss_pred`` is never touched), so
+    the loss-pred branch trains at CONSTANT ``args.lr``. Pass the constant
+    base lr here to reproduce that; defaults to ``learning_rate`` (same
+    schedule on both) if omitted.
 
     Combined with ``detach_loss_pred_branch`` in the student forward, one
     backward pass yields exactly the separated semantics: the recon loss
@@ -86,10 +129,11 @@ def build_gm3d_separated_optimizer(
     defaults ``clip_grad=5.`` (``util/misc.py:256``) and each loss_scaler call
     clips ITS subset's gradients to global-norm 5 before stepping; reproduced
     per-label here."""
+    lp_lr = loss_pred_learning_rate if loss_pred_learning_rate is not None else learning_rate
     tx = optax.multi_transform(
         {
             "recon": build_adamw(learning_rate, weight_decay, betas, grad_clip=grad_clip),
-            "loss_pred": build_adamw(learning_rate, weight_decay, betas, grad_clip=grad_clip),
+            "loss_pred": build_adamw(lp_lr, weight_decay, betas, grad_clip=grad_clip),
             "frozen": optax.set_to_zero(),
         },
         gm3d_separated_labels(params),

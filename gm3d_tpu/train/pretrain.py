@@ -188,6 +188,10 @@ def make_gm3d_train_step(
     """
     num_mask = gm3d_num_mask(student.num_group, mask_ratio)
     use_distill = teacher is not None and distill_mode == "dino"
+    # separated engine ("MLP IN Model" forward_loss call, engine...:441-469):
+    # feature MSE vs teacher + Chamfer(student's OWN coords, gt neighborhood)
+    # inside the grad path; the teacher decoder replay is not used there
+    use_sep_distill = use_distill and not shared_opt
     use_ema_feats = distill_mode == "ema"
     use_clip = distill_mode == "clip"
     if use_clip:
@@ -273,7 +277,7 @@ def make_gm3d_train_step(
             if state.batch_stats is not None:
                 student_vars["batch_stats"] = state.batch_stats
             rngs = {"dropout": r_drop, "droppath": r_dp}
-            if use_distill:
+            if use_distill and shared_opt:
                 outs, updates, teacher_feats, point_target, point_reco, pred_masked = (
                     gm3d_forward_distill(
                         student,
@@ -297,6 +301,35 @@ def make_gm3d_train_step(
                     outs["mask_idx"],
                     jax.lax.stop_gradient(point_target),
                     point_reco,
+                )
+            elif use_sep_distill:
+                outs, updates = student.apply(
+                    student_vars,
+                    samples,
+                    mask,
+                    num_mask,
+                    shared_learnable_tokens,
+                    deterministic=False,
+                    rngs=rngs,
+                    mutable=["batch_stats"],
+                    grouped=grouped,
+                    detach_loss_pred_branch=True,
+                )
+                teacher_grouped = grouped if (
+                    teacher.num_group == student.num_group
+                    and teacher.group_size == student.group_size
+                ) else None
+                teacher_feats = teacher.apply(
+                    teacher_params, samples, method=teacher.encode_features,
+                    grouped=teacher_grouped,
+                    tokens=teacher_tokens if teacher_grouped is not None else None,
+                )
+                loss_outs = losses.gm3d_separated_loss(
+                    outs["pix_pred"][:, -num_mask:],
+                    jax.lax.stop_gradient(teacher_feats),
+                    outs["mask_idx"],
+                    outs["rebuild_points"][:, -num_mask:],
+                    outs["neighborhood"],
                 )
             else:
                 outs, updates = student.apply(

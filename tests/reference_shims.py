@@ -233,6 +233,102 @@ def _build_cuda_ext_shims():
     }
 
 
+def _build_engine_shims():
+    """Extra shims to execute the reference ENGINE code itself
+    (``engine_pretrain_Classifier_SVM.py``) on CPU:
+
+    - ``torch._six`` (removed in torch 2.x; ``util/misc.py:20`` imports inf),
+    - ``torchvision.transforms.Compose`` (only Compose is used, engine :28),
+    - ``timm.utils.ModelEma`` — timm's legacy deepcopy EMA with the exact
+      update rule the engine mutates (``.decay`` set per epoch, engine :60-65;
+      update ``ema = decay*ema + (1-decay)*model`` over state_dict incl.
+      buffers),
+    - ``timm.optim.optim_factory.add_weight_decay`` — timm's rule: no decay
+      for 1-d params / ``.bias`` (``main_pretrain.py:396``).
+    """
+    import copy
+
+    import torch
+    import torch.nn as nn  # noqa: F401
+
+    six = types.ModuleType("torch._six")
+    six.inf = float("inf")
+
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    tvt.Compose = Compose
+    tv.transforms = tvt
+
+    class ModelEma:
+        def __init__(self, model, decay=0.9999, device="", resume=""):
+            self.ema = copy.deepcopy(model)
+            self.ema.eval()
+            self.decay = decay
+            self.device = device
+            if device:
+                self.ema.to(device=device)
+            for p in self.ema.parameters():
+                p.requires_grad_(False)
+
+        def update(self, model):
+            with torch.no_grad():
+                msd = model.state_dict()
+                for k, ema_v in self.ema.state_dict().items():
+                    model_v = msd[k].detach()
+                    if ema_v.dtype.is_floating_point:
+                        ema_v.copy_(ema_v * self.decay + (1.0 - self.decay) * model_v)
+                    else:
+                        # integer buffers (num_batches_tracked): timm's float
+                        # multiply + copy_ truncates; the buffer is unused at
+                        # fixed BN momentum, keep them in sync instead
+                        ema_v.copy_(model_v)
+
+    def add_weight_decay(model, weight_decay=1e-5, skip_list=()):
+        decay, no_decay = [], []
+        for name, param in model.named_parameters():
+            if not param.requires_grad:
+                continue
+            if len(param.shape) == 1 or name.endswith(".bias") or name in skip_list:
+                no_decay.append(param)
+            else:
+                decay.append(param)
+        return [
+            {"params": no_decay, "weight_decay": 0.0},
+            {"params": decay, "weight_decay": weight_decay},
+        ]
+
+    timm_utils = types.ModuleType("timm.utils")
+    timm_utils.ModelEma = ModelEma
+    timm_optim = types.ModuleType("timm.optim")
+    optim_factory = types.ModuleType("timm.optim.optim_factory")
+    optim_factory.add_weight_decay = add_weight_decay
+    timm_optim.optim_factory = optim_factory
+
+    # the engine calls torch.cuda.synchronize() each iteration (:269) — a
+    # no-op stand-in when CUDA is absent (this image ships CPU-only torch)
+    if not torch.cuda.is_available():
+        torch.cuda.synchronize = lambda *a, **k: None
+
+    return {
+        "torch._six": six,
+        "torchvision": tv,
+        "torchvision.transforms": tvt,
+        "timm.utils": timm_utils,
+        "timm.optim": timm_optim,
+        "timm.optim.optim_factory": optim_factory,
+    }
+
+
 def _build_easydict_shim():
     class EasyDict(dict):
         """Attribute-access dict (the pypi ``easydict`` the reference configs use)."""
@@ -271,8 +367,13 @@ def install():
     shims.update(_build_timm_shim())
     shims.update(_build_cuda_ext_shims())
     shims.update(_build_easydict_shim())
+    shims.update(_build_engine_shims())
     for name, mod in shims.items():
         sys.modules.setdefault(name, mod)
+    # attach the submodules onto the parent timm shim so attribute access
+    # (timm.utils / timm.optim) resolves after `import timm`
+    sys.modules["timm"].utils = sys.modules["timm.utils"]
+    sys.modules["timm"].optim = sys.modules["timm.optim"]
     _installed = True
 
 
@@ -304,6 +405,14 @@ def load_usual_student_module():
 def load_teacher_module():
     """``models.Point_MAE`` (frozen distillation teacher / legacy pretrain)."""
     return _import_from_reference("models.Point_MAE")
+
+
+def load_engine_module():
+    """The ACTUAL reference pretrain engine
+    (``engine_pretrain_Classifier_SVM.py``: ``train_one_epoch`` shared-opt,
+    ``train_one_epoch_seperated``) — executed directly by the
+    training-trajectory parity tests."""
+    return _import_from_reference("engine_pretrain_Classifier_SVM")
 
 
 def make_teacher_config(mask_ratio=0.0, group_size=32, num_group=64, loss="cdl2"):
