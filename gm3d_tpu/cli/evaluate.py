@@ -25,13 +25,79 @@ def parse_args():
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     p.add_argument("--vote", action="store_true")
     p.add_argument("--vote_times", type=int, default=10)
+    p.add_argument("--probe", choices=["acc", "svm", "knn", "linprob"], default="acc",
+                   help="acc = finetuned-classifier accuracy (default; config "
+                        "is a finetune YAML). svm / knn / linprob = frozen-"
+                        "feature probes on a PRETRAIN config+checkpoint "
+                        "(reference main_pretrain.py:633-717 SVM, "
+                        "main_knn.py:154-198, main_linprob.py:111)")
+    p.add_argument("--model_family", choices=["gm3d", "pointmae"], default="gm3d",
+                   help="pretrain model family for --probe svm/knn/linprob")
+    p.add_argument("--knn_k", type=int, default=20,
+                   help="neighbours for --probe knn (reference default 20)")
+    p.add_argument("--linprob_epochs", type=int, default=90,
+                   help="epochs for --probe linprob (MAE linprob schedule)")
     return p.parse_args()
+
+
+def run_feature_probe(args, cfg, logger):
+    """Frozen-feature probes over the pretrain encoder: extract the same
+    (mean+max)-pooled features the SVM gate uses, then classify with the
+    selected evaluator."""
+    from gm3d_tpu.cli.common import make_loaders
+    from gm3d_tpu.eval.knn import knn_classifier
+    from gm3d_tpu.eval.linear_probe import linear_probe
+    from gm3d_tpu.eval.svm import evaluate_svm, extract_features, make_feature_fn
+    from gm3d_tpu.models import GM3DStudent
+
+    dtype = compute_dtype(args)
+    npoints = cfg.get("npoints", 1024)
+    _, svm_train, svm_test = make_loaders(cfg, args)
+
+    if args.model_family == "gm3d":
+        model = GM3DStudent(dtype=dtype)
+        num_mask = 39
+        mask0 = jnp.zeros((2, model.num_group), bool).at[:, :num_mask].set(True)
+        pts0 = jnp.asarray(np.zeros((2, npoints, 3), np.float32))
+        variables = model.init(jax.random.key(0), pts0, mask0, num_mask)
+    else:
+        model = build_model_from_cfg(cfg["model"], dtype=dtype)
+        mask0 = jnp.zeros((2, model.num_group), bool)
+        pts0 = jnp.asarray(np.zeros((2, npoints, 3), np.float32))
+        variables = model.init(jax.random.key(0), pts0, mask0, 0)
+
+    if args.ckpt:
+        from gm3d_tpu.ckpt import restore_raw
+
+        raw = restore_raw(args.ckpt)
+        if raw is None:
+            raise FileNotFoundError(f"no checkpoint at {args.ckpt}")
+        variables = {"params": raw["params"]}
+        if raw.get("batch_stats") is not None:
+            variables["batch_stats"] = raw["batch_stats"]
+        logger.info(f"restored pretrain ckpt step {int(raw['step'])}")
+    else:
+        logger.warning("no --ckpt: probing RANDOM features")
+
+    feature_fn = make_feature_fn(model, npoints)
+    tr_f, tr_l = extract_features(feature_fn, variables, svm_train)
+    te_f, te_l = extract_features(feature_fn, variables, svm_test)
+    if args.probe == "svm":
+        acc = evaluate_svm(tr_f, tr_l, te_f, te_l)
+    elif args.probe == "knn":
+        acc = knn_classifier(tr_f, tr_l, te_f, te_l, k=min(args.knn_k, len(tr_l)))
+    else:
+        acc = linear_probe(tr_f, tr_l, te_f, te_l, epochs=args.linprob_epochs)
+    logger.info(f"[PROBE {args.probe}] acc = {acc * 100:.4f}")
+    return acc
 
 
 def main():
     args = parse_args()
     cfg = load_config(args)
     logger = get_logger("gm3d.eval")
+    if args.probe != "acc":
+        return run_feature_probe(args, cfg, logger)
     dtype = compute_dtype(args)
     model = build_model_from_cfg(cfg["model"], dtype=dtype)
     npoints = cfg.get("npoints", 1024)

@@ -84,8 +84,12 @@ def main():
     else:
         train_ds = build_dataset_from_cfg(cfg["dataset"]["train"])
         val_ds = build_dataset_from_cfg(cfg["dataset"]["val"])
-    train_loader = DataLoader(train_ds, bs, seed=args.seed)
-    val_loader = DataLoader(val_ds, bs, shuffle=False, drop_last=False)
+    # worker threads overlap the per-item load (txt->npy cached) with device
+    # compute, like the other CLIs
+    workers = getattr(args, "num_workers", 0)
+    train_loader = DataLoader(train_ds, bs, seed=args.seed, num_workers=workers)
+    val_loader = DataLoader(val_ds, bs, shuffle=False, drop_last=False,
+                            num_workers=workers)
 
     pts0, cls0, _ = next(iter(val_loader))
     variables = model.init(jax.random.key(args.seed), jnp.asarray(pts0[:2]), jnp.asarray(cls0[:2]))

@@ -112,6 +112,7 @@ class GM3DStudent(nn.Module):
         grouped=None,
         detach_loss_pred_branch: bool = False,
         tokens=None,
+        loss_pred_only: bool = False,
     ):
         """Full student forward (``...feature_besed.py:1007-1059``).
 
@@ -120,6 +121,11 @@ class GM3DStudent(nn.Module):
         exactly what ``generate_mask`` consumes.
         ``grouped`` lets the train step share ONE FPS/KNN grouping across the
         EMA, student and teacher passes (they all see the same cloud).
+        ``loss_pred_only=True`` skips the reconstruction decoder and the
+        coordinate head entirely (``pix_pred``/``rebuild_points`` = None): the
+        EMA's unmasked pass only feeds ``generate_mask`` with ``loss_pred``
+        (``engine_pretrain_Classifier_SVM.py:108-116``), so their compute is
+        dead there — skipped explicitly rather than trusting XLA DCE.
         ``detach_loss_pred_branch`` stop-gradients the encoder features before
         the loss-prediction decoder — the separated-optimizer semantics
         (``--shared_opt False``): the reference's recon optimizer steps before
@@ -161,8 +167,14 @@ class GM3DStudent(nn.Module):
             pos_full = pos_vis
 
         # reconstruction decoder: full normed sequence; pix_pred = features
-        x_rec = self.MAE_decoder(x_full, pos_full, return_tokens=0, deterministic=deterministic)
-        rebuild_points = self.coord_head(x_rec)  # (B, L, 3*S)
+        if loss_pred_only:
+            x_rec = rebuild_points = pix_pred = None
+        else:
+            x_rec = self.MAE_decoder(
+                x_full, pos_full, return_tokens=0, deterministic=deterministic
+            )
+            rebuild_points = self.coord_head(x_rec)  # (B, L, 3*S)
+            pix_pred = x_rec if self.mode == "feature" else rebuild_points
 
         # loss-prediction decoder + feature head, meaned over channels
         x_lp = self.MAE_decoder_loss_pred(
@@ -170,11 +182,6 @@ class GM3DStudent(nn.Module):
         )
         loss_pred_f = self._feature_head(x_lp, deterministic)
         loss_pred = jnp.mean(loss_pred_f.astype(jnp.float32), axis=-1)  # (B, L)
-
-        if self.mode == "feature":
-            pix_pred = x_rec
-        else:
-            pix_pred = rebuild_points
 
         return {
             "pix_pred": pix_pred,

@@ -167,6 +167,8 @@ def make_gm3d_train_step(
     shared_opt: bool = True,
     use_fused_embed: Optional[bool] = None,
     accum_steps: int = 1,
+    trim_ema: bool = True,
+    remat_student: bool = False,
 ):
     """The GM3D core path (SURVEY.md §3.1) as one jit:
 
@@ -247,7 +249,10 @@ def make_gm3d_train_step(
                     interpret=fused_interpret,
                 )
 
-        # ---- EMA forward on the unmasked cloud (eval mode, no grad)
+        # ---- EMA forward on the unmasked cloud (eval mode, no grad).
+        # loss_pred_only: the EMA pass exists to feed generate_mask (and, in
+        # 'ema' mode, the encoder feature targets) — its recon decoder +
+        # coord head are dead compute, skipped explicitly
         zeros_mask = jnp.zeros((batch, student.num_group), bool)
         outs_ema = student.apply(
             state.ema_variables(),
@@ -258,6 +263,7 @@ def make_gm3d_train_step(
             deterministic=True,
             grouped=grouped,
             tokens=ema_tokens,
+            loss_pred_only=trim_ema,
         )
         # ---- geometric-complexity mask from EMA loss prediction
         mask = geometric_mask(
@@ -391,7 +397,10 @@ def make_gm3d_train_step(
             }
             return total, aux
 
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # remat_student: recompute the student forward during the backward
+        # (trades FLOPs for activation memory; a perf-round experiment lever)
+        loss_fn_ = jax.checkpoint(loss_fn) if remat_student else loss_fn
+        (total, aux), grads = jax.value_and_grad(loss_fn_, has_aux=True)(state.params)
         new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, new_updates)
         # EMA updates only on optimizer-update steps when accumulating

