@@ -7,7 +7,8 @@ student forward/backward (12-layer encoder, dual decoders), frozen-teacher
 distillation replay, AdamW + EMA update — bf16 compute, donated state.
 
 Timing methodology: the steps are chained through ``lax.scan`` inside ONE
-dispatch (amortising controller/tunnel latency) and the clock stops on a
+dispatch (amortising controller/tunnel latency; 16 steps measured +0.9% over
+8 — docs/BENCHMARKS.md round-3 levers) and the clock stops on a
 FORCED HOST READ of the final loss — ``block_until_ready`` alone does not
 guarantee completion on the axon remote backend.
 
@@ -34,7 +35,7 @@ BASELINE_CLOUDS_PER_SEC = 1475.0  # round-1 honest single-dispatch-per-step roof
 
 BATCH = 256
 NPOINTS = 1024
-SCAN_STEPS = 8
+SCAN_STEPS = 16
 WARMUP_DISPATCHES = 2
 TIMED_DISPATCHES = 3
 
