@@ -127,11 +127,14 @@ def _make_batches(seed):
     ]
 
 
-def _build_torch_models():
-    ref_mod = reference_shims.load_student_module()
+def _build_torch_models(mode="feature"):
+    if mode == "feature":
+        ref_mod = reference_shims.load_student_module()
+    else:  # the usual-mode twin (coordinate pix_pred, depth-4 lp decoder)
+        ref_mod = reference_shims.load_usual_student_module()
     teacher_mod = reference_shims.load_teacher_module()
 
-    model = GM3DStudent(mode="feature", drop_path_rate=0.0)
+    model = GM3DStudent(mode=mode, drop_path_rate=0.0)
     pts0 = jnp.zeros((B, N, 3), jnp.float32)
     mask0 = jnp.zeros((B, G), bool).at[:, :NUM_MASK].set(True)
     svars = model.init(jax.random.PRNGKey(0), pts0, mask0, NUM_MASK)
@@ -203,7 +206,8 @@ def _patch_point_pred(ref_student):
     ref_student.MAE_decoder_loss_pred.forward = lp_detached
 
 
-def _run_reference(engine, ref_student, ref_teacher, batches, separated, after_epoch):
+def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epoch):
+    separated = variant == "separated"
     import timm.utils as timm_utils  # the shim
     from timm.optim import optim_factory
 
@@ -258,7 +262,9 @@ def _run_reference(engine, ref_student, ref_teacher, batches, separated, after_e
         accum_iter=1,
         learning_loss=True,
         epochs=EPOCHS,
-        learn_feature_loss="dino",
+        # usual mode: Chamfer-only path, no teacher (engine else-branch,
+        # engine...:476-483 forward_loss(pred, neighborhood, mask))
+        learn_feature_loss="none" if variant == "usual" else "dino",
         relative=True,
         mask_ratio=MASK_RATIO,
         lr=LR,
@@ -275,7 +281,9 @@ def _run_reference(engine, ref_student, ref_teacher, batches, separated, after_e
             st = engine.train_one_epoch(
                 ref_student, None, loader, cls_loader, None, optimizer, None,
                 "cpu", epoch, loss_scaler, log_writer=None, args=args,
-                model_ema=model_ema, model_teacher=ref_teacher, scheduler=None,
+                model_ema=model_ema,
+                model_teacher=None if variant == "usual" else ref_teacher,
+                scheduler=None,
                 optimizer_learn_loss=None, after_200_epoch=False,
                 classification=False, loss_multiply_by=MULTIPLIERS,
                 after_epoch=after_epoch, shared_learnable_tokens=False,
@@ -297,19 +305,26 @@ def _run_reference(engine, ref_student, ref_teacher, batches, separated, after_e
     return model_ema, stats, step_losses, snapshots
 
 
-def _run_ours(model, teacher, svars, tvars, batches, separated, after_epoch):
+def _run_ours(model, teacher, svars, tvars, batches, variant, after_epoch):
+    separated = variant == "separated"
     sched = cosine_warmup_schedule(LR, MIN_LR, WARMUP_EPOCHS, EPOCHS, STEPS_PER_EPOCH)
-    if not separated:
-        # feature mode: coord head frozen (grad-None in the reference)
-        tx = build_gm3d_shared_optimizer(svars["params"], sched, WD)
-    else:
+    if separated:
         tx = build_gm3d_separated_optimizer(
             svars["params"], sched, WD, loss_pred_learning_rate=LR
         )
+    elif variant == "usual":
+        # usual mode trains the coord head (Chamfer flows through it)
+        tx = build_gm3d_shared_optimizer(svars["params"], sched, WD,
+                                         frozen_modules=())
+    else:
+        # feature mode: coord head frozen (grad-None in the reference)
+        tx = build_gm3d_shared_optimizer(svars["params"], sched, WD)
     state = create_train_state(svars, tx, with_ema=True)
     step = make_gm3d_train_step(
-        model, teacher, tx, MASK_RATIO, shared_learnable_tokens=False,
-        relative=True, augment=False, distill_mode="dino",
+        model, None if variant == "usual" else teacher, tx, MASK_RATIO,
+        shared_learnable_tokens=False,
+        relative=True, augment=False,
+        distill_mode="none" if variant == "usual" else "dino",
         shared_opt=not separated, use_fused_embed=False,
     )
     losses_recon, losses_learn, losses_total, snapshots = [], [], [], []
@@ -388,8 +403,8 @@ def _torch_state_to_tree(torch_module, mapping):
     return mapped
 
 
-@pytest.mark.parametrize("separated", [False, True], ids=["shared", "separated"])
-def test_training_trajectory_matches_reference(separated):
+@pytest.mark.parametrize("variant", ["shared", "separated", "usual"])
+def test_training_trajectory_matches_reference(variant):
     """12 optimizer steps (4 epochs x 3) through the REAL reference engine vs
     our one-jit train step.
 
@@ -416,15 +431,18 @@ def test_training_trajectory_matches_reference(separated):
     (student-coord Chamfer inside the grad path, ``engine...:462-469``).
     """
     engine = reference_shims.load_engine_module()
-    ref_student, ref_teacher, model, teacher, svars, tvars = _build_torch_models()
+    separated = variant == "separated"
+    ref_student, ref_teacher, model, teacher, svars, tvars = _build_torch_models(
+        mode="usual" if variant == "usual" else "feature"
+    )
     batches = _make_batches(7)
     after_epoch = AFTER_EPOCH if not separated else EPOCHS + 10
 
     model_ema, stats, t_steps, t_snaps = _run_reference(
-        engine, ref_student, ref_teacher, batches, separated, after_epoch
+        engine, ref_student, ref_teacher, batches, variant, after_epoch
     )
     state, losses_recon, losses_learn, losses_total, o_snaps = _run_ours(
-        model, teacher, svars, tvars, batches, separated, after_epoch
+        model, teacher, svars, tvars, batches, variant, after_epoch
     )
 
     # ---- per-step losses, tiered tolerances
