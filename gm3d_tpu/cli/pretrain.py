@@ -240,6 +240,22 @@ def main():
         )
         feat_model = student
     elif args.model_family == "pointmae":
+        # legacy-runner training recipe (how the published teacher was made):
+        # config lr verbatim (no MAE blr*batch/256 scaling), timm per-EPOCH
+        # cosine with the one-epoch step lag, torch-default betas, token-free
+        # weight decay, no grad clip (tools/builder.py:37-90 +
+        # runner_pretrain.py:138-180)
+        from gm3d_tpu.train.optim import build_legacy_adamw
+        from gm3d_tpu.train.schedules import legacy_cosine_epoch_schedule
+
+        legacy_lr = cfg["optimizer"]["kwargs"].get("lr", lr)
+        sched = legacy_cosine_epoch_schedule(
+            legacy_lr,
+            cfg.get("scheduler", {}).get("kwargs", {}).get("epochs", epochs),
+            cfg.get("scheduler", {}).get("kwargs", {}).get("initial_epochs", 10),
+            steps_per_epoch,
+        )
+        tx = build_legacy_adamw(sched, wd, accum_steps=args.accum_iter)
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
         mr = cfg["model"]["transformer_config"]["mask_ratio"]
         num_mask = int(model.num_group * mr) or int(model.num_group * 0.6)

@@ -40,6 +40,38 @@ def build_adamw(
     return tx
 
 
+def _legacy_decay_mask(params: Any) -> Any:
+    """The legacy runners' ``add_weight_decay`` (``tools/builder.py:40-54``):
+    no decay for 1-d params, ``.bias``, or ANY param whose name contains
+    ``token`` (mask_token / cls_token) — an extra rule timm's version lacks."""
+
+    def keep(kp, p):
+        leaf = "/".join(str(getattr(k, "key", k)) for k in kp)
+        return p.ndim > 1 and "token" not in leaf
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def build_legacy_adamw(
+    learning_rate,
+    weight_decay: float = 0.05,
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    """Legacy-runner AdamW (``tools/builder.py:55-56``
+    ``optim.AdamW(param_groups, **kwargs)``): TORCH-DEFAULT betas
+    (0.9, 0.999) — not the HPM mains' (0.9, 0.95) — the token-aware decay
+    mask, and NO grad clipping (plain ``loss.backward()``,
+    ``tools/runner_pretrain.py:138-151``). This is the optimizer that
+    produced the published teacher weights."""
+    tx = optax.adamw(
+        learning_rate, b1=0.9, b2=0.999, weight_decay=weight_decay,
+        mask=_legacy_decay_mask,
+    )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
 def build_gm3d_shared_optimizer(
     params: Any,
     learning_rate,

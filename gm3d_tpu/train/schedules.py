@@ -28,6 +28,39 @@ def cosine_warmup_schedule(
     return schedule
 
 
+def legacy_cosine_epoch_schedule(
+    base_lr: float,
+    total_epochs: float,
+    warmup_epochs: float,
+    steps_per_epoch: int,
+    lr_min: float = 1e-6,
+    warmup_lr_init: float = 1e-6,
+):
+    """The LEGACY runners' schedule (``tools/builder.py:67-76`` timm
+    ``CosineLRScheduler(t_in_epochs=True, warmup_prefix=False, lr_min=1e-6,
+    warmup_lr_init=1e-6)`` stepped once per epoch,
+    ``tools/runner_pretrain.py:176-180``): lr is CONSTANT within an epoch,
+    warmup is linear from ``warmup_lr_init``, the cosine phase is evaluated
+    at the RAW epoch (timm's warmup_prefix=False does not subtract warmup),
+    and — because ``scheduler.step(epoch)`` runs at the END of epoch ``e`` —
+    every epoch trains at the PREVIOUS epoch's value (epoch 0 at the
+    constructor's warmup init). Reproduced as ``t = max(epoch - 1, 0)``.
+    This is how the published teacher (``pretrain_PMAE.pth``) was trained."""
+
+    def schedule(step):
+        epoch = jnp.floor(step / steps_per_epoch)
+        t = jnp.maximum(epoch - 1.0, 0.0)
+        warm = warmup_lr_init + (base_lr - warmup_lr_init) * t / jnp.maximum(
+            warmup_epochs, 1e-8
+        )
+        cos = lr_min + (base_lr - lr_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * t / total_epochs)
+        )
+        return jnp.where(t < warmup_epochs, warm, cos)
+
+    return schedule
+
+
 def effective_lr(blr: float, batch_size: int, accum_iter: int = 1, world_size: int = 1) -> float:
     """MAE lr scaling: lr = blr * eff_batch / 256 (``main_pretrain.py:381``)."""
     return blr * batch_size * accum_iter * world_size / 256.0

@@ -274,3 +274,73 @@ class TestFusedEmbedStep:
         assert fused["loss"] == pytest.approx(ref["loss"], rel=2e-4)
         assert fused["loss_mse"] == pytest.approx(ref["loss_mse"], rel=2e-4)
         assert fused["loss_chfr"] == pytest.approx(ref["loss_chfr"], rel=2e-4, abs=1e-6)
+
+
+class TestLegacySchedule:
+    """Legacy-runner LR schedule + optimizer rules (tools/builder.py:37-90 +
+    runner_pretrain.py:176-180) — the recipe that produced the teacher."""
+
+    def test_epoch_constant_with_one_epoch_lag(self):
+        from gm3d_tpu.train.schedules import legacy_cosine_epoch_schedule
+
+        spe = 10
+        sched = legacy_cosine_epoch_schedule(1e-3, 300, 10, spe)
+        # epoch 0 trains at the constructor's warmup init (1e-6)
+        assert float(sched(0)) == pytest.approx(1e-6)
+        assert float(sched(spe - 1)) == pytest.approx(1e-6)
+        # epoch 1 trains at timm t=0 (still warmup init), epoch 2 at t=1
+        assert float(sched(spe)) == pytest.approx(1e-6)
+        t1 = 1e-6 + (1e-3 - 1e-6) * 1 / 10
+        assert float(sched(2 * spe)) == pytest.approx(t1, rel=1e-6)
+        # constant within an epoch
+        assert float(sched(2 * spe)) == float(sched(3 * spe - 1))
+        # cosine phase at raw epoch (warmup_prefix=False): epoch 51 -> t=50
+        import math
+
+        t50 = 1e-6 + (1e-3 - 1e-6) * 0.5 * (1 + math.cos(math.pi * 50 / 300))
+        assert float(sched(51 * spe)) == pytest.approx(t50, rel=1e-6)
+
+    def test_token_params_not_decayed(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gm3d_tpu.train.optim import _legacy_decay_mask
+
+        params = {
+            "mask_token": jnp.zeros((1, 1, 8)),
+            "blocks": {"block0": {"attn": {"qkv": {"kernel": jnp.zeros((8, 24)),
+                                                   "bias": jnp.zeros((24,))}}}},
+        }
+        mask = _legacy_decay_mask(params)
+        assert mask["mask_token"] is False          # 'token' in name -> no wd
+        assert mask["blocks"]["block0"]["attn"]["qkv"]["kernel"] is True
+        assert mask["blocks"]["block0"]["attn"]["qkv"]["bias"] is False
+
+    def test_legacy_adamw_matches_torch_defaults(self):
+        """betas (0.9, 0.999) — torch AdamW defaults, NOT the HPM (0.9, 0.95)."""
+        import numpy as np
+        import torch
+
+        import jax.numpy as jnp
+        import optax
+
+        from gm3d_tpu.train.optim import build_legacy_adamw
+
+        w0 = np.random.RandomState(0).randn(4, 4).astype(np.float32)
+        g = np.random.RandomState(1).randn(4, 4).astype(np.float32)
+
+        p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt_t = torch.optim.AdamW([{"params": [p_t], "weight_decay": 0.05}], lr=1e-3)
+        for _ in range(3):
+            opt_t.zero_grad()
+            p_t.grad = torch.from_numpy(g.copy())
+            opt_t.step()
+
+        tx = build_legacy_adamw(1e-3, 0.05)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for _ in range(3):
+            up, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = optax.apply_updates(params, up)
+        np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(),
+                                   atol=1e-6)
