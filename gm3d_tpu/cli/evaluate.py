@@ -55,8 +55,10 @@ def run_feature_probe(args, cfg, logger):
     _, svm_train, svm_test = make_loaders(cfg, args)
 
     if args.model_family == "gm3d":
+        from gm3d_tpu.masking import gm3d_num_mask
+
         model = GM3DStudent(dtype=dtype)
-        num_mask = 39
+        num_mask = gm3d_num_mask(model.num_group, 0.6)
         mask0 = jnp.zeros((2, model.num_group), bool).at[:, :num_mask].set(True)
         pts0 = jnp.asarray(np.zeros((2, npoints, 3), np.float32))
         variables = model.init(jax.random.key(0), pts0, mask0, num_mask)

@@ -103,7 +103,8 @@ def parse_args():
                         "(reference saves every 100 epochs); 0 disables")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace (TensorBoard/Perfetto) "
-                        "of the first --profile_steps train steps")
+                        "of the first --profile_steps DISPATCHES (each holds "
+                        "--steps_per_dispatch train steps)")
     p.add_argument("--profile_steps", type=int, default=5)
     p.add_argument("--shared_opt", default=True,
                    action=argparse.BooleanOptionalAction,
@@ -318,6 +319,12 @@ def main():
         tvars = replicate_tree(mesh, tvars)
 
     k_dispatch = args.steps_per_dispatch
+    if args.classification and k_dispatch > 1:
+        # the supervised probe trains once per LOOP iteration; scanning K
+        # train steps per dispatch would starve it to 1/K of its updates
+        # (reference trains it every iteration, engine...:120-137)
+        logger.info("--classification forces --steps_per_dispatch 1")
+        k_dispatch = 1
     use_multi = k_dispatch > 1 and args.model_family in ("gm3d", "m2ae_gm3d")
     multi_fn = None
     if use_multi:

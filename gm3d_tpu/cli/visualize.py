@@ -53,6 +53,10 @@ def main():
     pts = jnp.asarray(pts[:, :npoints])
 
     model = build_model_from_cfg(cfg["model"], dtype=dtype)
+    # DELIBERATE: this is the Point_MAE visualisation path (tools/runner.py),
+    # which uses Point_MAE's own random-mask count int(G*ratio)
+    # (models/Point_MAE.py:308) — NOT GM3D's generate_mask convention
+    # (masking.gm3d_num_mask)
     num_mask = int(model.num_group * args.mask_ratio)
     mask = random_mask(jax.random.key(args.seed), pts.shape[0], model.num_group, num_mask)
     mask0 = jnp.zeros((2, model.num_group), bool).at[:, :num_mask].set(True)

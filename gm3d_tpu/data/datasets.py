@@ -266,7 +266,10 @@ class ShapeNetPart:
             for name, s in self.categories.items():
                 if s == synset:
                     self.files.append((name, os.path.join(self.root, synset, token + ".txt")))
-        self.rng = np.random.default_rng(0)
+        import threading
+
+        self._lock = threading.Lock()
+        self._serves: dict = {}
 
     def __len__(self):
         return len(self.files)
@@ -276,13 +279,20 @@ class ShapeNetPart:
         cache, :118-136): ``np.loadtxt`` of a ~2.8k-row text file per item
         per epoch host-bottlenecks real training (round-2 VERDICT weak #5);
         the binary reload is ~100x faster. Falls back to text parsing when
-        the dataset directory is read-only."""
+        the dataset directory is read-only or the cache is corrupt (the
+        write is atomic via a temp file + rename, but older/partial caches
+        must not brick the item forever)."""
         cache = path + ".npy"
         if os.path.exists(cache):
-            return np.load(cache)
+            try:
+                return np.load(cache)
+            except (ValueError, OSError, EOFError):
+                pass  # truncated/corrupt cache: re-parse and rewrite below
         raw = np.loadtxt(path).astype(np.float32)  # x y z nx ny nz part
         try:
-            np.save(cache, raw)
+            tmp = f"{cache}.{os.getpid()}.tmp.npy"  # .npy suffix: np.save won't rename
+            np.save(tmp, raw)
+            os.replace(tmp, cache)
         except OSError:
             pass
         return raw
@@ -290,7 +300,16 @@ class ShapeNetPart:
     def __getitem__(self, idx):
         name, path = self.files[idx]
         raw = self._load_raw(path)
-        choice = self.rng.integers(0, raw.shape[0], self.npoints)
+        # per-call generator seeded by (seed, idx, serve-count): thread-safe
+        # under DataLoader worker threads (a shared np.random.Generator is
+        # not), deterministic regardless of cross-item call order, and still
+        # resamples the item on every epoch like the reference's per-epoch
+        # np.random.choice
+        with self._lock:
+            serve = self._serves.get(idx, 0)
+            self._serves[idx] = serve + 1
+        rng = np.random.default_rng(np.random.SeedSequence([0x5E6, idx, serve]))
+        choice = rng.integers(0, raw.shape[0], self.npoints)
         raw = raw[choice]
         pts = raw[:, :6] if self.use_normals else raw[:, :3]
         pts[:, :3] = pc_normalize(pts[:, :3])

@@ -85,6 +85,8 @@ def emd_auction_assignment(
     """
     cost = _pairwise_sqdist(a, b)  # (..., n, n)
     n = cost.shape[-1]
+    if n == 1:  # the only matching; lax.top_k(k=2) would reject size-1 axes
+        return jnp.zeros(cost.shape[:-2] + (1,), jnp.int32), cost
     scale = jnp.maximum(jnp.max(cost, axis=(-2, -1), keepdims=True), 1e-12)
     w = -cost / scale  # benefit, in [-1, 0]
     batch_shape = cost.shape[:-2]

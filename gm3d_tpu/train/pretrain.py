@@ -194,6 +194,15 @@ def make_gm3d_train_step(
     # feature MSE vs teacher + Chamfer(student's OWN coords, gt neighborhood)
     # inside the grad path; the teacher decoder replay is not used there
     use_sep_distill = use_distill and not shared_opt
+    if use_sep_distill and student.mode != "feature":
+        # usual-mode pix_pred is 3*S coordinates; the separated loss needs
+        # decoder FEATURES for the teacher MSE. The reference has no working
+        # semantics for this combo either (its usual model's forward_loss is
+        # 3-arg; the 5-arg separated call would TypeError).
+        raise ValueError(
+            "--no-shared_opt with distill_mode='dino' requires mode='feature' "
+            "(the separated loss consumes decoder features; use "
+            "distill_mode='none' for usual mode)")
     use_ema_feats = distill_mode == "ema"
     use_clip = distill_mode == "clip"
     if use_clip:
