@@ -87,7 +87,26 @@ def main():
     # worker threads overlap the per-item load (txt->npy cached) with device
     # compute, like the other CLIs
     workers = getattr(args, "num_workers", 0)
-    train_loader = DataLoader(train_ds, bs, seed=args.seed, num_workers=workers)
+    train_loader = None
+    if getattr(args, "native_loader", False) and not args.synthetic:
+        from gm3d_tpu.native import NativeLabelledCloudLoader, native_available
+
+        if (native_available() and hasattr(train_ds, "_load_raw")
+                and not getattr(train_ds, "use_normals", False)):
+            # C++ threaded loader over the per-item .npy caches (N,7 layout):
+            # materialise any missing caches once, then read binary forever
+            paths, labels = [], []
+            for name, path in train_ds.files:
+                if not os.path.exists(path + ".npy"):
+                    train_ds._load_raw(path)  # writes the cache atomically
+                paths.append(path + ".npy")
+                labels.append(train_ds.cls_ids[name])
+            train_loader = NativeLabelledCloudLoader(
+                paths, labels, npoints, bs, num_workers=max(workers, 1),
+                seed=args.seed, with_seg=True)
+            logger.info(f"native C++ loader over {len(paths)} cached items")
+    if train_loader is None:
+        train_loader = DataLoader(train_ds, bs, seed=args.seed, num_workers=workers)
     val_loader = DataLoader(val_ds, bs, shuffle=False, drop_last=False,
                             num_workers=workers)
 

@@ -97,20 +97,31 @@ void pc_normalize(float* pts, int64_t n) {
   for (int64_t i = 0; i < 3 * n; ++i) pts[i] *= inv;
 }
 
+// one prepared sample: points + (optional) class label + per-point seg ids.
+// The label travels WITH the sample through the ring buffer, so the
+// nondeterministic worker completion order can never mis-pair them.
+struct Sample {
+  std::vector<float> pts;      // npoints * 3
+  int32_t cls = -1;            // per-file class id (labelled datasets)
+  std::vector<int32_t> seg;    // npoints (ShapeNetPart part ids), optional
+};
+
 struct Loader {
   std::vector<std::string> paths;
+  std::vector<int32_t> labels;  // empty for unlabelled datasets
   int npoints;
   int batch_size;
   int num_workers;
   unsigned seed;
   bool shuffle;
+  bool with_seg;
 
   std::vector<uint32_t> order;
   std::atomic<size_t> next_item{0};
   size_t epoch = 0;
 
-  // ring buffer of ready samples (npoints*3 floats each)
-  std::deque<std::vector<float>> ready;
+  // ring buffer of ready samples
+  std::deque<Sample> ready;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   size_t max_queue;
@@ -118,9 +129,11 @@ struct Loader {
   std::atomic<int> active_workers{0};
   std::vector<std::thread> workers;
 
-  Loader(std::vector<std::string> p, int np, int bs, int nw, unsigned sd, bool sh)
-      : paths(std::move(p)), npoints(np), batch_size(bs), num_workers(nw),
-        seed(sd), shuffle(sh), max_queue(static_cast<size_t>(bs) * 4) {
+  Loader(std::vector<std::string> p, std::vector<int32_t> lbl, int np, int bs,
+         int nw, unsigned sd, bool sh, bool sg)
+      : paths(std::move(p)), labels(std::move(lbl)), npoints(np),
+        batch_size(bs), num_workers(nw), seed(sd), shuffle(sh), with_seg(sg),
+        max_queue(static_cast<size_t>(bs) * 4) {
     order.resize(paths.size());
     for (uint32_t i = 0; i < order.size(); ++i) order[i] = i;
     reshuffle();
@@ -143,8 +156,12 @@ struct Loader {
       const uint32_t file_idx = order[item];
       int64_t rows = 0, cols = 0;
       if (!read_npy_points(paths[file_idx], raw, rows, cols) || cols < 3) continue;
+      if (with_seg && cols < 4) continue;  // need a part-id column
 
-      std::vector<float> sample(static_cast<size_t>(npoints) * 3);
+      Sample s;
+      s.pts.resize(static_cast<size_t>(npoints) * 3);
+      s.cls = labels.empty() ? -1 : labels[file_idx];
+      if (with_seg) s.seg.resize(npoints);
       std::mt19937 rng(seed * 2654435761u + static_cast<unsigned>(epoch) * 40503u +
                        file_idx);
       // random permutation subset of npoints (partial Fisher-Yates)
@@ -155,23 +172,26 @@ struct Loader {
         std::uniform_int_distribution<int64_t> dist(i, rows - 1);
         std::swap(idx[i], idx[dist(rng)]);
         const uint32_t src = idx[i];
-        sample[3 * i] = raw[src * cols];
-        sample[3 * i + 1] = raw[src * cols + 1];
-        sample[3 * i + 2] = raw[src * cols + 2];
+        s.pts[3 * i] = raw[src * cols];
+        s.pts[3 * i + 1] = raw[src * cols + 1];
+        s.pts[3 * i + 2] = raw[src * cols + 2];
+        if (with_seg)
+          s.seg[i] = static_cast<int32_t>(raw[src * cols + (cols - 1)]);
       }
       // pad by repetition if the cloud is smaller than npoints
       for (int64_t i = take; i < npoints; ++i) {
         const int64_t src = i % take;
-        sample[3 * i] = sample[3 * src];
-        sample[3 * i + 1] = sample[3 * src + 1];
-        sample[3 * i + 2] = sample[3 * src + 2];
+        s.pts[3 * i] = s.pts[3 * src];
+        s.pts[3 * i + 1] = s.pts[3 * src + 1];
+        s.pts[3 * i + 2] = s.pts[3 * src + 2];
+        if (with_seg) s.seg[i] = s.seg[src];
       }
-      pc_normalize(sample.data(), npoints);
+      pc_normalize(s.pts.data(), npoints);
 
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] { return ready.size() < max_queue || stop_flag.load(); });
       if (stop_flag.load()) break;
-      ready.push_back(std::move(sample));
+      ready.push_back(std::move(s));
       cv_ready.notify_one();
     }
     active_workers.fetch_sub(1);
@@ -188,8 +208,9 @@ struct Loader {
     workers.clear();
   }
 
-  // returns 1 on batch, 0 on epoch end (and restarts the next epoch)
-  int next(float* out) {
+  // returns 1 on batch, 0 on epoch end (and restarts the next epoch);
+  // out_cls / out_seg may be null for unlabelled consumption
+  int next(float* out, int32_t* out_cls, int32_t* out_seg) {
     for (int b = 0; b < batch_size; ++b) {
       std::unique_lock<std::mutex> lk(mu);
       cv_ready.wait(lk, [&] {
@@ -202,12 +223,16 @@ struct Loader {
         advance_epoch();
         return 0;
       }
-      std::vector<float> sample = std::move(ready.front());
+      Sample sample = std::move(ready.front());
       ready.pop_front();
       cv_space.notify_one();
       lk.unlock();
-      std::memcpy(out + static_cast<size_t>(b) * npoints * 3, sample.data(),
+      std::memcpy(out + static_cast<size_t>(b) * npoints * 3, sample.pts.data(),
                   sizeof(float) * npoints * 3);
+      if (out_cls) out_cls[b] = sample.cls;
+      if (out_seg && with_seg)
+        std::memcpy(out_seg + static_cast<size_t>(b) * npoints,
+                    sample.seg.data(), sizeof(int32_t) * npoints);
     }
     return 1;
   }
@@ -240,12 +265,30 @@ void* gm3d_loader_create(const char** paths, int n_files, int npoints,
                          int batch_size, int num_workers, unsigned seed,
                          int shuffle) {
   std::vector<std::string> p(paths, paths + n_files);
-  return new Loader(std::move(p), npoints, batch_size, num_workers, seed,
-                    shuffle != 0);
+  return new Loader(std::move(p), {}, npoints, batch_size, num_workers, seed,
+                    shuffle != 0, false);
+}
+
+// labelled variant: per-file int class labels; with_seg additionally returns
+// the last npy column as per-point int32 part ids (ShapeNetPart caches are
+// (N, 7) x y z nx ny nz part)
+void* gm3d_labelled_loader_create(const char** paths, const int32_t* labels,
+                                  int n_files, int npoints, int batch_size,
+                                  int num_workers, unsigned seed, int shuffle,
+                                  int with_seg) {
+  std::vector<std::string> p(paths, paths + n_files);
+  std::vector<int32_t> lbl(labels, labels + n_files);
+  return new Loader(std::move(p), std::move(lbl), npoints, batch_size,
+                    num_workers, seed, shuffle != 0, with_seg != 0);
 }
 
 int gm3d_loader_next(void* handle, float* out) {
-  return static_cast<Loader*>(handle)->next(out);
+  return static_cast<Loader*>(handle)->next(out, nullptr, nullptr);
+}
+
+int gm3d_loader_next_labelled(void* handle, float* out, int32_t* out_cls,
+                              int32_t* out_seg) {
+  return static_cast<Loader*>(handle)->next(out, out_cls, out_seg);
 }
 
 int gm3d_loader_num_batches(void* handle) {

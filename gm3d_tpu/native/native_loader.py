@@ -46,6 +46,25 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.gm3d_loader_next.restype = ctypes.c_int
     lib.gm3d_loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.gm3d_labelled_loader_create.restype = ctypes.c_void_p
+    lib.gm3d_labelled_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.gm3d_loader_next_labelled.restype = ctypes.c_int
+    lib.gm3d_loader_next_labelled.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.gm3d_loader_num_batches.restype = ctypes.c_int
     lib.gm3d_loader_num_batches.argtypes = [ctypes.c_void_p]
     lib.gm3d_loader_destroy.argtypes = [ctypes.c_void_p]
@@ -93,6 +112,73 @@ class NativeCloudLoader:
             if ok == 0:
                 return
             yield self._buf.copy()
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.gm3d_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeLabelledCloudLoader:
+    """Labelled variant: yields ``(pts, cls)`` — or ``(pts, cls, seg)`` with
+    ``with_seg=True`` — batches assembled by the C++ worker threads. The class
+    label travels with each sample through the ring buffer (Sample struct in
+    loader.cpp), so worker completion order cannot mis-pair them. With
+    ``with_seg`` the last npy column is returned as per-point int32 part ids
+    (the ShapeNetPart ``.npy`` caches are (N, 7) ``x y z nx ny nz part``)."""
+
+    def __init__(
+        self,
+        paths: List[str],
+        labels: List[int],
+        npoints: int,
+        batch_size: int,
+        num_workers: int = 4,
+        seed: int = 0,
+        shuffle: bool = True,
+        with_seg: bool = False,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native loader unavailable (no toolchain?)")
+        assert len(paths) == len(labels)
+        self._lib = lib
+        self.npoints = npoints
+        self.batch_size = batch_size
+        self.with_seg = with_seg
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        lbl = np.asarray(labels, np.int32)
+        self._handle = lib.gm3d_labelled_loader_create(
+            arr, lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(paths),
+            npoints, batch_size, num_workers, seed, int(shuffle), int(with_seg)
+        )
+        self._pts = np.empty((batch_size, npoints, 3), np.float32)
+        self._cls = np.empty((batch_size,), np.int32)
+        self._seg = np.empty((batch_size, npoints), np.int32)
+
+    def __len__(self):
+        return self._lib.gm3d_loader_num_batches(self._handle)
+
+    def __iter__(self):
+        while True:
+            ok = self._lib.gm3d_loader_next_labelled(
+                self._handle,
+                self._pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self._seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if ok == 0:
+                return
+            if self.with_seg:
+                yield self._pts.copy(), self._cls.copy(), self._seg.copy()
+            else:
+                yield self._pts.copy(), self._cls.copy()
 
     def close(self):
         if getattr(self, "_handle", None):
