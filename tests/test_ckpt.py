@@ -302,3 +302,46 @@ class TestPretrainFinetuneTransfer:
             np.asarray(params["block0"]["attn"]["qkv"]["kernel"]),
             np.asarray(pre_vars["params"]["MAE_encoder"]["blocks"]["block0"]["attn"]["qkv"]["kernel"]),
         )
+
+
+class TestSharedOptimizerCheckpoint:
+    """The default pretrain optimizer is now optax.multi_transform (frozen
+    coord head) — its masked opt-state (MaskedNode leaves) must survive the
+    orbax round-trip for --resume."""
+
+    def test_multi_transform_state_round_trip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from gm3d_tpu.ckpt import restore_checkpoint, save_checkpoint
+        from gm3d_tpu.models import GM3DStudent
+        from gm3d_tpu.train.optim import build_gm3d_shared_optimizer
+        from gm3d_tpu.train.state import create_train_state
+
+        small = dict(trans_dim=48, depth=2, num_heads=2, decoder_depth=1,
+                     decoder_num_heads=2, group_size=8, num_group=16,
+                     encoder_dims=48)
+        s = GM3DStudent(**small)
+        pts = jnp.zeros((2, 64, 3))
+        m0 = jnp.zeros((2, 16), bool).at[:, :10].set(True)
+        sv = s.init(jax.random.key(0), pts, m0, 10)
+        tx = build_gm3d_shared_optimizer(sv["params"], 1e-3)
+        state = create_train_state(sv, tx, with_ema=True)
+        # advance the optimizer once so moments are non-trivial
+        import optax
+
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        up, opt_state = tx.update(grads, state.opt_state, state.params)
+        state = state.replace(params=optax.apply_updates(state.params, up),
+                              opt_state=opt_state,
+                              step=state.step + 1)
+
+        save_checkpoint(str(tmp_path / "ck"), state, 1)
+        template = create_train_state(sv, tx, with_ema=True)
+        restored = restore_checkpoint(str(tmp_path / "ck"), template)
+        assert restored is not None and int(restored.step) == 1
+        flat_a = jax.tree_util.tree_leaves(state.opt_state)
+        flat_b = jax.tree_util.tree_leaves(restored.opt_state)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
