@@ -150,7 +150,14 @@ def main():
     example = jnp.asarray(next(iter(train_loader)))
 
     lr = effective_lr(args.blr, batch, args.accum_iter)
-    sched = cosine_warmup_schedule(lr, args.min_lr, args.warmup_epochs, epochs, steps_per_epoch)
+    # under gradient accumulation the optimizer count ticks once per UPDATE
+    # (optax.MultiSteps), not per micro-step, so the schedule's epoch axis is
+    # updates_per_epoch — matching the reference's per-iteration adjust at
+    # data_iter_step % accum == 0 (engine...:79-80: epoch_frac advances by
+    # accum_iter micro-steps per update)
+    updates_per_epoch = max(steps_per_epoch // args.accum_iter, 1)
+    sched = cosine_warmup_schedule(lr, args.min_lr, args.warmup_epochs, epochs,
+                                   updates_per_epoch)
     wd = cfg["optimizer"]["kwargs"]["weight_decay"]
     # HPM-style engines clip grads to global-norm 5 on every step — the
     # NativeScaler DEFAULT clip_grad=5. (util/misc.py:256), never overridden
@@ -254,7 +261,7 @@ def main():
             legacy_lr,
             cfg.get("scheduler", {}).get("kwargs", {}).get("epochs", epochs),
             cfg.get("scheduler", {}).get("kwargs", {}).get("initial_epochs", 10),
-            steps_per_epoch,
+            updates_per_epoch,  # optimizer count ticks per UPDATE (accum)
         )
         tx = build_legacy_adamw(sched, wd, accum_steps=args.accum_iter)
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
@@ -424,7 +431,8 @@ def main():
         stats = meter.global_avgs()
         epoch_time = time.time() - t0
         stats.update(epoch=epoch, time=round(epoch_time, 2),
-                     lr=float(sched(int(state.step))),
+                     # the schedule's axis is optimizer UPDATES
+                     lr=float(sched(int(state.step) // args.accum_iter)),
                      # meter coverage: must equal steps_per_epoch regardless of
                      # --steps_per_dispatch (every scanned step feeds the meters)
                      steps=meter.meters["loss"].count if "loss" in meter.meters else 0,

@@ -344,3 +344,37 @@ class TestLegacySchedule:
             params = optax.apply_updates(params, up)
         np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(),
                                    atol=1e-6)
+
+
+class TestAccumScheduleAxis:
+    """optax.MultiSteps ticks the inner optimizer count once per UPDATE, so
+    schedules must be built over updates_per_epoch, not micro-steps (the
+    reference's per-iteration adjust advances epoch_frac by accum_iter
+    micro-steps per update, engine...:79-80)."""
+
+    def test_lr_progression_under_accumulation(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from gm3d_tpu.train.optim import build_adamw
+
+        lrs = [1e-3, 2e-3, 4e-3, 8e-3]
+        sched = lambda count: jnp.asarray(lrs)[jnp.minimum(count, 3)]
+        tx = build_adamw(sched, weight_decay=0.0, accum_steps=2)
+        params = {"w": jnp.zeros((4,))}
+        state = tx.init(params)
+        g = {"w": jnp.ones((4,))}
+        deltas = []
+        for i in range(6):  # 6 micro-steps = 3 updates
+            up, state = tx.update(g, state, params)
+            new = optax.apply_updates(params, up)
+            deltas.append(float(jnp.abs(new["w"] - params["w"]).max()))
+            params = new
+        # updates land on odd micro-steps; each uses the NEXT schedule count
+        # (adamw with constant grads steps ~lr per element)
+        assert deltas[0] == 0.0 and deltas[2] == 0.0 and deltas[4] == 0.0
+        np.testing.assert_allclose(deltas[1], lrs[0], rtol=1e-4)
+        np.testing.assert_allclose(deltas[3], lrs[1], rtol=1e-4)
+        np.testing.assert_allclose(deltas[5], lrs[2], rtol=1e-4)
