@@ -101,10 +101,19 @@ def main():
                     train_ds._load_raw(path)  # writes the cache atomically
                 paths.append(path + ".npy")
                 labels.append(train_ds.cls_ids[name])
-            train_loader = NativeLabelledCloudLoader(
-                paths, labels, npoints, bs, num_workers=max(workers, 1),
-                seed=args.seed, with_seg=True)
-            logger.info(f"native C++ loader over {len(paths)} cached items")
+            missing = [p for p in paths if not os.path.exists(p)]
+            if missing:
+                # read-only dataset dir: the cache write silently no-ops and
+                # the C++ loader would skip every item -> zero train steps.
+                # Fall back to the Python thread loader instead.
+                logger.warning(
+                    f"native loader disabled: {len(missing)} .npy caches could "
+                    "not be written (read-only dataset dir?)")
+            else:
+                train_loader = NativeLabelledCloudLoader(
+                    paths, labels, npoints, bs, num_workers=max(workers, 1),
+                    seed=args.seed, with_seg=True)
+                logger.info(f"native C++ loader over {len(paths)} cached items")
     if train_loader is None:
         train_loader = DataLoader(train_ds, bs, seed=args.seed, num_workers=workers)
     val_loader = DataLoader(val_ds, bs, shuffle=False, drop_last=False,
@@ -152,7 +161,8 @@ def main():
             state = replicate_tree(mesh, restored)
             start_epoch = int(restored.step) // steps_per_epoch
             logger.info(f"resumed from step {int(restored.step)} (epoch {start_epoch})")
-            train_loader.load_state({"epoch": start_epoch, "batch": 0})
+            if hasattr(train_loader, "load_state"):  # native loader has none
+                train_loader.load_state({"epoch": start_epoch, "batch": 0})
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
         t0 = time.time()

@@ -48,6 +48,31 @@ def numpy_fps(points: np.ndarray, n: int, rng: np.random.RandomState | None = No
     return points[out]
 
 
+class _ItemRng:
+    """Thread-safe, restart-deterministic per-item RNG for __getitem__-time
+    randomness (subsampling, point shuffles).
+
+    A SHARED ``np.random.Generator`` is not thread-safe under the DataLoader's
+    worker threads, and per-item serve counters are not restart-deterministic
+    (a resumed run would redraw epoch-0 subsamples). Seeding by
+    ``(tag, epoch, idx)`` is both: the epoch arrives through the DataLoader's
+    ``set_epoch`` protocol, so the stream is a pure function of position —
+    identical for any worker count and across crash-resume."""
+
+    def __init__(self, tag: int):
+        self._tag = int(tag)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def for_item(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self._tag, self._epoch, int(idx)])
+        )
+
+
+
 @DATASETS.register_module("ShapeNet")
 class ShapeNet55:
     """ShapeNet-55 pretrain set (``datasets/ShapeNet55Dataset.py:9-70``):
@@ -75,7 +100,10 @@ class ShapeNet55:
             taxonomy_id = line.split("-")[0]
             model_id = line.split("-", 1)[1].split(".")[0]
             self.file_list.append((taxonomy_id, model_id, line))
-        self.rng = np.random.default_rng(0)
+        self._rng = _ItemRng(0x5A55)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._rng.set_epoch(epoch)
 
     def __len__(self):
         return len(self.file_list)
@@ -83,7 +111,7 @@ class ShapeNet55:
     def __getitem__(self, idx):
         taxonomy_id, model_id, fname = self.file_list[idx]
         data = io.read_npy(os.path.join(self.pc_path, fname)).astype(np.float32)
-        choice = self.rng.permutation(data.shape[0])[: self.npoints]
+        choice = self._rng.for_item(idx).permutation(data.shape[0])[: self.npoints]
         data = pc_normalize(data[choice])
         return taxonomy_id, model_id, data
 
@@ -134,7 +162,10 @@ class ModelNet:
             self.labels = np.asarray(lbl_list, np.int64)
             with open(cache, "wb") as f:
                 pickle.dump((self.points, self.labels), f)
-        self.rng = np.random.default_rng(0)
+        self._rng = _ItemRng(0x30DE)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._rng.set_epoch(epoch)
 
     def __len__(self):
         return len(self.datapath)
@@ -145,7 +176,7 @@ class ModelNet:
         if not self.use_normals:
             pts = pts[:, :3]
         if self.subset == "train":
-            self.rng.shuffle(pts)
+            self._rng.for_item(idx).shuffle(pts)
         return "ModelNet", "sample", (pts.astype(np.float32), int(self.labels[idx]))
 
 
@@ -165,7 +196,10 @@ class _ScanObjectNNBase:
         self.points = data.astype(np.float32)
         self.labels = label.astype(np.int64)
         self.subset = subset
-        self.rng = np.random.default_rng(0)
+        self._rng = _ItemRng(0x5CA0)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._rng.set_epoch(epoch)
 
     def __len__(self):
         return self.points.shape[0]
@@ -173,7 +207,7 @@ class _ScanObjectNNBase:
     def __getitem__(self, idx):
         pts = self.points[idx].copy()
         if self.subset == "train":
-            self.rng.shuffle(pts)
+            self._rng.for_item(idx).shuffle(pts)
         return "ScanObjectNN", "sample", (pts, int(self.labels[idx]))
 
 
@@ -208,7 +242,10 @@ class ModelNetFewShot:
         with open(path, "rb") as f:
             data = pickle.load(f)
         self.dataset = data["train" if self.subset == "train" else "test"]
-        self.rng = np.random.default_rng(0)
+        self._rng = _ItemRng(0xFE57)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._rng.set_epoch(epoch)
 
     def __len__(self):
         return len(self.dataset)
@@ -217,7 +254,7 @@ class ModelNetFewShot:
         pts, label, _ = self.dataset[idx]
         pts = pts[:, :3].astype(np.float32)
         if self.subset == "train":
-            self.rng.shuffle(pts)
+            self._rng.for_item(idx).shuffle(pts)
         return "ModelNetFewShot", "sample", (pts, int(label))
 
 
@@ -266,13 +303,13 @@ class ShapeNetPart:
             for name, s in self.categories.items():
                 if s == synset:
                     self.files.append((name, os.path.join(self.root, synset, token + ".txt")))
-        import threading
-
-        self._lock = threading.Lock()
-        self._serves: dict = {}
+        self._rng = _ItemRng(0x5E6)
 
     def __len__(self):
         return len(self.files)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._rng.set_epoch(epoch)
 
     def _load_raw(self, path: str) -> np.ndarray:
         """One-time ``.npy`` cache per item (mirrors the ModelNet ``.dat``
@@ -300,16 +337,10 @@ class ShapeNetPart:
     def __getitem__(self, idx):
         name, path = self.files[idx]
         raw = self._load_raw(path)
-        # per-call generator seeded by (seed, idx, serve-count): thread-safe
-        # under DataLoader worker threads (a shared np.random.Generator is
-        # not), deterministic regardless of cross-item call order, and still
-        # resamples the item on every epoch like the reference's per-epoch
-        # np.random.choice
-        with self._lock:
-            serve = self._serves.get(idx, 0)
-            self._serves[idx] = serve + 1
-        rng = np.random.default_rng(np.random.SeedSequence([0x5E6, idx, serve]))
-        choice = rng.integers(0, raw.shape[0], self.npoints)
+        # (tag, epoch, idx)-seeded generator (see _ItemRng): thread-safe,
+        # restart-deterministic, resamples per epoch like the reference's
+        # per-epoch np.random.choice
+        choice = self._rng.for_item(idx).integers(0, raw.shape[0], self.npoints)
         raw = raw[choice]
         pts = raw[:, :6] if self.use_normals else raw[:, :3]
         pts[:, :3] = pc_normalize(pts[:, :3])
@@ -419,6 +450,10 @@ class DataLoader:
         start = self._next_batch if self._resume_pending else 0
         self._resume_pending = False
         self._next_batch = start
+        # announce the epoch for per-item RNG (see _ItemRng): keeps
+        # __getitem__-time randomness a pure function of (epoch, idx)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         batches = self._epoch_batches(self.epoch)[start:]
         if self.num_workers <= 0:
             for idx in batches:

@@ -156,6 +156,7 @@ struct Loader {
       const uint32_t file_idx = order[item];
       int64_t rows = 0, cols = 0;
       if (!read_npy_points(paths[file_idx], raw, rows, cols) || cols < 3) continue;
+      if (rows <= 0) continue;  // empty cloud: i % take below would SIGFPE
       if (with_seg && cols < 4) continue;  // need a part-id column
 
       Sample s;

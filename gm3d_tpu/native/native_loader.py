@@ -19,21 +19,16 @@ _LIB_PATH = os.path.join(_DIR, "libgm3dio.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> bool:
+def _build(force: bool = False) -> bool:
     try:
-        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        cmd = ["make", "-C", _DIR] + (["-B"] if force else [])
+        subprocess.run(cmd, check=True, capture_output=True)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
-        return None
-    lib = ctypes.CDLL(_LIB_PATH)
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gm3d_loader_create.restype = ctypes.c_void_p
     lib.gm3d_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -68,8 +63,30 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gm3d_loader_num_batches.restype = ctypes.c_int
     lib.gm3d_loader_num_batches.argtypes = [ctypes.c_void_p]
     lib.gm3d_loader_destroy.argtypes = [ctypes.c_void_p]
-    _lib = lib
     return lib
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    # incremental make first: a stale .so built from an older loader.cpp
+    # survives on disk (build artifact), and binding would AttributeError on
+    # the newer symbols — make's dependency on loader.cpp rebuilds it
+    if not _build() and not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        _lib = _bind(ctypes.CDLL(_LIB_PATH))
+    except (OSError, AttributeError):
+        # stale/corrupt library that make considered up-to-date (e.g. clock
+        # skew): force a full rebuild once, then give up gracefully
+        if not _build(force=True):
+            return None
+        try:
+            _lib = _bind(ctypes.CDLL(_LIB_PATH))
+        except (OSError, AttributeError):
+            return None
+    return _lib
 
 
 def native_available() -> bool:
