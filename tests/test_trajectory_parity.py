@@ -208,6 +208,7 @@ def _patch_point_pred(ref_student):
 
 def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epoch):
     separated = variant == "separated"
+    shared_tokens = variant == "shared_tokens"
     import timm.utils as timm_utils  # the shim
     from timm.optim import optim_factory
 
@@ -286,7 +287,8 @@ def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epo
                 scheduler=None,
                 optimizer_learn_loss=None, after_200_epoch=False,
                 classification=False, loss_multiply_by=MULTIPLIERS,
-                after_epoch=after_epoch, shared_learnable_tokens=False,
+                after_epoch=after_epoch,
+                shared_learnable_tokens=shared_tokens,
             )
         else:
             st = engine.train_one_epoch_seperated(
@@ -322,7 +324,7 @@ def _run_ours(model, teacher, svars, tvars, batches, variant, after_epoch):
     state = create_train_state(svars, tx, with_ema=True)
     step = make_gm3d_train_step(
         model, None if variant == "usual" else teacher, tx, MASK_RATIO,
-        shared_learnable_tokens=False,
+        shared_learnable_tokens=variant == "shared_tokens",
         relative=True, augment=False,
         distill_mode="none" if variant == "usual" else "dino",
         shared_opt=not separated, use_fused_embed=False,
@@ -403,7 +405,7 @@ def _torch_state_to_tree(torch_module, mapping):
     return mapped
 
 
-@pytest.mark.parametrize("variant", ["shared", "separated", "usual"])
+@pytest.mark.parametrize("variant", ["shared", "separated", "usual", "shared_tokens"])
 def test_training_trajectory_matches_reference(variant):
     """12 optimizer steps (4 epochs x 3) through the REAL reference engine vs
     our one-jit train step.
