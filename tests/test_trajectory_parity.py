@@ -119,10 +119,10 @@ def _det_generate_mask(loss_pred, mask_ratio=0.75, images=None, guide=True,
     return mask
 
 
-def _make_batches(seed):
+def _make_batches(seed, steps_per_epoch=STEPS_PER_EPOCH):
     rng = np.random.RandomState(seed)
     return [
-        [rng.randn(B, N, 3).astype(np.float32) for _ in range(STEPS_PER_EPOCH)]
+        [rng.randn(B, N, 3).astype(np.float32) for _ in range(steps_per_epoch)]
         for _ in range(EPOCHS)
     ]
 
@@ -206,7 +206,8 @@ def _patch_point_pred(ref_student):
     ref_student.MAE_decoder_loss_pred.forward = lp_detached
 
 
-def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epoch):
+def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epoch,
+                   accum=1):
     separated = variant == "separated"
     shared_tokens = variant == "shared_tokens"
     import timm.utils as timm_utils  # the shim
@@ -260,7 +261,7 @@ def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epo
         "RecScaler", (type(loss_scaler),), {"__call__": recording_call}
     )
     args = SimpleNamespace(
-        accum_iter=1,
+        accum_iter=accum,
         learning_loss=True,
         epochs=EPOCHS,
         # usual mode: Chamfer-only path, no teacher (engine else-branch,
@@ -273,7 +274,7 @@ def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epo
         warmup_epochs=WARMUP_EPOCHS,
         device="cpu",
     )
-    cls_loader = [(0, 0, (torch.zeros(2, 8, 3), torch.zeros(2)))] * STEPS_PER_EPOCH
+    cls_loader = [(0, 0, (torch.zeros(2, 8, 3), torch.zeros(2)))] * len(batches[0])
 
     stats, snapshots = [], []
     for epoch in range(EPOCHS):
@@ -307,9 +308,13 @@ def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epo
     return model_ema, stats, step_losses, snapshots
 
 
-def _run_ours(model, teacher, svars, tvars, batches, variant, after_epoch):
+def _run_ours(model, teacher, svars, tvars, batches, variant, after_epoch,
+              accum=1):
     separated = variant == "separated"
-    sched = cosine_warmup_schedule(LR, MIN_LR, WARMUP_EPOCHS, EPOCHS, STEPS_PER_EPOCH)
+    steps_per_epoch = len(batches[0])
+    # the optimizer count ticks once per UPDATE under accumulation
+    sched = cosine_warmup_schedule(LR, MIN_LR, WARMUP_EPOCHS, EPOCHS,
+                                   max(steps_per_epoch // accum, 1))
     if separated:
         tx = build_gm3d_separated_optimizer(
             svars["params"], sched, WD, loss_pred_learning_rate=LR
@@ -320,14 +325,15 @@ def _run_ours(model, teacher, svars, tvars, batches, variant, after_epoch):
                                          frozen_modules=())
     else:
         # feature mode: coord head frozen (grad-None in the reference)
-        tx = build_gm3d_shared_optimizer(svars["params"], sched, WD)
+        tx = build_gm3d_shared_optimizer(svars["params"], sched, WD,
+                                         accum_steps=accum)
     state = create_train_state(svars, tx, with_ema=True)
     step = make_gm3d_train_step(
         model, None if variant == "usual" else teacher, tx, MASK_RATIO,
         shared_learnable_tokens=variant == "shared_tokens",
         relative=True, augment=False,
         distill_mode="none" if variant == "usual" else "dino",
-        shared_opt=not separated, use_fused_embed=False,
+        shared_opt=not separated, use_fused_embed=False, accum_steps=accum,
     )
     losses_recon, losses_learn, losses_total, snapshots = [], [], [], []
     rng = jax.random.PRNGKey(42)
@@ -339,7 +345,7 @@ def _run_ours(model, teacher, svars, tvars, batches, variant, after_epoch):
             "w_mse": jnp.asarray(w_mse, jnp.float32),
             "w_cd": jnp.asarray(w_cd, jnp.float32),
         }
-        for it in range(STEPS_PER_EPOCH):
+        for it in range(steps_per_epoch):
             rng, key = jax.random.split(rng)
             state, metrics = step(state, tvars, jnp.asarray(batches[epoch][it]), key, scalars)
             losses_recon.append(float(metrics["loss_recon"]))
@@ -511,3 +517,42 @@ def test_training_trajectory_matches_reference(variant):
     # bn mean/var track raw (unnormalised) activations of the drifting
     # loss-pred branch: loosest of the drift bounds
     check(EPOCHS - 1, kern=0.15, vec=0.25, ema=5e-3, bn=1.0)  # drift bound
+
+
+def test_training_trajectory_accumulation_matches_reference():
+    """Gradient accumulation (accum_iter=2) through the REAL engine: grads
+    accumulate over 2 micro-steps, clip-5 + AdamW + the EMA update fire only
+    at the update boundary, and the LR adjusts on the update axis — vs our
+    optax.MultiSteps-based step with gated EMA (round-3 fixes). Even
+    steps_per_epoch: the engine's per-epoch ``optimizer.zero_grad()`` would
+    DISCARD a ragged half-accumulated gradient at the epoch boundary, which
+    MultiSteps (correctly) carries — parity is asserted for the non-ragged
+    regime every real config uses."""
+    engine = reference_shims.load_engine_module()
+    ref_student, ref_teacher, model, teacher, svars, tvars = _build_torch_models()
+    spe = 4
+    batches = _make_batches(21, steps_per_epoch=spe)
+
+    model_ema, stats, t_steps, t_snaps = _run_reference(
+        engine, ref_student, ref_teacher, batches, "shared", AFTER_EPOCH, accum=2
+    )
+    state, losses_recon, losses_learn, losses_total, o_snaps = _run_ours(
+        model, teacher, svars, tvars, batches, "shared", AFTER_EPOCH, accum=2
+    )
+
+    # torch backs up loss/accum per micro-step; our metrics are unscaled
+    pairs = [(o / 2.0, t) for o, t in zip(losses_total, t_steps)]
+    for i, (o, t) in enumerate(pairs):
+        tol = 1e-5 if i < 4 else (1e-2 if i < 8 else None)
+        if tol is not None:
+            np.testing.assert_allclose(o, t, rtol=tol,
+                                       err_msg=f"micro-step {i} loss diverged")
+
+    # trees after 2 epochs (8 micro = 4 updates): semantics-tight
+    t1, o1 = t_snaps[1], o_snaps[1]
+    _assert_trees_close({"p": o1["student"]["params"]},
+                        {"p": t1["student"]["params"]},
+                        "accum student params @epoch1", 0.05, 0.15)
+    _assert_trees_close({"p": o1["ema"]["params"]},
+                        {"p": t1["ema"]["params"]},
+                        "accum EMA params @epoch1", 2e-3, 2e-3)
