@@ -26,3 +26,29 @@ def test_feature_probe_cli(tmp_path, probe):
         "--output_dir", str(tmp_path),
     ])
     assert 0.0 <= acc <= 1.0
+
+
+def test_visualize_cli_writes_plys(tmp_path):
+    """cli/visualize.py (reference tools/runner.py vis path): reconstruction
+    PLYs + GM3D loss heatmaps from synthetic clouds."""
+    import os
+
+    out = str(tmp_path / "vis")
+    run_cli("gm3d_tpu.cli.visualize", [
+        "vz", "--config", "configs/pointmae/config_m.yaml", "--synthetic",
+        "--num_samples", "2", "--out_dir", out, "--heatmap",
+        "--output_dir", str(tmp_path / "exp"),
+    ])
+    plys = [f for f in os.listdir(out) if f.endswith(".ply")]
+    assert len(plys) >= 2, plys
+
+
+def test_evaluate_cli_acc_path(tmp_path):
+    """cli/evaluate.py default accuracy path (runner_finetune test_net)."""
+    acc, vote = run_cli("gm3d_tpu.cli.evaluate", [
+        "ev", "--config", "configs/pointmae/finetune_modelnet.yaml",
+        "--synthetic", "--batch_size", "8", "--synthetic_samples", "16",
+        "--vote", "--vote_times", "3",
+        "--output_dir", str(tmp_path / "exp"),
+    ])
+    assert 0.0 <= acc <= 100.0 and 0.0 <= vote <= 100.0
