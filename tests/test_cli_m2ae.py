@@ -25,7 +25,7 @@ def test_m2ae_pretrain_cli(tmp_path, family):
     acc = run_cli("gm3d_tpu.cli.pretrain", [
         "pt", "--config", "configs/m2ae/config_Point_M2AE.yaml",
         "--model_family", family, "--synthetic",
-        "--epochs", "1", "--batch_size", "4", "--synthetic_samples", "8",
+        "--epochs", "1", "--batch_size", "8", "--synthetic_samples", "8",
         "--output_dir", out,
     ])
     assert 0.0 <= acc <= 1.0
