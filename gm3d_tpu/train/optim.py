@@ -56,17 +56,22 @@ def build_legacy_adamw(
     learning_rate,
     weight_decay: float = 0.05,
     accum_steps: int = 1,
+    grad_clip: float | None = None,
 ) -> optax.GradientTransformation:
     """Legacy-runner AdamW (``tools/builder.py:55-56``
     ``optim.AdamW(param_groups, **kwargs)``): TORCH-DEFAULT betas
     (0.9, 0.999) — not the HPM mains' (0.9, 0.95) — the token-aware decay
-    mask, and NO grad clipping (plain ``loss.backward()``,
+    mask, and by default NO grad clipping (plain ``loss.backward()``,
     ``tools/runner_pretrain.py:138-151``). This is the optimizer that
-    produced the published teacher weights."""
+    produced the published teacher weights. The legacy FINETUNE runner adds
+    an explicit clip to the config's ``grad_norm_clip``
+    (``tools/runner_finetune.py:157-158``) — pass ``grad_clip`` for that."""
     tx = optax.adamw(
         learning_rate, b1=0.9, b2=0.999, weight_decay=weight_decay,
         mask=_legacy_decay_mask,
     )
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
@@ -179,16 +184,36 @@ import re as _re
 
 
 def layerwise_lr_decay_scales(
-    params: Any, depth: int = 12, decay: float = 0.75
+    params: Any, depth: int = 12, decay: float = 0.75, num_layers: int = 12
 ) -> Any:
-    """Per-parameter LR scales for fine-tuning (``util/lr_decay.py:14-61``).
+    """Per-parameter LR scales (``util/lr_decay.py:14-61`` ``param_groups_lrd``).
 
-    Layer id: patch embed / tokens / pos embeds -> 0; encoder block i -> i+1;
-    everything else (norm, head) -> depth+1. scale = decay**(depth+1-layer).
+    Reproduces the reference's EFFECTIVE assignment, not BEiT's intent:
+    ``get_layer_id_for_vit`` (``util/lr_decay.py:64-76``) matches image-ViT
+    parameter names, and on ``PointTransformer``
+    (``models/Point_MAE.py:444-543``) only the exact name ``cls_token`` and
+    the ``blocks.`` prefix ever match:
 
-    Handles both flat encoders (``blocks/block{i}``, PointTransformer) and the
-    hierarchical M2AE encoder (``stage{s}/block{i}``) by assigning cumulative
-    block indices across stages.
+      - ``cls_token``           -> layer 0   (scale ``decay**num_layers``,
+        0.75^12 = 0.0317 — near-frozen)
+      - ``blocks.blocks.i.*``   -> layer i+1 (scale ``decay**(num_layers-i-1)``;
+        the LAST block, i=11, trains at full lr)
+      - EVERYTHING else — the mini-PointNet patch embed (``encoder.*``), the
+        ``pos_embed.*`` MLP, ``cls_pos``, ``norm_p``, ``cls_head_finetune.*``
+        — falls to the ``else`` branch -> layer ``num_layers`` (scale 1.0).
+        The BEiT spellings ('pos_embed' exact, 'patch_embed.' prefix) never
+        occur in this model, so the whole stem trains at FULL lr.
+
+    ``num_layers`` is HARDCODED to 12 in the reference regardless of the
+    model's actual depth (``util/lr_decay.py:23``); the default here mirrors
+    that so shallow test models get the same scales the reference would.
+
+    Hierarchical M2AE trees (``stage{s}/block{i}``) have no reference
+    counterpart (the M2AE finetune configs specify plain AdamW with no layer
+    decay — see ``build_finetune_optimizer``); when layer decay is requested
+    for them anyway we assign cumulative block indices across stages with the
+    stem at layer 0 and the head at 1.0 (BEiT intent), since the reference's
+    name-mismatch accident is meaningless for a model it never saw.
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
@@ -204,27 +229,36 @@ def layerwise_lr_decay_scales(
         if m:
             s, i = int(m.group(1)), int(m.group(2))
             stage_blocks[s] = max(stage_blocks.get(s, 0), i + 1)
-    stage_offset = {}
-    acc = 0
-    for s in sorted(stage_blocks):
-        stage_offset[s] = acc
-        acc += stage_blocks[s]
-    total_blocks = acc if acc else depth
-    num_layers = max(total_blocks, 1) + 1
 
-    def layer_id(path: str) -> int:
-        m = _re.search(r"stage(\d+)/block(\d+)", path)
-        if m:
-            return stage_offset[int(m.group(1))] + int(m.group(2)) + 1
-        if "blocks/block" in path:
-            i = int(path.split("blocks/block")[1].split("/")[0])
-            return i + 1
-        stem = ("encoder/", "cls_token", "cls_pos", "pos_embed", "patch_embed", "merge")
-        if any(s in path for s in stem):
-            return 0
-        return num_layers
+    if stage_blocks:  # hierarchical (M2AE): BEiT-intent progressive scheme
+        stage_offset = {}
+        acc = 0
+        for s in sorted(stage_blocks):
+            stage_offset[s] = acc
+            acc += stage_blocks[s]
+        n_layers = acc + 1
 
-    scales = {p: decay ** (num_layers - layer_id(p)) for p in paths}
+        def layer_id(path: str) -> int:
+            m = _re.search(r"stage(\d+)/block(\d+)", path)
+            if m:
+                return stage_offset[int(m.group(1))] + int(m.group(2)) + 1
+            stem = ("encoder/", "cls_token", "cls_pos", "pos_embed", "patch_embed", "merge")
+            if any(s in path for s in stem):
+                return 0
+            return n_layers
+
+    else:  # flat (PointTransformer): reference-effective mapping
+        n_layers = num_layers
+
+        def layer_id(path: str) -> int:
+            if path == "cls_token":
+                return 0
+            if "blocks/block" in path:
+                i = int(path.split("blocks/block")[1].split("/")[0])
+                return min(i + 1, n_layers)
+            return n_layers
+
+    scales = {p: decay ** (n_layers - layer_id(p)) for p in paths}
 
     def to_scale(kp, _):
         return scales[path_str(kp)]
@@ -252,13 +286,26 @@ def build_finetune_optimizer(
     learning_rate: Callable,
     weight_decay: float = 0.05,
     depth: int = 12,
-    layer_decay: float = 0.75,
-    grad_clip: float | None = 10.0,
+    layer_decay: float | None = 0.75,
+    grad_clip: float | None = None,
+    betas=(0.9, 0.999),
 ) -> optax.GradientTransformation:
-    """AdamW + layer-wise LR decay (``main_finetune.py:359-366``)."""
-    scales = layerwise_lr_decay_scales(params, depth, layer_decay)
-    tx = optax.chain(
-        build_adamw(learning_rate, weight_decay, grad_clip=grad_clip),
-        scale_by_tree(scales),
-    )
+    """HPM-main finetune optimizer (``main_finetune.py:359-366``): AdamW over
+    ``param_groups_lrd`` layer-decay groups.
+
+    Betas are the TORCH DEFAULT (0.9, 0.999) — unlike the pretrain main,
+    ``main_finetune.py:366`` passes no betas. ``grad_clip`` defaults to None
+    (``--clip_grad`` default None, ``main_finetune.py:85``); pass the config's
+    ``grad_norm_clip`` to get the legacy-runner behaviour instead
+    (docs/DESIGN.md §13). ``layer_decay=None`` disables the per-layer scales
+    (the M2AE finetune configs and the legacy runner use plain AdamW).
+
+    torch applies the per-group lr (``lr * lr_scale``) to BOTH the Adam step
+    and the decoupled weight decay, so the scale tree multiplies the combined
+    optax update after ``adamw`` — equivalent math.
+    """
+    tx = build_adamw(learning_rate, weight_decay, betas, grad_clip=grad_clip)
+    if layer_decay is not None and layer_decay != 1.0:
+        scales = layerwise_lr_decay_scales(params, depth, layer_decay)
+        tx = optax.chain(tx, scale_by_tree(scales))
     return tx

@@ -307,23 +307,41 @@ def _build_engine_shims():
             {"params": decay, "weight_decay": weight_decay},
         ]
 
+    def accuracy(output, target, topk=(1,)):
+        # timm.utils.accuracy (engine_finetune.py:18; used by evaluate only)
+        maxk = max(topk)
+        _, pred = output.topk(maxk, 1, True, True)
+        pred = pred.t()
+        correct = pred.eq(target.reshape(1, -1).expand_as(pred))
+        return [
+            correct[:k].reshape(-1).float().sum(0) * 100.0 / target.size(0)
+            for k in topk
+        ]
+
     timm_utils = types.ModuleType("timm.utils")
     timm_utils.ModelEma = ModelEma
+    timm_utils.accuracy = accuracy
+    timm_data = types.ModuleType("timm.data")
+    timm_data.Mixup = type("Mixup", (), {})  # imported by engine_finetune.py:18, never used (mixup_fn=None)
     timm_optim = types.ModuleType("timm.optim")
     optim_factory = types.ModuleType("timm.optim.optim_factory")
     optim_factory.add_weight_decay = add_weight_decay
     timm_optim.optim_factory = optim_factory
 
     # the engine calls torch.cuda.synchronize() each iteration (:269) — a
-    # no-op stand-in when CUDA is absent (this image ships CPU-only torch)
+    # no-op stand-in when CUDA is absent (this image ships CPU-only torch).
+    # engine_finetune moves batches with .cuda() (engine_finetune.py:105-106)
+    # rather than .to(device): identity on CPU.
     if not torch.cuda.is_available():
         torch.cuda.synchronize = lambda *a, **k: None
+        torch.Tensor.cuda = lambda self, *a, **k: self
 
     return {
         "torch._six": six,
         "torchvision": tv,
         "torchvision.transforms": tvt,
         "timm.utils": timm_utils,
+        "timm.data": timm_data,
         "timm.optim": timm_optim,
         "timm.optim.optim_factory": optim_factory,
     }
@@ -374,6 +392,7 @@ def install():
     # (timm.utils / timm.optim) resolves after `import timm`
     sys.modules["timm"].utils = sys.modules["timm.utils"]
     sys.modules["timm"].optim = sys.modules["timm.optim"]
+    sys.modules["timm"].data = sys.modules["timm.data"]
     _installed = True
 
 
@@ -413,6 +432,26 @@ def load_engine_module():
     ``train_one_epoch_seperated``) — executed directly by the
     training-trajectory parity tests."""
     return _import_from_reference("engine_pretrain_Classifier_SVM")
+
+
+def load_finetune_engine_module():
+    """The ACTUAL reference finetune engine (``engine_finetune.py``:
+    ``train_one_epoch`` FPS->subsample->augment->CE under the AMP scaler) —
+    executed directly by the finetune trajectory parity test."""
+    return _import_from_reference("engine_finetune")
+
+
+def load_lrd_module():
+    """``util.lr_decay`` — ``param_groups_lrd`` / ``get_layer_id_for_vit``
+    (the layer-wise LR decay groups ``main_finetune.py:359-366`` feeds
+    AdamW)."""
+    return _import_from_reference("util.lr_decay")
+
+
+def load_lr_sched_module():
+    """``util.lr_sched`` — ``adjust_learning_rate`` (per-iteration half-cosine
+    with linear warmup, honours per-group ``lr_scale``)."""
+    return _import_from_reference("util.lr_sched")
 
 
 def make_teacher_config(mask_ratio=0.0, group_size=32, num_group=64, loss="cdl2"):

@@ -287,3 +287,66 @@ def test_point_all_table_matches_engine():
     assert point_all_for(8192) == 8192
     with pytest.raises(ValueError):
         point_all_for(512)
+
+
+def test_layer_decay_scales_match_reference(pt_pair):
+    """``layerwise_lr_decay_scales`` must equal the reference's EFFECTIVE
+    per-parameter ``lr_scale`` from ``param_groups_lrd``
+    (``util/lr_decay.py:14-61``) on the real ``PointTransformer``.
+
+    ``get_layer_id_for_vit`` (``util/lr_decay.py:64-76``) matches image-ViT
+    names, so on this model only exact ``cls_token`` (layer 0) and the
+    ``blocks.`` prefix (layer i+1) ever match; the whole stem — mini-PointNet
+    ``encoder.*``, ``pos_embed.*`` MLP, ``cls_pos`` — plus ``norm_p`` and the
+    head fall to the else branch (layer 12, FULL lr). The scales are derived
+    from the reference code at test time, then compared leaf-by-leaf through
+    the export mapping, so a misreading of the reference fails here."""
+    ref, model, variables = pt_pair
+    lrd = reference_shims.load_lrd_module()
+    from gm3d_tpu.train.optim import layerwise_lr_decay_scales
+
+    decay, num_layers = 0.6, 12  # uncommon decay so coincidences can't pass
+    scales = layerwise_lr_decay_scales(variables["params"], decay=decay)
+
+    # push a scale-filled tree through the torch export mapping: every torch
+    # parameter must come out uniformly filled with OUR scale for it
+    filled = jax.tree.map(
+        lambda p, s: jnp.full(jnp.shape(p), s, jnp.float32),
+        variables["params"], scales,
+    )
+    sd = export_torch_checkpoint({"params": filled}, POINT_TRANSFORMER_MAP)
+
+    checked = 0
+    for name, param in ref.named_parameters():
+        lid = lrd.get_layer_id_for_vit(name, num_layers)
+        want = decay ** (num_layers - lid)
+        got = np.unique(np.asarray(sd[name]))
+        assert got.size == 1, f"{name}: non-uniform scale {got}"
+        assert got[0] == pytest.approx(want, rel=1e-6), (
+            f"{name}: ours {got[0]} vs reference lr_scale {want} (layer {lid})"
+        )
+        checked += 1
+    assert checked == sum(1 for _ in ref.named_parameters())
+
+    # spot-check the quirk itself: stem at FULL lr, cls_token near-frozen
+    assert sd["encoder.first_conv.0.weight"].flat[0] == pytest.approx(1.0)
+    assert sd["pos_embed.0.weight"].flat[0] == pytest.approx(1.0)
+    assert sd["cls_pos"].flat[0] == pytest.approx(1.0)
+    assert sd["cls_token"].flat[0] == pytest.approx(decay**12)
+    assert sd["blocks.blocks.11.attn.qkv.weight"].flat[0] == pytest.approx(1.0)
+
+    # weight-decay mask equivalence: the reference's named no-decay list is
+    # inert (a list CONTAINING a set, main_finetune.py:359-362 — `name in`
+    # never matches), so decay applies exactly to ndim>1 params. Ours too.
+    from gm3d_tpu.train.optim import _decay_mask
+
+    mask = _decay_mask(variables["params"])
+    filled_m = jax.tree.map(
+        lambda p, m: jnp.full(jnp.shape(p), 1.0 if m else 0.0, jnp.float32),
+        variables["params"], mask,
+    )
+    sd_m = export_torch_checkpoint({"params": filled_m}, POINT_TRANSFORMER_MAP)
+    for name, param in ref.named_parameters():
+        want = 0.0 if param.ndim == 1 else 1.0
+        got = np.unique(np.asarray(sd_m[name]))
+        assert got.size == 1 and got[0] == want, f"{name}: wd mask mismatch"

@@ -156,12 +156,19 @@ class TestLayerDecay:
                                  group_size=8, num_group=16, encoder_dims=48)
         variables = model.init(jax.random.key(0), jnp.zeros((2, 64, 3)))
         scales = layerwise_lr_decay_scales(variables["params"], depth=2, decay=0.75)
-        # head at 1.0, patch embed at 0.75^3, block0 < block1
+        # Reference-EFFECTIVE mapping (util/lr_decay.py:64-76 matches image-ViT
+        # names): head, patch embed, pos_embed, cls_pos all fall to the else
+        # branch -> full lr; only exact 'cls_token' gets layer 0; num_layers
+        # is hardcoded 12 regardless of the model's depth.
         assert scales["cls_head_finetune"]["fc3"]["kernel"] == pytest.approx(1.0)
-        assert scales["encoder"]["conv1"]["kernel"] == pytest.approx(0.75 ** 3)
+        assert scales["encoder"]["conv1"]["kernel"] == pytest.approx(1.0)
+        assert scales["pos_embed"]["fc1"]["kernel"] == pytest.approx(1.0)
+        assert scales["cls_pos"] == pytest.approx(1.0)
+        assert scales["cls_token"] == pytest.approx(0.75 ** 12)
         b0 = scales["blocks"]["block0"]["attn"]["qkv"]["kernel"]
         b1 = scales["blocks"]["block1"]["attn"]["qkv"]["kernel"]
-        assert b0 < b1 < 1.0
+        assert b0 == pytest.approx(0.75 ** 11)
+        assert b1 == pytest.approx(0.75 ** 10)
 
     def test_m2ae_hierarchical_scales_progressive(self):
         import jax
@@ -183,3 +190,43 @@ class TestLayerDecay:
         # 6 blocks total -> deepest block scale = decay^1
         assert s2b1 == pytest.approx(0.75)
         assert scales["head_out"]["kernel"] == pytest.approx(1.0)
+
+
+class TestFinetuneRecipe:
+    """Recipe provenance resolution (docs/DESIGN.md §14): the published
+    numbers came from TWO different finetune stacks — ModelNet/few-shot from
+    the legacy runner (config lr verbatim), ScanObjectNN from the HPM main
+    (blr*bs/256, layer decay) — and M2AE configs specify plain AdamW."""
+
+    def _resolve(self, config, recipe="auto"):
+        from types import SimpleNamespace
+
+        from gm3d_tpu.cli.finetune import resolve_recipe
+        from gm3d_tpu.config import cfg_from_yaml_file
+
+        cfg = cfg_from_yaml_file(config)
+        return resolve_recipe(SimpleNamespace(recipe=recipe), cfg)
+
+    def test_modelnet_uses_legacy_stack(self):
+        assert self._resolve("configs/pointmae/finetune_modelnet.yaml") == "legacy"
+
+    def test_scanobjectnn_uses_hpm_stack(self):
+        for split in ("hardest", "objbg", "objonly"):
+            assert self._resolve(
+                f"configs/pointmae/config_finetune_scan_{split}.yaml") == "hpm"
+
+    def test_m2ae_always_legacy(self):
+        assert self._resolve(
+            "configs/m2ae/config_finetune_scan_hardest_PointM2AE.yaml") == "legacy"
+
+    def test_explicit_override_wins(self):
+        assert self._resolve(
+            "configs/pointmae/finetune_modelnet.yaml", recipe="hpm") == "hpm"
+
+    def test_hpm_effective_lr_matches_published_logs(self):
+        """The ScanObjectNN logs peak at exactly blr*bs/256
+        (obj_bg max train_lr 7.812e-5 at bs 40; hardest 1.562e-4 at bs 80)."""
+        from gm3d_tpu.train.schedules import effective_lr
+
+        assert effective_lr(5e-4, 40) == pytest.approx(7.8125e-5)
+        assert effective_lr(5e-4, 80) == pytest.approx(1.5625e-4)
