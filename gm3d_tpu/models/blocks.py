@@ -31,6 +31,59 @@ def _dense(features, dtype, name=None, use_bias=True):
     return nn.Dense(features, dtype=dtype, name=name, use_bias=use_bias, kernel_init=KINIT)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with ``torch.nn.BatchNorm1d`` running-stat semantics.
+
+    torch normalises with the BIASED batch variance but stores the
+    UNBIASED (Bessel-corrected, x n/(n-1)) variance in ``running_var``;
+    flax ``nn.BatchNorm`` stores the biased variance. The difference is
+    n/(n-1) on every eval-time variance — negligible for the patch-embed BNs
+    (n = B*G*S) but 1-3% at head batch sizes, which shifts eval logits.
+    Collection layout matches flax BN ({scale, bias} params, {mean, var}
+    batch_stats) so checkpoints and the torch import/export maps are
+    unchanged. Stats are computed in fp32 regardless of compute dtype
+    (torch autocast runs BN in fp32 too).
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            # two-pass variance, like torch: E[x^2]-E[x]^2 loses ~1e-4
+            # relative precision to fp32 cancellation when |mean| >> std
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if not self.is_initializing():
+                n = x.size // feat
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var * bessel
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
 def drop_path(
     x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]
 ) -> jax.Array:
@@ -196,7 +249,7 @@ class PatchEncoder(nn.Module):
         # point_groups: (B, G, S, 3)
         x = point_groups.astype(self.dtype)
         x = _dense(128, self.dtype, "conv1")(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=deterministic, momentum=0.9, dtype=self.dtype, name="bn1"
         )(x)
         x = nn.relu(x)
@@ -204,7 +257,7 @@ class PatchEncoder(nn.Module):
         g = jnp.max(x, axis=-2, keepdims=True)  # (B, G, 1, 256)
         x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (B, G, S, 512)
         x = _dense(512, self.dtype, "conv3")(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=deterministic, momentum=0.9, dtype=self.dtype, name="bn2"
         )(x)
         x = nn.relu(x)

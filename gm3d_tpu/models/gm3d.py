@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gm3d_tpu.models.blocks import Dtype, PosEmbedMLP, TransformerDecoder
+from gm3d_tpu.models.blocks import Dtype, PosEmbedMLP, TorchBatchNorm, TransformerDecoder
 from gm3d_tpu.models.pointmae import MaskTransformer, mask_split_indices, take_groups
 from gm3d_tpu.ops.group import group_points
 
@@ -80,7 +80,7 @@ class GM3DStudent(nn.Module):
         )
         # feature head: Conv1d(384->1024) BN LeakyReLU(0.2) Conv1d(1024->384)
         self.head_fc1 = nn.Dense(1024, dtype=self.dtype)
-        self.head_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
+        self.head_bn = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
         self.head_fc2 = nn.Dense(self.trans_dim, dtype=self.dtype)
         # coordinate head: Conv1d(384 -> 3*group_size)
         self.coord_head = nn.Dense(3 * self.group_size, dtype=self.dtype)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gm3d_tpu.models.blocks import Dtype, PatchEncoder, PosEmbedMLP, TransformerEncoder
+from gm3d_tpu.models.blocks import Dtype, PatchEncoder, PosEmbedMLP, TorchBatchNorm, TransformerEncoder
 from gm3d_tpu.ops.fps import fps_gather, fps_indices
 from gm3d_tpu.ops.knn import knn_indices
 
@@ -258,7 +258,7 @@ class PointM2AE(nn.Module):
         # student's feature head, ...feature_besed.py:912-918): enables
         # geometric-complexity mask selection for the M2AE family.
         self.lp_fc1 = nn.Dense(1024, dtype=self.dtype)
-        self.lp_bn = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
+        self.lp_bn = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
         self.lp_fc2 = nn.Dense(self.decoder_dims[0], dtype=self.dtype)
 
     def encode_features(self, pts, deterministic: bool = True):
@@ -373,9 +373,9 @@ class PointM2AEClassifier(nn.Module):
             for s in range(len(self.num_groups))
         ]
         self.head_fc1 = nn.Dense(256, dtype=self.dtype)
-        self.head_bn1 = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
+        self.head_bn1 = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
         self.head_fc2 = nn.Dense(256, dtype=self.dtype)
-        self.head_bn2 = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
+        self.head_bn2 = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
         self.head_out = nn.Dense(self.cls_dim, dtype=self.dtype)
         self.dropout = nn.Dropout(0.5)
 

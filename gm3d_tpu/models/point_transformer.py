@@ -9,25 +9,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gm3d_tpu.models.blocks import Dtype, PatchEncoder, PosEmbedMLP, TransformerEncoder
+from gm3d_tpu.models.blocks import Dtype, PatchEncoder, PosEmbedMLP, TorchBatchNorm, TransformerEncoder
 from gm3d_tpu.ops.group import group_points
 
 
 class ClsHead(nn.Module):
-    """Linear-BN-ReLU-Dropout x2 -> logits (``models/Point_MAE.py:485-495``)."""
+    """Linear-BN-ReLU-Dropout x2 -> logits (``models/Point_MAE.py:485-495``).
+
+    ``dropout`` defaults to the reference's hardcoded 0.5; exposed so
+    deterministic harnesses (trajectory parity) can zero it."""
 
     cls_dim: int
+    dropout: float = 0.5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i in range(2):
             x = nn.Dense(256, dtype=self.dtype, name=f"fc{i + 1}")(x)
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=deterministic, momentum=0.9, dtype=self.dtype, name=f"bn{i + 1}"
             )(x)
             x = nn.relu(x)
-            x = nn.Dropout(0.5)(x, deterministic=deterministic)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.cls_dim, dtype=self.dtype, name="fc3")(x)
 
 
@@ -44,6 +48,7 @@ class PointTransformer(nn.Module):
     num_group: int = 64
     encoder_dims: int = 384
     drop_path_rate: float = 0.1
+    dropout: float = 0.5
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -59,7 +64,7 @@ class PointTransformer(nn.Module):
             self.trans_dim, self.depth, self.num_heads, self.drop_path_rate, dtype=self.dtype
         )
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.cls_head_finetune = ClsHead(self.cls_dim, dtype=self.dtype)
+        self.cls_head_finetune = ClsHead(self.cls_dim, dropout=self.dropout, dtype=self.dtype)
 
     def features(self, pts, deterministic: bool = True):
         """Token sequence [cls, groups...] after the encoder stack."""

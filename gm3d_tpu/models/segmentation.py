@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gm3d_tpu.models.blocks import Block, Dtype, PatchEncoder, PosEmbedMLP, _dpr
+from gm3d_tpu.models.blocks import Block, Dtype, PatchEncoder, PosEmbedMLP, TorchBatchNorm, _dpr
 from gm3d_tpu.ops.group import group_points
 from gm3d_tpu.ops.knn import knn_indices
 
@@ -66,9 +66,9 @@ class PointMAESeg(nn.Module):
         self.label_embed = nn.Dense(64, dtype=self.dtype)
         self.prop_proj = nn.Dense(512, dtype=self.dtype)
         self.head_fc1 = nn.Dense(512, dtype=self.dtype)
-        self.head_bn1 = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
+        self.head_bn1 = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
         self.head_fc2 = nn.Dense(256, dtype=self.dtype)
-        self.head_bn2 = nn.BatchNorm(momentum=0.9, dtype=self.dtype)
+        self.head_bn2 = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
         self.head_out = nn.Dense(self.num_parts, dtype=self.dtype)
         self.dropout = nn.Dropout(0.5)
         del tap_dim

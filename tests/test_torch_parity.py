@@ -132,3 +132,43 @@ class TestPatchEncoderParity:
 
         got = np.asarray(enc.apply(variables, jnp.asarray(x), True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+class TestTorchBatchNorm:
+    def test_train_mode_matches_torch_incl_bessel(self):
+        """TorchBatchNorm == torch.nn.BatchNorm1d in train mode: normalised
+        output (biased batch var) AND running stats (UNBIASED var — torch's
+        Bessel correction, which flax nn.BatchNorm omits). At n=4 the factor
+        is 4/3: a 33% running_var error if the correction is missing."""
+        import torch
+
+        from gm3d_tpu.models.blocks import TorchBatchNorm
+
+        x = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+        m = TorchBatchNorm(use_running_average=False, momentum=0.9)
+        v = m.init(jax.random.key(0), jnp.asarray(x))
+        tb = torch.nn.BatchNorm1d(32, momentum=0.1)  # torch: new = (1-m)*old + m*batch
+        tb.train()
+
+        state = v
+        for step in range(3):
+            xs = np.random.RandomState(step).randn(4, 32).astype(np.float32)
+            y, upd = m.apply(state, jnp.asarray(xs), mutable=["batch_stats"])
+            state = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+            yt = tb(torch.from_numpy(xs))
+            np.testing.assert_allclose(np.asarray(y), yt.detach().numpy(), atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(state["batch_stats"]["var"]), tb.running_var.numpy(), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(state["batch_stats"]["mean"]), tb.running_mean.numpy(), rtol=1e-5, atol=1e-7
+        )
+
+    def test_eval_mode_uses_running_stats(self):
+        from gm3d_tpu.models.blocks import TorchBatchNorm
+
+        x = np.random.RandomState(1).randn(4, 8).astype(np.float32)
+        m = TorchBatchNorm(use_running_average=True)
+        v = m.init(jax.random.key(0), jnp.asarray(x))
+        y = m.apply(v, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), x, atol=1e-4)  # mean 0 var 1 init
