@@ -19,8 +19,8 @@ from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.data.datasets import DataLoader, SyntheticClouds, build_dataset_from_cfg
 from gm3d_tpu.eval.metrics import accuracy
 from gm3d_tpu.train.finetune import make_eval_step, make_finetune_train_step
-from gm3d_tpu.train.optim import build_finetune_optimizer
-from gm3d_tpu.train.schedules import cosine_warmup_schedule
+from gm3d_tpu.train.optim import build_legacy_adamw
+from gm3d_tpu.train.schedules import legacy_cosine_epoch_schedule
 from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.utils import JsonlLogger, get_logger
 
@@ -82,11 +82,15 @@ def run_fold(args, cfg, fold, logger, mesh=None):
             variables["batch_stats"] = batch_stats
     epochs = cfg["max_epoch"]
     steps_per_epoch = max(len(train_loader), 1)
-    sched = cosine_warmup_schedule(cfg["optimizer"]["kwargs"]["lr"], 1e-6, 10,
-                                   epochs, steps_per_epoch)
-    tx = build_finetune_optimizer(variables["params"], sched,
-                                  depth=cfg["model"].get("depth", 12) if "depth" in cfg["model"] else 12,
-                                  grad_clip=cfg.get("grad_norm_clip"))
+    # few-shot ran the LEGACY runner stack (cfgs/fewshot.yaml is
+    # legacy-format: AdamW lr 1e-3 + CosLR 150ep warmup 10): config lr
+    # verbatim, per-epoch timm cosine with step lag, token-free wd mask,
+    # clip to grad_norm_clip, no layer decay (docs/DESIGN.md §14)
+    sched = legacy_cosine_epoch_schedule(
+        cfg["optimizer"]["kwargs"]["lr"], epochs,
+        cfg["scheduler"]["kwargs"]["initial_epochs"], steps_per_epoch)
+    tx = build_legacy_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"],
+                            grad_clip=cfg.get("grad_norm_clip"))
     state = create_train_state(variables, tx)
     # same data mesh as the other CLIs (round-2 VERDICT weak #7); episode
     # batches are tiny so ragged batches just replicate (shard_eval_batch)

@@ -135,10 +135,17 @@ def main():
             variables["batch_stats"] = batch_stats
     epochs = cfg["max_epoch"]
     steps_per_epoch = max(len(train_loader), 1)
+    # the published seg row came from the EXTERNAL Point-MAE segmentation
+    # script (log Namespace: learning_rate=2e-4, warmup_epoch=10, epoch=300,
+    # batch 16 — log_files/segmentation.txt:2): plain AdamW at the config lr
+    # with cosine warmup, NO layer decay (layer decay is an HPM-main device;
+    # the external script never had it). grad_norm_clip from the config.
     sched = cosine_warmup_schedule(cfg["optimizer"]["kwargs"]["lr"], 1e-6, 10, epochs,
                                    steps_per_epoch)
     tx = build_finetune_optimizer(variables["params"], sched,
+                                  cfg["optimizer"]["kwargs"].get("weight_decay", 0.05),
                                   depth=cfg["model"].get("depth", 12),
+                                  layer_decay=None,
                                   grad_clip=cfg.get("grad_norm_clip"))
     state = create_train_state(variables, tx)
     step_fn = make_seg_train_step(model, tx)
