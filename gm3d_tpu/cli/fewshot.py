@@ -85,9 +85,12 @@ def run_fold(args, cfg, fold, logger, mesh=None):
     # few-shot ran the LEGACY runner stack (cfgs/fewshot.yaml is
     # legacy-format: AdamW lr 1e-3 + CosLR 150ep warmup 10): config lr
     # verbatim, per-epoch timm cosine with step lag, token-free wd mask,
-    # clip to grad_norm_clip, no layer decay (docs/DESIGN.md §14)
+    # clip to grad_norm_clip, no layer decay (docs/DESIGN.md §14). Cosine
+    # horizon = scheduler.kwargs.epochs (what tools/builder.py:67-76 reads),
+    # not a CLI-overridden max_epoch — same convention as the other CLIs.
     sched = legacy_cosine_epoch_schedule(
-        cfg["optimizer"]["kwargs"]["lr"], epochs,
+        cfg["optimizer"]["kwargs"]["lr"],
+        cfg.get("scheduler", {}).get("kwargs", {}).get("epochs", epochs),
         cfg["scheduler"]["kwargs"]["initial_epochs"], steps_per_epoch)
     tx = build_legacy_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"],
                             grad_clip=cfg.get("grad_norm_clip"))

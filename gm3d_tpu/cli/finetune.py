@@ -46,9 +46,19 @@ def parse_args():
                         "clip — produced the 3 ScanObjectNN rows); 'auto' "
                         "picks by model family + dataset (docs/DESIGN.md §14)")
     p.add_argument("--blr", type=float, default=5e-4,
-                   help="hpm recipe base lr: lr = blr * total_bs * accum / 256 "
+                   help="hpm recipe base lr: lr = blr * eff_bs / 256 "
                         "(main_finetune.py:345-346; published ScanObjectNN "
                         "logs peak at exactly this scaling)")
+    p.add_argument("--eff_bs", type=int, default=None,
+                   help="hpm recipe: effective batch size for the lr scaling "
+                        "(batch_size*accum_iter*world_size in the reference). "
+                        "Default: the PUBLISHED run's value for ScanObjectNN "
+                        "splits (40/64/80, pinned by the logs' warmup-peak "
+                        "train_lr), else total_bs*accum_iter")
+    p.add_argument("--accum_iter", type=int, default=1,
+                   help="gradient accumulation (reference --accum_iter; hpm "
+                        "recipe accumulates the MEAN as engine_finetune.py:150, "
+                        "legacy recipe the SUM as runner_finetune.py:150-160)")
     p.add_argument("--abs_lr", type=float, default=None,
                    help="hpm recipe: absolute lr override (--lr in the "
                         "reference; bypasses the blr scaling)")
@@ -63,8 +73,9 @@ def parse_args():
                    help="hpm recipe layer-wise lr decay (reference-effective "
                         "id mapping, see train/optim.py)")
     p.add_argument("--smoothing", type=float, default=None,
-                   help="label smoothing; defaults to the config's model.smooth "
-                        "(e.g. 0.3 for finetune_modelnet_PointM2AE.yaml)")
+                   help="label smoothing; default 0.1 for the hpm recipe "
+                        "(reference --smoothing, main_finetune.py:109), else "
+                        "the config's model.smooth (legacy get_loss_acc knob)")
     return p.parse_args()
 
 
@@ -81,15 +92,59 @@ def resolve_recipe(args, cfg) -> str:
         published logs' peak ``train_lr`` equals blr*bs/256 exactly
         (obj_bg 7.81e-5 = 5e-4*40/256; obj_only 1.25e-4; hardest 1.56e-4)
         with the 5-epoch warmup peak — not the config's 5e-4.
-      - Point_M2AE heads: the M2AE configs specify plain AdamW + CosLR
-        (legacy shape); there is no HPM main for them.
+      - Point_M2AE published finetunes ALL ran the HPM stack — including
+        ModelNet40: every ``Point-M2AE_SA3D/log_files/*.txt`` is an
+        MAE-style json log whose warmup ramp is exactly blr*eff_bs/256 over
+        5 epochs into a 500-epoch cosine (modelnet40.txt peak 1.5625e-4).
+        Only few-shot (legacy-format ``fewshot-Point-M2AE.yaml``) stays on
+        the legacy runner.
     """
     if args.recipe != "auto":
         return args.recipe
-    if cfg["model"]["NAME"].startswith("Point_M2AE"):
-        return "legacy"
     name = cfg["dataset"]["train"].get("_base_", {}).get("NAME", "")
+    if cfg["model"]["NAME"].startswith("Point_M2AE"):
+        # exact "ModelNet": ModelNetFewShot must stay legacy
+        if name.startswith("ScanObjectNN") or name == "ModelNet":
+            return "hpm"
+        return "legacy"
     return "hpm" if name.startswith("ScanObjectNN") else "legacy"
+
+
+def published_eff_bs(cfg) -> int | None:
+    """Effective batch size of the PUBLISHED hpm-recipe runs, pinned by the
+    logs' warmup-peak ``train_lr`` (= blr*eff_bs/256 at blr 5e-4, warmup 5)
+    — and DIFFERENT per model family:
+
+      Point-MAE (``Point-MAE_SA3D/log_files``):
+      - obj_bg   peak 7.8125e-5 -> eff_bs 40
+      - obj_only peak 1.25e-4   -> eff_bs 64
+      - hardest  peak 1.5625e-4 -> eff_bs 80
+
+      Point-M2AE (``Point-M2AE_SA3D/log_files``):
+      - obj_bg     peak 7.8125e-5 -> eff_bs 40
+      - obj_only   peak 1.5625e-4 -> eff_bs 80
+      - hardest    peak 7.8125e-5 -> eff_bs 40
+      - modelnet40 peak 1.5625e-4 -> eff_bs 80
+
+    The reference CONFIGS all say ``total_bs: 64`` — but the HPM main's lr
+    comes from ``args.batch_size*accum_iter*world_size``, not the config, and
+    only PMAE-obj_only's run matches 64. Returns None when no published
+    hpm-recipe row pins this config."""
+    train = cfg["dataset"]["train"].get("_base_", {})
+    name, root = train.get("NAME", ""), str(train.get("ROOT", ""))
+    if cfg["model"]["NAME"].startswith("Point_M2AE"):
+        if name == "ScanObjectNN_hardest":
+            return 40
+        if name == "ScanObjectNN":
+            return 80 if "nobg" in root else 40
+        if name == "ModelNet":
+            return 80
+        return None
+    if name == "ScanObjectNN_hardest":
+        return 80
+    if name == "ScanObjectNN":
+        return 64 if "nobg" in root else 40
+    return None
 
 
 def evaluate(loader, eval_step, variables):
@@ -126,43 +181,75 @@ def main():
         )
 
     recipe = resolve_recipe(args, cfg)
+    if recipe == "hpm" and args.epochs is None:
+        # the HPM main never reads config max_epoch — epochs come only from
+        # --epochs (default 500, main_finetune.py:72), and every published
+        # hpm log ran the full 500-epoch cosine (configs say 300, unused)
+        epochs = 500
+        logger.info("recipe hpm: --epochs not given, using the reference "
+                    "main's default 500 (config max_epoch is never read by "
+                    "the HPM stack)")
     wd = cfg["optimizer"]["kwargs"]["weight_decay"]
+    # under accumulation the optimizer (and its schedule) ticks once per
+    # UPDATE, not per micro-batch (same axis fix as cli/pretrain.py:152-158)
+    updates_per_epoch = max(steps_per_epoch // args.accum_iter, 1)
     if recipe == "hpm":
         # main_finetune.py: lr = blr * eff_bs / 256, per-iteration cosine
         # with 5-epoch warmup, layer decay 0.75, no clip, torch-default betas
         from gm3d_tpu.train.schedules import effective_lr
 
+        eff_bs = args.eff_bs if args.eff_bs is not None else published_eff_bs(cfg)
+        if eff_bs is None:
+            eff_bs = cfg["total_bs"] * args.accum_iter
+        elif eff_bs != cfg["total_bs"] * args.accum_iter:
+            logger.info(
+                f"hpm lr uses the PUBLISHED run's effective bs {eff_bs} "
+                f"(log-pinned, see published_eff_bs) while the actual batch "
+                f"stays total_bs={cfg['total_bs']}; pass --eff_bs to override")
         lr = args.abs_lr if args.abs_lr is not None else effective_lr(
-            args.blr, cfg["total_bs"], cfg.get("step_per_update", 1))
+            args.blr, eff_bs, 1)
         warmup = args.warmup_epochs if args.warmup_epochs is not None else 5
-        sched = cosine_warmup_schedule(lr, 1e-6, warmup, epochs, steps_per_epoch)
+        sched = cosine_warmup_schedule(lr, 1e-6, warmup, epochs, updates_per_epoch)
         tx = build_finetune_optimizer(
-            params, sched, wd,
-            depth=cfg["model"].get("depth", 12), layer_decay=args.layer_decay,
-            grad_clip=args.clip_grad,
+            params, sched, wd, layer_decay=args.layer_decay,
+            grad_clip=args.clip_grad, accum_steps=args.accum_iter,
         )
-        logger.info(f"recipe hpm: lr {lr:.3g} (blr {args.blr}), warmup {warmup}, "
-                    f"layer_decay {args.layer_decay}, clip {args.clip_grad}")
+        logger.info(f"recipe hpm: lr {lr:.3g} (blr {args.blr}, eff_bs {eff_bs}), "
+                    f"warmup {warmup}, layer_decay {args.layer_decay}, "
+                    f"clip {args.clip_grad}, accum {args.accum_iter}")
     else:
         # tools/runner_finetune.py: config lr verbatim, per-epoch timm CosLR
         # with step lag, token-free wd mask, clip to grad_norm_clip, NO
-        # layer decay
+        # layer decay. Cosine horizon = scheduler.kwargs.epochs (the value
+        # tools/builder.py:67-76 reads), NOT the possibly-CLI-overridden
+        # max_epoch — same convention as cli/pretrain.py's legacy branch.
         from gm3d_tpu.train.optim import build_legacy_adamw
         from gm3d_tpu.train.schedules import legacy_cosine_epoch_schedule
 
         lr = cfg["optimizer"]["kwargs"]["lr"]
         warmup = (args.warmup_epochs if args.warmup_epochs is not None
                   else cfg["scheduler"]["kwargs"]["initial_epochs"])
-        sched = legacy_cosine_epoch_schedule(lr, epochs, warmup, steps_per_epoch)
-        tx = build_legacy_adamw(sched, wd, grad_clip=cfg.get("grad_norm_clip"))
-        logger.info(f"recipe legacy: lr {lr:.3g}, warmup {warmup}, "
-                    f"clip {cfg.get('grad_norm_clip')}")
+        horizon = cfg.get("scheduler", {}).get("kwargs", {}).get("epochs", epochs)
+        sched = legacy_cosine_epoch_schedule(lr, horizon, warmup, updates_per_epoch)
+        tx = build_legacy_adamw(sched, wd, accum_steps=args.accum_iter,
+                                grad_clip=cfg.get("grad_norm_clip"))
+        logger.info(f"recipe legacy: lr {lr:.3g}, warmup {warmup}, horizon "
+                    f"{horizon}, clip {cfg.get('grad_norm_clip')}, "
+                    f"accum {args.accum_iter}")
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
     state = create_train_state(variables, tx)
 
-    smoothing = args.smoothing if args.smoothing is not None else cfg["model"].get("smooth", 0.0)
+    # hpm: the reference criterion is LabelSmoothingCrossEntropy(args.
+    # smoothing default 0.1) (main_finetune.py:109,372-373) — the config's
+    # model.smooth is a legacy-runner knob the HPM engine never sees
+    if args.smoothing is not None:
+        smoothing = args.smoothing
+    elif recipe == "hpm":
+        smoothing = 0.1
+    else:
+        smoothing = cfg["model"].get("smooth", 0.0)
     if smoothing:
         logger.info(f"label smoothing {smoothing}")
     step_fn = make_finetune_train_step(model, tx, npoints, smoothing)

@@ -144,7 +144,6 @@ def main():
                                    steps_per_epoch)
     tx = build_finetune_optimizer(variables["params"], sched,
                                   cfg["optimizer"]["kwargs"].get("weight_decay", 0.05),
-                                  depth=cfg["model"].get("depth", 12),
                                   layer_decay=None,
                                   grad_clip=cfg.get("grad_norm_clip"))
     state = create_train_state(variables, tx)

@@ -65,7 +65,15 @@ def build_legacy_adamw(
     ``tools/runner_pretrain.py:138-151``). This is the optimizer that
     produced the published teacher weights. The legacy FINETUNE runner adds
     an explicit clip to the config's ``grad_norm_clip``
-    (``tools/runner_finetune.py:157-158``) — pass ``grad_clip`` for that."""
+    (``tools/runner_finetune.py:157-158``) — pass ``grad_clip`` for that.
+
+    Accumulation SUMS micro-batch gradients: the legacy runners call plain
+    ``loss.backward()`` per micro-batch with NO loss division and step on the
+    accumulated grad (``runner_pretrain.py:138-151``, ``runner_finetune.py
+    :150-160``) — unlike the HPM engines, which divide the loss by
+    ``accum_iter`` (mean). ``optax.MultiSteps`` averages, so the mean is
+    scaled back to the sum before the clip (the finetune runner clips the
+    SUMMED grad at the update boundary) and the Adam step."""
     tx = optax.adamw(
         learning_rate, b1=0.9, b2=0.999, weight_decay=weight_decay,
         mask=_legacy_decay_mask,
@@ -73,7 +81,10 @@ def build_legacy_adamw(
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+        tx = optax.MultiSteps(
+            optax.chain(optax.scale(float(accum_steps)), tx),
+            every_k_schedule=accum_steps,
+        )
     return tx
 
 
@@ -184,7 +195,7 @@ import re as _re
 
 
 def layerwise_lr_decay_scales(
-    params: Any, depth: int = 12, decay: float = 0.75, num_layers: int = 12
+    params: Any, decay: float = 0.75, num_layers: int = 12
 ) -> Any:
     """Per-parameter LR scales (``util/lr_decay.py:14-61`` ``param_groups_lrd``).
 
@@ -285,10 +296,10 @@ def build_finetune_optimizer(
     params: Any,
     learning_rate: Callable,
     weight_decay: float = 0.05,
-    depth: int = 12,
     layer_decay: float | None = 0.75,
     grad_clip: float | None = None,
     betas=(0.9, 0.999),
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """HPM-main finetune optimizer (``main_finetune.py:359-366``): AdamW over
     ``param_groups_lrd`` layer-decay groups.
@@ -298,7 +309,14 @@ def build_finetune_optimizer(
     (``--clip_grad`` default None, ``main_finetune.py:85``); pass the config's
     ``grad_norm_clip`` to get the legacy-runner behaviour instead
     (docs/DESIGN.md §13). ``layer_decay=None`` disables the per-layer scales
-    (the M2AE finetune configs and the legacy runner use plain AdamW).
+    (the M2AE finetune configs and the legacy runner use plain AdamW). Note
+    the flat-model layer-id mapping uses the reference's HARDCODED
+    ``num_layers=12`` (``util/lr_decay.py:23``), never the model's depth.
+
+    ``accum_steps``: HPM accumulation is a MEAN (``engine_finetune.py:150``
+    divides the loss by ``accum_iter`` before each backward), which is exactly
+    ``optax.MultiSteps``' semantics; the wrap is outermost so the layer-decay
+    scale tree applies to the accumulated update.
 
     torch applies the per-group lr (``lr * lr_scale``) to BOTH the Adam step
     and the decoupled weight decay, so the scale tree multiplies the combined
@@ -306,6 +324,8 @@ def build_finetune_optimizer(
     """
     tx = build_adamw(learning_rate, weight_decay, betas, grad_clip=grad_clip)
     if layer_decay is not None and layer_decay != 1.0:
-        scales = layerwise_lr_decay_scales(params, depth, layer_decay)
+        scales = layerwise_lr_decay_scales(params, layer_decay)
         tx = optax.chain(tx, scale_by_tree(scales))
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx

@@ -8,21 +8,14 @@
   the epoch meters (round-2 VERDICT weak #3).
 """
 
-import importlib
 import json
 import os
-import sys
 
 import pytest
 
+from cli_harness import run_cli
+
 pytestmark = pytest.mark.slow
-
-
-def run_cli(module_name, argv):
-    sys.argv = argv
-    module = importlib.import_module(module_name)
-    importlib.reload(module)
-    return module.main()
 
 
 def test_nan_loss_exits_nonzero(tmp_path):

@@ -2,21 +2,14 @@
 the real pretrain entry — plain M2AE (random coarse mask) and M2AE+GM3D
 (EMA loss predictor + geometric coarse mask + learning loss)."""
 
-import importlib
 import json
 import os
-import sys
 
 import pytest
 
+from cli_harness import run_cli
+
 pytestmark = pytest.mark.slow
-
-
-def run_cli(module_name, argv):
-    sys.argv = argv
-    module = importlib.import_module(module_name)
-    importlib.reload(module)
-    return module.main()
 
 
 @pytest.mark.parametrize("family", ["m2ae", "m2ae_gm3d"])

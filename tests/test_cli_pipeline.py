@@ -2,22 +2,15 @@
 distillation -> classification fine-tune, all through the real entry points
 on synthetic data."""
 
-import importlib
 import json
 import re
 import os
-import sys
 
 import pytest
 
+from cli_harness import run_cli
+
 pytestmark = pytest.mark.slow
-
-
-def run_cli(module_name, argv):
-    sys.argv = argv
-    module = importlib.import_module(module_name)
-    importlib.reload(module)
-    return module.main()
 
 
 def test_teacher_gm3d_finetune_pipeline(tmp_path):

@@ -2,19 +2,12 @@
 missing #4: the reference ships ``main_knn.py`` / ``main_linprob.py`` as entry
 points; ``cli/evaluate.py --probe {svm,knn,linprob}`` is the rebuild's)."""
 
-import importlib
-import sys
 
 import pytest
 
+from cli_harness import run_cli
+
 pytestmark = pytest.mark.slow
-
-
-def run_cli(module_name, argv):
-    sys.argv = argv
-    module = importlib.import_module(module_name)
-    importlib.reload(module)
-    return module.main()
 
 
 @pytest.mark.parametrize("probe", ["knn", "linprob"])

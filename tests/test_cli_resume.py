@@ -3,21 +3,14 @@ multi_transform optimizer state from the rolling last checkpoint, continues
 at the right epoch, and does not redo completed epochs (reference crash
 recovery: ``main_pretrain.py:444-453`` auto-resume from the last save)."""
 
-import importlib
 import json
 import os
-import sys
 
 import pytest
 
+from cli_harness import run_cli
+
 pytestmark = pytest.mark.slow
-
-
-def run_cli(module_name, argv):
-    sys.argv = argv
-    module = importlib.import_module(module_name)
-    importlib.reload(module)
-    return module.main()
 
 
 def test_pretrain_resume_continues_epochs(tmp_path):

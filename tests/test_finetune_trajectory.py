@@ -181,7 +181,7 @@ def _run_ours(model, svars, batches, labels):
 
     sched = cosine_warmup_schedule(LR, MIN_LR, WARMUP_EPOCHS, EPOCHS, SPE)
     tx = build_finetune_optimizer(
-        svars["params"], sched, WD, depth=12, layer_decay=LAYER_DECAY,
+        svars["params"], sched, WD, layer_decay=LAYER_DECAY,
         grad_clip=None,
     )
     state = create_train_state(svars, tx)

@@ -155,7 +155,7 @@ class TestLayerDecay:
         model = PointTransformer(trans_dim=48, depth=2, num_heads=2, cls_dim=5,
                                  group_size=8, num_group=16, encoder_dims=48)
         variables = model.init(jax.random.key(0), jnp.zeros((2, 64, 3)))
-        scales = layerwise_lr_decay_scales(variables["params"], depth=2, decay=0.75)
+        scales = layerwise_lr_decay_scales(variables["params"], decay=0.75)
         # Reference-EFFECTIVE mapping (util/lr_decay.py:64-76 matches image-ViT
         # names): head, patch embed, pos_embed, cls_pos all fall to the else
         # branch -> full lr; only exact 'cls_token' gets layer 0; num_layers
@@ -215,9 +215,11 @@ class TestFinetuneRecipe:
             assert self._resolve(
                 f"configs/pointmae/config_finetune_scan_{split}.yaml") == "hpm"
 
-    def test_m2ae_always_legacy(self):
+    def test_m2ae_scanobjectnn_is_hpm(self):
+        # superseded round-3: the M2AE logs are MAE-json with blr ramps —
+        # the M2AE published finetunes ran the HPM stack (DESIGN.md §14)
         assert self._resolve(
-            "configs/m2ae/config_finetune_scan_hardest_PointM2AE.yaml") == "legacy"
+            "configs/m2ae/config_finetune_scan_hardest_PointM2AE.yaml") == "hpm"
 
     def test_explicit_override_wins(self):
         assert self._resolve(
@@ -230,3 +232,52 @@ class TestFinetuneRecipe:
 
         assert effective_lr(5e-4, 40) == pytest.approx(7.8125e-5)
         assert effective_lr(5e-4, 80) == pytest.approx(1.5625e-4)
+
+    def test_published_eff_bs_per_split(self):
+        """The published hpm runs' effective bs (log-pinned per FAMILY:
+        PMAE 40/64/80, M2AE 40/80/40 + modelnet 80) differs from every
+        config's total_bs 64 — the lr scaling must use the log value, keyed
+        on model NAME + dataset NAME + the nobg ROOT (DESIGN.md §14)."""
+        from gm3d_tpu.cli.finetune import published_eff_bs
+        from gm3d_tpu.config import cfg_from_yaml_file
+
+        expected = {"objbg": 40, "objonly": 64, "hardest": 80}
+        for split, bs in expected.items():
+            cfg = cfg_from_yaml_file(
+                f"configs/pointmae/config_finetune_scan_{split}.yaml")
+            assert published_eff_bs(cfg) == bs, split
+        assert published_eff_bs(
+            cfg_from_yaml_file("configs/pointmae/finetune_modelnet.yaml")) is None
+
+        m2ae_expected = {"objbg": 40, "objonly": 80, "hardest": 40}
+        for split, bs in m2ae_expected.items():
+            cfg = cfg_from_yaml_file(
+                f"configs/m2ae/config_finetune_scan_{split}_PointM2AE.yaml")
+            assert published_eff_bs(cfg) == bs, f"m2ae {split}"
+        assert published_eff_bs(cfg_from_yaml_file(
+            "configs/m2ae/finetune_modelnet_PointM2AE.yaml")) == 80
+
+    def test_resolve_recipe_provenance(self):
+        """M2AE finetunes (incl. ModelNet40) ran the HPM stack — every
+        Point-M2AE_SA3D log is MAE-json with a blr warmup ramp; PMAE ModelNet
+        ran the legacy runner (modelnet40.log). Few-shot configs are
+        legacy-format for both families."""
+        import argparse
+
+        from gm3d_tpu.cli.finetune import resolve_recipe
+        from gm3d_tpu.config import cfg_from_yaml_file
+
+        auto = argparse.Namespace(recipe="auto")
+        cases = {
+            "configs/pointmae/finetune_modelnet.yaml": "legacy",
+            "configs/pointmae/config_finetune_scan_hardest.yaml": "hpm",
+            "configs/m2ae/finetune_modelnet_PointM2AE.yaml": "hpm",
+            "configs/m2ae/config_finetune_scan_hardest_PointM2AE.yaml": "hpm",
+            "configs/m2ae/fewshot-Point-M2AE.yaml": "legacy",
+        }
+        for path, want in cases.items():
+            assert resolve_recipe(auto, cfg_from_yaml_file(path)) == want, path
+        forced = argparse.Namespace(recipe="legacy")
+        assert resolve_recipe(
+            forced, cfg_from_yaml_file(
+                "configs/m2ae/finetune_modelnet_PointM2AE.yaml")) == "legacy"

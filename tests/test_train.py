@@ -1,6 +1,7 @@
 """End-to-end short-run training tests on synthetic clouds (SURVEY.md §4d):
 each train step must run under jit and decrease its loss."""
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,7 +187,7 @@ class TestFinetune:
         pts = jnp.asarray(rng.standard_normal((B, 1400, 3)).astype(np.float32))
         labels = jnp.asarray(rng.integers(0, 5, B))
         variables = model.init(jax.random.key(0), pts[:, :1024])
-        tx = build_finetune_optimizer(variables["params"], 1e-3, depth=2)
+        tx = build_finetune_optimizer(variables["params"], 1e-3)
         state = create_train_state(variables, tx)
         step = make_finetune_train_step(model, tx, npoints=1024)
         first = None
@@ -279,6 +280,53 @@ class TestFusedEmbedStep:
 class TestLegacySchedule:
     """Legacy-runner LR schedule + optimizer rules (tools/builder.py:37-90 +
     runner_pretrain.py:176-180) — the recipe that produced the teacher."""
+
+    def test_legacy_accum_sums_microbatch_grads(self):
+        """The legacy runners accumulate by SUM: plain ``loss.backward()``
+        per micro-batch with no loss division (``runner_pretrain.py:138-151``)
+        and clip the SUMMED grad at the update boundary
+        (``runner_finetune.py:157-158``). Pin ``build_legacy_adamw(accum>1)``
+        against an explicit clip(sum)->AdamW oracle; plain MultiSteps (mean)
+        diverges once the clip fires on some updates only."""
+        import optax
+
+        from gm3d_tpu.train.optim import _legacy_decay_mask, build_legacy_adamw
+
+        lr, wd, clip, k = 0.01, 0.05, 1.0, 2
+        params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
+        rng = np.random.default_rng(3)
+        # update 1: big micro-grads (summed norm >> clip); update 2: tiny
+        # (summed norm < clip) — the clip must fire on the SUM of update 1
+        # only, which distinguishes sum from mean semantics under Adam
+        micro = [
+            jax.tree.map(jnp.asarray, {
+                "w": rng.standard_normal((4, 4)).astype(np.float32) * s,
+                "bias": rng.standard_normal(4).astype(np.float32) * s,
+            })
+            for s in (2.0, 2.0, 0.01, 0.01)
+        ]
+
+        tx = build_legacy_adamw(lr, wd, accum_steps=k, grad_clip=clip)
+        st = tx.init(params)
+        p = params
+        for g in micro:
+            upd, st = tx.update(g, st, p)
+            p = optax.apply_updates(p, upd)
+
+        oracle = optax.chain(
+            optax.clip_by_global_norm(clip),
+            optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=wd,
+                        mask=_legacy_decay_mask),
+        )
+        ost = oracle.init(params)
+        po = params
+        for i in range(0, len(micro), k):
+            gsum = jax.tree.map(
+                lambda *gs: sum(gs), *micro[i:i + k])
+            upd, ost = oracle.update(gsum, ost, po)
+            po = optax.apply_updates(po, upd)
+
+        chex.assert_trees_all_close(p, po, atol=1e-7)
 
     def test_epoch_constant_with_one_epoch_lag(self):
         from gm3d_tpu.train.schedules import legacy_cosine_epoch_schedule
