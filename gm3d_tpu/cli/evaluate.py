@@ -25,6 +25,12 @@ def parse_args():
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     p.add_argument("--vote", action="store_true")
     p.add_argument("--vote_times", type=int, default=10)
+    p.add_argument("--vote_repeats", type=int, default=1,
+                   help="repeat the whole vote eval this many times with "
+                        "fresh sampling RNG and report the MAX — the "
+                        "reference's published vote protocol is the best of "
+                        "299 repeated 10-vote evals "
+                        "(tools/runner_finetune.py:391-397)")
     p.add_argument("--probe", choices=["acc", "svm", "knn", "linprob"], default="acc",
                    help="acc = finetuned-classifier accuracy (default; config "
                         "is a finetune YAML). svm / knn / linprob = frozen-"
@@ -119,11 +125,14 @@ def main():
         from gm3d_tpu.ckpt import restore_raw
 
         raw = restore_raw(args.ckpt)
-        if raw is not None:
-            variables = {"params": raw["params"]}
-            if raw.get("batch_stats") is not None:
-                variables["batch_stats"] = raw["batch_stats"]
-            logger.info(f"restored ckpt step {int(raw['step'])}")
+        if raw is None:
+            # never fall through to random init silently (same contract as
+            # the finetune CLIs' --pretrained)
+            raise FileNotFoundError(f"no checkpoint at {args.ckpt}")
+        variables = {"params": raw["params"]}
+        if raw.get("batch_stats") is not None:
+            variables["batch_stats"] = raw["batch_stats"]
+        logger.info(f"restored ckpt step {int(raw['step'])}")
 
     variables = replicate_tree(mesh, variables)
     eval_step = make_eval_step(model, npoints)
@@ -135,14 +144,22 @@ def main():
     logger.info(f"[TEST] acc = {acc:.4f}")
 
     if args.vote:
+        # published protocol: the reference's test mode repeats the 10-vote
+        # eval 299 times and keeps the best (tools/runner_finetune.py:391-397)
         vote_step = make_vote_eval_step(model, npoints, args.vote_times)
         rng = jax.random.key(args.seed)
-        logits, labels_all = [], []
-        for pts, labels in val_loader:
-            rng, key = jax.random.split(rng)
-            logits.append(np.asarray(vote_step(variables, shard_eval_batch(mesh, pts), key)))
-            labels_all.append(np.asarray(labels))
-        vacc = accuracy(np.concatenate(logits), np.concatenate(labels_all)) * 100.0
+        vacc = 0.0
+        for rep in range(args.vote_repeats):
+            logits, labels_all = [], []
+            for pts, labels in val_loader:
+                rng, key = jax.random.split(rng)
+                logits.append(np.asarray(vote_step(variables, shard_eval_batch(mesh, pts), key)))
+                labels_all.append(np.asarray(labels))
+            this = accuracy(np.concatenate(logits), np.concatenate(labels_all)) * 100.0
+            vacc = max(vacc, this)
+            if args.vote_repeats > 1:
+                logger.info(f"[TEST_VOTE_time {rep + 1}] acc = {this:.4f}, "
+                            f"best acc = {vacc:.4f}")
         logger.info(f"[TEST_VOTE] acc = {vacc:.4f}")
         return acc, vacc
     return acc, None

@@ -37,11 +37,25 @@ def test_visualize_cli_writes_plys(tmp_path):
 
 
 def test_evaluate_cli_acc_path(tmp_path):
-    """cli/evaluate.py default accuracy path (runner_finetune test_net)."""
+    """cli/evaluate.py default accuracy path (runner_finetune test_net),
+    with the repeated-vote best-of protocol (test mode repeats the vote
+    eval and keeps the max, tools/runner_finetune.py:391-397)."""
     acc, vote = run_cli("gm3d_tpu.cli.evaluate", [
         "ev", "--config", "configs/pointmae/finetune_modelnet.yaml",
         "--synthetic", "--batch_size", "8", "--synthetic_samples", "16",
-        "--vote", "--vote_times", "3",
+        "--vote", "--vote_times", "3", "--vote_repeats", "2",
         "--output_dir", str(tmp_path / "exp"),
     ])
     assert 0.0 <= acc <= 100.0 and 0.0 <= vote <= 100.0
+
+
+def test_evaluate_cli_bad_ckpt_raises(tmp_path):
+    """A bad --ckpt must raise, never silently evaluate random init (same
+    contract as the finetune CLIs' --pretrained)."""
+    with pytest.raises(FileNotFoundError):
+        run_cli("gm3d_tpu.cli.evaluate", [
+            "ev", "--config", "configs/pointmae/finetune_modelnet.yaml",
+            "--synthetic", "--batch_size", "8", "--synthetic_samples", "16",
+            "--ckpt", str(tmp_path / "nonexistent"),
+            "--output_dir", str(tmp_path / "exp"),
+        ])
