@@ -155,6 +155,24 @@ def evaluate(loader, eval_step, variables):
     return accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
 
 
+def vote_gate(acc: float, better: bool) -> bool:
+    """In-training vote trigger (tools/runner_finetune.py:211-212): vote
+    validation only once plain accuracy clears the reference's hardcoded
+    MN40 thresholds — acc > 92.1 always, or a new best above 91."""
+    return acc > 92.1 or (better and acc > 91)
+
+
+def evaluate_vote(loader, vote_step, variables, key):
+    """One 10-vote pass over the loader (tools/runner_finetune.py
+    validate_vote / test_vote inner loop)."""
+    logits_all, labels_all = [], []
+    for pts, labels in loader:
+        key, k2 = jax.random.split(key)
+        logits_all.append(np.asarray(vote_step(variables, jnp.asarray(pts), k2)))
+        labels_all.append(np.asarray(labels))
+    return accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
+
+
 def main():
     args = parse_args()
     cfg = load_config(args)
@@ -261,7 +279,7 @@ def main():
     state = replicate_tree(mesh, state)
 
     rng = jax.random.key(args.seed)
-    best = 0.0
+    best, best_vote, vote_step = 0.0, 0.0, None
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
     start_epoch = 0
     if args.resume:
@@ -288,10 +306,25 @@ def main():
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
             acc = evaluate(val_loader, eval_step, state.variables())
             stats["val_acc"] = acc
-            if acc > best:
+            better = acc > best
+            if better:
                 best = acc
                 save_checkpoint(os.path.join(ckpt_dir, "best"), state,
                                 int(state.step), metrics={"acc": acc}, max_to_keep=1)
+            # in-training gated vote validation (tools/runner_finetune.py:
+            # 211-218), tracking a separate ckpt-best_vote
+            if args.vote and vote_gate(acc, better):
+                if vote_step is None:
+                    vote_step = make_vote_eval_step(model, npoints)
+                rng, key = jax.random.split(rng)
+                vacc = evaluate_vote(val_loader, vote_step, state.variables(), key)
+                stats["val_vote_acc"] = vacc
+                logger.info(f"[Validation_vote] EPOCH: {epoch}  acc_vote = {vacc:.4f}")
+                if vacc > best_vote:
+                    best_vote = vacc
+                    save_checkpoint(os.path.join(ckpt_dir, "best_vote"), state,
+                                    int(state.step), metrics={"acc_vote": vacc},
+                                    max_to_keep=1)
         # rolling last-epoch save (ckpt-last.pth parity, tools/builder.py:128-137)
         save_checkpoint(ckpt_dir, state, int(state.step))
         logger.info(f"epoch {epoch}: " + " ".join(
@@ -299,16 +332,15 @@ def main():
         jsonl.write(stats)
 
     if args.vote:
-        vote_step = make_vote_eval_step(model, npoints)
-        logits_all, labels_all = [], []
+        if vote_step is None:
+            vote_step = make_vote_eval_step(model, npoints)
         rng, key = jax.random.split(rng)
-        for pts, labels in val_loader:
-            key, k2 = jax.random.split(key)
-            logits_all.append(np.asarray(vote_step(state.variables(), jnp.asarray(pts), k2)))
-            labels_all.append(np.asarray(labels))
-        vote_acc = accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
+        vote_acc = evaluate_vote(val_loader, vote_step, state.variables(), key)
         logger.info(f"[TEST_VOTE] acc = {vote_acc:.4f}")
         jsonl.write({"vote_acc": vote_acc})
+        if best_vote:
+            logger.info(f"best in-training vote acc {best_vote:.2f} "
+                        f"(ckpt/best_vote)")
     logger.info(f"best val acc {best:.2f}")
     return best
 

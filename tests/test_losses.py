@@ -257,6 +257,17 @@ class TestFinetuneRecipe:
         assert published_eff_bs(cfg_from_yaml_file(
             "configs/m2ae/finetune_modelnet_PointM2AE.yaml")) == 80
 
+    def test_vote_gate_thresholds(self):
+        """In-training vote trigger matches tools/runner_finetune.py:211-212:
+        acc > 92.1 unconditionally, or a new best above 91."""
+        from gm3d_tpu.cli.finetune import vote_gate
+
+        assert vote_gate(92.2, better=False)
+        assert vote_gate(91.5, better=True)
+        assert not vote_gate(91.5, better=False)
+        assert not vote_gate(91.0, better=True)
+        assert not vote_gate(50.0, better=True)
+
     def test_resolve_recipe_provenance(self):
         """M2AE finetunes (incl. ModelNet40) ran the HPM stack — every
         Point-M2AE_SA3D log is MAE-json with a blr warmup ramp; PMAE ModelNet
