@@ -129,8 +129,18 @@ def _build_timm_shim():
         def forward(self, x):
             return self.proj(x).flatten(2).transpose(1, 2)
 
+    class VisionTransformer(nn.Module):
+        """Image-ViT base subclassed by the reference's dead image-domain
+        ``models_vit.py`` (imported at module level by main_knn/main_linprob)
+        — never instantiated by the point-cloud parity tests."""
+
+        def __init__(self, *a, **k):
+            super().__init__()
+            raise NotImplementedError("image ViT is out of scope")
+
     timm = types.ModuleType("timm")
-    timm.__version__ = "0.0-shim"
+    # main_knn.py:19 / main_linprob.py hard-assert the MAE-era pin
+    timm.__version__ = "0.3.2"
     timm_models = types.ModuleType("timm.models")
     vit = types.ModuleType("timm.models.vision_transformer")
     vit.PatchEmbed = PatchEmbed
@@ -138,6 +148,7 @@ def _build_timm_shim():
     vit.DropPath = DropPath
     vit.Mlp = Mlp
     vit.Attention = Attention
+    vit.VisionTransformer = VisionTransformer
     layers = types.ModuleType("timm.models.layers")
     layers.DropPath = DropPath
     layers.Mlp = Mlp
@@ -268,6 +279,36 @@ def _build_engine_shims():
 
     tvt.Compose = Compose
     tv.transforms = tvt
+    # util/datasets.py (pulled in by main_knn/main_linprob) does
+    # `from torchvision import datasets, transforms` — the image-domain
+    # dataset builders are never exercised by the parity tests
+    tvd = types.ModuleType("torchvision.datasets")
+    tvd.__path__ = []  # mark as package: util/datasets.py imports .folder
+    tvdf = types.ModuleType("torchvision.datasets.folder")
+
+    def default_loader(path):  # image loader, never exercised
+        raise NotImplementedError("image datasets are out of scope")
+
+    tvdf.default_loader = default_loader
+    tvd.folder = tvdf
+
+    class ImageFolder:  # subclassed by util/datasets.py, never exercised
+        def __init__(self, *a, **k):
+            raise NotImplementedError("image datasets are out of scope")
+
+    tvd.ImageFolder = ImageFolder
+    tv.datasets = tvd
+    # util/crop.py (main_linprob) imports transforms.functional; the image
+    # crop transform is never exercised by the point-cloud parity tests
+    tvtf = types.ModuleType("torchvision.transforms.functional")
+    tvt.__path__ = []
+    tvt.functional = tvtf
+
+    class RandomResizedCrop:  # subclassed by util/crop.py, never exercised
+        def __init__(self, *a, **k):
+            pass
+
+    tvt.RandomResizedCrop = RandomResizedCrop
 
     class ModelEma:
         def __init__(self, model, decay=0.9999, device="", resume=""):
@@ -323,6 +364,15 @@ def _build_engine_shims():
     timm_utils.accuracy = accuracy
     timm_data = types.ModuleType("timm.data")
     timm_data.Mixup = type("Mixup", (), {})  # imported by engine_finetune.py:18, never used (mixup_fn=None)
+    # util/datasets.py (main_knn/main_linprob) image-transform imports —
+    # point-cloud parity never builds image datasets
+    timm_data.__path__ = []
+    timm_data.create_transform = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError("image transforms are out of scope"))
+    timm_data_constants = types.ModuleType("timm.data.constants")
+    timm_data_constants.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    timm_data_constants.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    timm_data.constants = timm_data_constants
     timm_optim = types.ModuleType("timm.optim")
     optim_factory = types.ModuleType("timm.optim.optim_factory")
     optim_factory.add_weight_decay = add_weight_decay
@@ -340,8 +390,12 @@ def _build_engine_shims():
         "torch._six": six,
         "torchvision": tv,
         "torchvision.transforms": tvt,
+        "torchvision.datasets": tvd,
+        "torchvision.datasets.folder": tvdf,
+        "torchvision.transforms.functional": tvtf,
         "timm.utils": timm_utils,
         "timm.data": timm_data,
+        "timm.data.constants": timm_data_constants,
         "timm.optim": timm_optim,
         "timm.optim.optim_factory": optim_factory,
     }
