@@ -37,7 +37,8 @@ def parse_args():
                         "feature probes on a PRETRAIN config+checkpoint "
                         "(reference main_pretrain.py:633-717 SVM, "
                         "main_knn.py:154-198, main_linprob.py:111)")
-    p.add_argument("--model_family", choices=["gm3d", "pointmae"], default="gm3d",
+    p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae"],
+                   default="gm3d",
                    help="pretrain model family for --probe svm/knn/linprob")
     p.add_argument("--knn_k", type=int, default=20,
                    help="neighbours for --probe knn (reference default 20)")
@@ -60,18 +61,21 @@ def run_feature_probe(args, cfg, logger):
     npoints = cfg.get("npoints", 1024)
     _, svm_train, svm_test = make_loaders(cfg, args)
 
+    pts0 = jnp.asarray(np.zeros((2, npoints, 3), np.float32))
     if args.model_family == "gm3d":
         from gm3d_tpu.masking import gm3d_num_mask
 
         model = GM3DStudent(dtype=dtype)
         num_mask = gm3d_num_mask(model.num_group, 0.6)
         mask0 = jnp.zeros((2, model.num_group), bool).at[:, :num_mask].set(True)
-        pts0 = jnp.asarray(np.zeros((2, npoints, 3), np.float32))
         variables = model.init(jax.random.key(0), pts0, mask0, num_mask)
+    elif args.model_family == "m2ae":
+        model = build_model_from_cfg(cfg["model"], dtype=dtype)
+        vis0 = jnp.ones((2, model.num_groups[-1]), bool)
+        variables = model.init(jax.random.key(0), pts0, vis0)
     else:
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
         mask0 = jnp.zeros((2, model.num_group), bool)
-        pts0 = jnp.asarray(np.zeros((2, npoints, 3), np.float32))
         variables = model.init(jax.random.key(0), pts0, mask0, 0)
 
     if args.ckpt:

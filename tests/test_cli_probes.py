@@ -21,6 +21,18 @@ def test_feature_probe_cli(tmp_path, probe):
     assert 0.0 <= acc <= 1.0
 
 
+def test_feature_probe_cli_m2ae(tmp_path):
+    """Frozen-feature probes over the M2AE multi-scale encoder (same pooled
+    features the pretrain CLI's SVM gate uses for --model_family m2ae)."""
+    acc = run_cli("gm3d_tpu.cli.evaluate", [
+        "ev", "--config", "configs/m2ae/config_Point_M2AE.yaml", "--synthetic",
+        "--batch_size", "8", "--synthetic_samples", "32",
+        "--probe", "knn", "--model_family", "m2ae",
+        "--output_dir", str(tmp_path),
+    ])
+    assert 0.0 <= acc <= 1.0
+
+
 def test_visualize_cli_writes_plys(tmp_path):
     """cli/visualize.py (reference tools/runner.py vis path): reconstruction
     PLYs + GM3D loss heatmaps from synthetic clouds."""
