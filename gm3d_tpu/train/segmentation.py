@@ -1,6 +1,17 @@
 """Part-segmentation train/eval steps (per-point CE; eval restricts argmax to
 the parts of the ground-truth category — the published ShapeNetPart protocol
-behind ``log_files/segmentation.txt``)."""
+behind ``log_files/segmentation.txt``).
+
+Engine provenance: the reference ships its own seg engine
+(``engine_finetune_segmentation.py:79-183``), but it is a copy-edit of the
+finetune engine — identical FPS→point_all subsample, the same active
+``PointcloudScaleAndTranslate``-only transform stack (``:30-40``), the same
+per-iteration lr schedule / accum_iter / NaN hard-exit skeleton — with the
+model+loss swapped for an EXTERNAL ``pt.py`` that is absent from the repo
+(``main_finetune_segmentation.py:298-303`` imports it via importlib). The
+loop semantics here are therefore pinned transitively by the finetune
+trajectory-parity harness (``tests/test_finetune_trajectory.py``); the model
+itself is rebuilt from the published protocol, not parity-testable."""
 
 from __future__ import annotations
 

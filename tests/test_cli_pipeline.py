@@ -40,9 +40,12 @@ def test_teacher_gm3d_finetune_pipeline(tmp_path):
     assert any(d.isdigit() for d in os.listdir(ckpt)), os.listdir(ckpt)
     assert os.path.isdir(os.path.join(ckpt, "best"))
 
+    # --accum_iter 2 also exercises the legacy-recipe SUM accumulation path
+    # (runner semantics, DESIGN.md §14) end-to-end at no extra test cost
     best = run_cli("gm3d_tpu.cli.finetune", [
         "ft", "--config", "configs/pointmae/finetune_modelnet.yaml", "--synthetic",
         "--epochs", "1", "--batch_size", "8", "--synthetic_samples", "16",
+        "--accum_iter", "2",
         "--pretrained", os.path.join(gm3d, "ckpt"), "--output_dir", ft,
     ])
     assert best >= 0.0
