@@ -11,6 +11,8 @@ from gm3d_tpu.ckpt.checkpoint import (
     restore_checkpoint,
     restore_raw,
     latest_step,
+    save_best_metrics,
+    load_best_metrics,
 )
 from gm3d_tpu.ckpt.torch_import import (
     export_torch_checkpoint,
@@ -24,6 +26,8 @@ __all__ = [
     "restore_checkpoint",
     "restore_raw",
     "latest_step",
+    "save_best_metrics",
+    "load_best_metrics",
     "export_torch_checkpoint",
     "import_torch_checkpoint",
     "torch_key_to_flax",

@@ -2,11 +2,33 @@
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+
+def save_best_metrics(ckpt_dir: str, metrics: dict) -> None:
+    """Persist best-so-far metrics next to the rolling checkpoint so resume
+    can restore them (the legacy runner restores ``best_metrics`` from
+    ``ckpt-last.pth``, ``tools/builder.py:109-115``; without this a resumed
+    run would let a worse post-resume epoch overwrite ckpt/best)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, "best_metrics.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(metrics, f)
+    os.replace(tmp, path)
+
+
+def load_best_metrics(ckpt_dir: str) -> dict:
+    path = os.path.join(ckpt_dir, "best_metrics.json")
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gm3d_tpu.ckpt import save_checkpoint
+from gm3d_tpu.ckpt import save_best_metrics, save_checkpoint
 from gm3d_tpu.ckpt.transfer import load_pretrained_into
 from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_cls_loaders
 from gm3d_tpu.config import build_model_from_cfg
@@ -283,13 +283,21 @@ def main():
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
     start_epoch = 0
     if args.resume:
-        from gm3d_tpu.ckpt import restore_checkpoint
+        from gm3d_tpu.ckpt import load_best_metrics, restore_checkpoint
 
         restored = restore_checkpoint(ckpt_dir, state)
         if restored is not None:
             state = replicate_tree(mesh, restored)
             start_epoch = int(restored.step) // steps_per_epoch
-            logger.info(f"resumed from step {int(restored.step)} (epoch {start_epoch})")
+            # restore best-so-far so a worse post-resume epoch can't
+            # overwrite ckpt/best (legacy runner restores best_metrics,
+            # tools/builder.py:109-115)
+            bm = load_best_metrics(ckpt_dir)
+            best = float(bm.get("best", 0.0))
+            best_vote = float(bm.get("best_vote", 0.0))
+            logger.info(f"resumed from step {int(restored.step)} (epoch "
+                        f"{start_epoch}, best {best:.2f}, best_vote "
+                        f"{best_vote:.2f})")
             if hasattr(train_loader, "load_state"):
                 train_loader.load_state({"epoch": start_epoch, "batch": 0})
     for epoch in range(start_epoch, epochs):
@@ -311,6 +319,7 @@ def main():
                 best = acc
                 save_checkpoint(os.path.join(ckpt_dir, "best"), state,
                                 int(state.step), metrics={"acc": acc}, max_to_keep=1)
+                save_best_metrics(ckpt_dir, {"best": best, "best_vote": best_vote})
             # in-training gated vote validation (tools/runner_finetune.py:
             # 211-218), tracking a separate ckpt-best_vote
             if args.vote and vote_gate(acc, better):
@@ -325,6 +334,7 @@ def main():
                     save_checkpoint(os.path.join(ckpt_dir, "best_vote"), state,
                                     int(state.step), metrics={"acc_vote": vacc},
                                     max_to_keep=1)
+                    save_best_metrics(ckpt_dir, {"best": best, "best_vote": best_vote})
         # rolling last-epoch save (ckpt-last.pth parity, tools/builder.py:128-137)
         save_checkpoint(ckpt_dir, state, int(state.step))
         logger.info(f"epoch {epoch}: " + " ".join(

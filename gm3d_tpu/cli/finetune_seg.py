@@ -160,13 +160,20 @@ def main():
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
     start_epoch = 0
     if args.resume:
-        from gm3d_tpu.ckpt import restore_checkpoint
+        from gm3d_tpu.ckpt import load_best_metrics, restore_checkpoint
 
         restored = restore_checkpoint(ckpt_dir, state)
         if restored is not None:
             state = replicate_tree(mesh, restored)
             start_epoch = int(restored.step) // steps_per_epoch
-            logger.info(f"resumed from step {int(restored.step)} (epoch {start_epoch})")
+            # restore best-so-far so a worse post-resume epoch can't
+            # overwrite ckpt/best (same rationale as cli/finetune.py)
+            bm = load_best_metrics(ckpt_dir)
+            best = {"instance_miou": float(bm.get("instance_miou", 0.0)),
+                    "class_miou": float(bm.get("class_miou", 0.0))}
+            logger.info(f"resumed from step {int(restored.step)} (epoch "
+                        f"{start_epoch}, best inst mIoU "
+                        f"{best['instance_miou']*100:.2f})")
             if hasattr(train_loader, "load_state"):  # native loader has none
                 train_loader.load_state({"epoch": start_epoch, "batch": 0})
     for epoch in range(start_epoch, epochs):
@@ -200,6 +207,9 @@ def main():
                                 int(state.step),
                                 metrics={"instance_miou": miou["instance_miou"]},
                                 max_to_keep=1)
+                from gm3d_tpu.ckpt import save_best_metrics
+
+                save_best_metrics(ckpt_dir, best)
         # rolling last-epoch save (ckpt-last.pth parity)
         save_checkpoint(ckpt_dir, state, int(state.step))
         logger.info(f"epoch {epoch}: " + " ".join(

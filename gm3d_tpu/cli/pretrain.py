@@ -310,11 +310,21 @@ def main():
         probe_step = make_probe_step(feat_model, classifier, probe_tx)
 
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
+    resumed_best = 0.0
     if args.resume:
         restored = restore_checkpoint(ckpt_dir, state)
         if restored is not None:
             state = restored
-            logger.info(f"resumed from step {int(state.step)}")
+            # restore best-so-far SVM acc so a worse post-resume epoch can't
+            # overwrite ckpt/best. Deliberate deviation: the reference RESETS
+            # best_metrics after load (main_pretrain.py:456 Acc_Metric(0.)) —
+            # an accident that silently destroys the best checkpoint; the
+            # legacy finetune runner restores it (tools/builder.py:109-115)
+            from gm3d_tpu.ckpt import load_best_metrics
+
+            resumed_best = float(load_best_metrics(ckpt_dir).get("best", 0.0))
+            logger.info(f"resumed from step {int(state.step)} "
+                        f"(best svm {resumed_best:.4f})")
 
     # ---- data parallel: replicate state/teacher on the mesh, shard batches
     # (the jitted step sees batch-sharded inputs and replicated params; XLA
@@ -339,7 +349,7 @@ def main():
 
         multi_fn = make_multi_step(step_fn, has_teacher=args.model_family == "gm3d")
 
-    best_acc = 0.0
+    best_acc = resumed_best
     prof_remaining = args.profile_steps if args.profile_dir else 0
     if prof_remaining:
         jax.profiler.start_trace(args.profile_dir)
@@ -450,6 +460,9 @@ def main():
                 save_checkpoint(os.path.join(ckpt_dir, "best"), state,
                                 int(state.step), metrics={"svm_acc": acc},
                                 max_to_keep=1)
+                from gm3d_tpu.ckpt import save_best_metrics
+
+                save_best_metrics(ckpt_dir, {"best": best_acc})
         # rolling last-epoch save (*_temp_last.pth parity — crash resume
         # continues from the last completed epoch, not the last best)
         save_checkpoint(ckpt_dir, state, int(state.step))

@@ -13,6 +13,38 @@ from cli_harness import run_cli
 pytestmark = pytest.mark.slow
 
 
+def test_finetune_resume_preserves_best_checkpoint(tmp_path):
+    """A resumed run must restore best-so-far, so a worse post-resume epoch
+    cannot overwrite ckpt/best (the legacy runner restores ``best_metrics``
+    from ckpt-last.pth, ``tools/builder.py:109-115``; the pretrain main's
+    reset-to-zero at ``main_pretrain.py:456`` is the accident we deliberately
+    do NOT reproduce). Poisoning the sidecar with an unbeatable best makes
+    the assertion deterministic: no epoch can clear 101%."""
+    from gm3d_tpu.ckpt import latest_step, load_best_metrics, save_best_metrics
+
+    out = str(tmp_path / "ft")
+    base = [
+        "ft", "--config", "configs/pointmae/finetune_modelnet.yaml",
+        "--synthetic", "--batch_size", "8", "--synthetic_samples", "16",
+        "--val_freq", "1", "--output_dir", out,
+    ]
+    run_cli("gm3d_tpu.cli.finetune", base + ["--epochs", "2"])
+    ckpt = os.path.join(out, "ckpt")
+    first_best = load_best_metrics(ckpt)
+    assert first_best.get("best", 0.0) > 0.0  # val ran, sidecar written
+    best_step = latest_step(os.path.join(ckpt, "best"))
+    assert best_step is not None
+
+    save_best_metrics(ckpt, {"best": 101.0, "best_vote": 0.0})
+    run_cli("gm3d_tpu.cli.finetune", base + ["--epochs", "4", "--resume"])
+    # restored (not reset) best: logged on resume, never beaten, best ckpt
+    # untouched by the two post-resume epochs
+    log = open(os.path.join(out, "finetune.log")).read()
+    assert "best 101.00" in log
+    assert load_best_metrics(ckpt)["best"] == 101.0
+    assert latest_step(os.path.join(ckpt, "best")) == best_step
+
+
 def test_pretrain_resume_continues_epochs(tmp_path):
     out = str(tmp_path / "run")
     base = [
