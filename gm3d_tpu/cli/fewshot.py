@@ -90,7 +90,7 @@ def run_fold(args, cfg, fold, logger, mesh=None):
     # not a CLI-overridden max_epoch — same convention as the other CLIs.
     sched = legacy_cosine_epoch_schedule(
         cfg["optimizer"]["kwargs"]["lr"],
-        cfg.get("scheduler", {}).get("kwargs", {}).get("epochs", epochs),
+        cfg["scheduler"]["kwargs"].get("epochs", epochs),
         cfg["scheduler"]["kwargs"]["initial_epochs"], steps_per_epoch)
     tx = build_legacy_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"],
                             grad_clip=cfg.get("grad_norm_clip"))
@@ -103,7 +103,13 @@ def run_fold(args, cfg, fold, logger, mesh=None):
     if mesh is not None:
         state = replicate_tree(mesh, state)
     put = (lambda x: shard_eval_batch(mesh, x)) if mesh is not None else jnp.asarray
-    step_fn = make_finetune_train_step(model, tx, npoints)
+    # legacy stack: the model's get_loss_acc honors the config's smooth knob
+    # (M2AE few-shot configs set smooth 0.3; Point-MAE's is plain CE) — same
+    # resolution as cli/finetune.py's legacy branch
+    smoothing = cfg["model"].get("smooth", 0.0)
+    if fold == 0 and smoothing:
+        logger.info(f"label smoothing {smoothing} (config model.smooth)")
+    step_fn = make_finetune_train_step(model, tx, npoints, smoothing)
     eval_step = make_eval_step(model, npoints)
 
     rng = jax.random.key(fold)

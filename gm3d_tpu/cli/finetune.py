@@ -73,9 +73,13 @@ def parse_args():
                    help="hpm recipe layer-wise lr decay (reference-effective "
                         "id mapping, see train/optim.py)")
     p.add_argument("--smoothing", type=float, default=None,
-                   help="label smoothing; default 0.1 for the hpm recipe "
-                        "(reference --smoothing, main_finetune.py:109), else "
-                        "the config's model.smooth (legacy get_loss_acc knob)")
+                   help="label smoothing override. Default: the reference's "
+                        "EFFECTIVE criterion — plain CE for the hpm recipe "
+                        "(the LabelSmoothing branch in main_finetune.py:369-"
+                        "376 is inside a dead triple-quoted block; the active "
+                        "line :377 is torch.nn.CrossEntropyLoss()), and the "
+                        "config's model.smooth for the legacy recipe (the "
+                        "M2AE-family get_loss_acc knob, e.g. few-shot 0.3)")
     return p.parse_args()
 
 
@@ -147,12 +151,27 @@ def published_eff_bs(cfg) -> int | None:
     return None
 
 
-def evaluate(loader, eval_step, variables):
+def evaluate(loader, eval_step, variables, put=jnp.asarray):
     logits_all, labels_all = [], []
     for pts, labels in loader:
-        logits_all.append(np.asarray(eval_step(variables, jnp.asarray(pts))))
+        logits_all.append(np.asarray(eval_step(variables, put(pts))))
         labels_all.append(np.asarray(labels))
     return accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
+
+
+def resolve_smoothing(override, recipe: str, cfg) -> float:
+    """Effective label smoothing per stack: plain CE for hpm (the reference's
+    LabelSmoothing branch is dead code — ``main_finetune.py:369-376`` is a
+    triple-quoted string; the active ``:377`` is ``torch.nn.
+    CrossEntropyLoss()``, and the published hpm logs' ~5e-4 train_loss floors
+    rule smoothing out); the config's ``model.smooth`` for legacy (the
+    M2AE-family ``get_loss_acc`` knob — Point-MAE's is plain CE and its
+    configs set no smooth)."""
+    if override is not None:
+        return override
+    if recipe == "hpm":
+        return 0.0
+    return cfg["model"].get("smooth", 0.0)
 
 
 def vote_gate(acc: float, better: bool) -> bool:
@@ -162,13 +181,14 @@ def vote_gate(acc: float, better: bool) -> bool:
     return acc > 92.1 or (better and acc > 91)
 
 
-def evaluate_vote(loader, vote_step, variables, key):
+def evaluate_vote(loader, vote_step, variables, key, put=jnp.asarray):
     """One 10-vote pass over the loader (tools/runner_finetune.py
-    validate_vote / test_vote inner loop)."""
+    validate_vote / test_vote inner loop). ``put`` places each batch on
+    device (the evaluate CLI passes its mesh-sharding placement)."""
     logits_all, labels_all = [], []
     for pts, labels in loader:
         key, k2 = jax.random.split(key)
-        logits_all.append(np.asarray(vote_step(variables, jnp.asarray(pts), k2)))
+        logits_all.append(np.asarray(vote_step(variables, put(pts), k2)))
         labels_all.append(np.asarray(labels))
     return accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
 
@@ -247,7 +267,9 @@ def main():
         lr = cfg["optimizer"]["kwargs"]["lr"]
         warmup = (args.warmup_epochs if args.warmup_epochs is not None
                   else cfg["scheduler"]["kwargs"]["initial_epochs"])
-        horizon = cfg.get("scheduler", {}).get("kwargs", {}).get("epochs", epochs)
+        # legacy configs always carry a scheduler block (initial_epochs was
+        # just indexed above); only the `epochs` key is optional
+        horizon = cfg["scheduler"]["kwargs"].get("epochs", epochs)
         sched = legacy_cosine_epoch_schedule(lr, horizon, warmup, updates_per_epoch)
         tx = build_legacy_adamw(sched, wd, accum_steps=args.accum_iter,
                                 grad_clip=cfg.get("grad_norm_clip"))
@@ -259,15 +281,7 @@ def main():
         variables["batch_stats"] = batch_stats
     state = create_train_state(variables, tx)
 
-    # hpm: the reference criterion is LabelSmoothingCrossEntropy(args.
-    # smoothing default 0.1) (main_finetune.py:109,372-373) — the config's
-    # model.smooth is a legacy-runner knob the HPM engine never sees
-    if args.smoothing is not None:
-        smoothing = args.smoothing
-    elif recipe == "hpm":
-        smoothing = 0.1
-    else:
-        smoothing = cfg["model"].get("smooth", 0.0)
+    smoothing = resolve_smoothing(args.smoothing, recipe, cfg)
     if smoothing:
         logger.info(f"label smoothing {smoothing}")
     step_fn = make_finetune_train_step(model, tx, npoints, smoothing)

@@ -257,6 +257,40 @@ class TestFinetuneRecipe:
         assert published_eff_bs(cfg_from_yaml_file(
             "configs/m2ae/finetune_modelnet_PointM2AE.yaml")) == 80
 
+    def test_resolve_smoothing_hpm_is_plain_ce(self):
+        """The reference HPM criterion is PLAIN CrossEntropyLoss — the
+        LabelSmoothing branch is inside a dead triple-quoted block
+        (main_finetune.py:369-377) and the published hpm logs' ~5e-4
+        train_loss floors rule smoothing out. Legacy honors the config's
+        model.smooth (M2AE few-shot 0.3); explicit --smoothing wins."""
+        from gm3d_tpu.cli.finetune import resolve_smoothing
+        from gm3d_tpu.config import cfg_from_yaml_file
+
+        scan = cfg_from_yaml_file("configs/pointmae/config_finetune_scan_hardest.yaml")
+        assert resolve_smoothing(None, "hpm", scan) == 0.0
+
+        fewshot = cfg_from_yaml_file("configs/m2ae/fewshot-Point-M2AE.yaml")
+        assert resolve_smoothing(None, "legacy", fewshot) == pytest.approx(0.3)
+
+        mn40 = cfg_from_yaml_file("configs/pointmae/finetune_modelnet.yaml")
+        assert resolve_smoothing(None, "legacy", mn40) == 0.0  # PMAE plain CE
+        assert resolve_smoothing(0.2, "hpm", scan) == pytest.approx(0.2)
+
+    def test_best_metrics_sidecar_roundtrip(self, tmp_path):
+        """Resume restores best/best_vote so a worse post-resume epoch can't
+        overwrite ckpt/best (tools/builder.py:109-115 restores best_metrics;
+        without it the best checkpoint is silently destroyed)."""
+        from gm3d_tpu.ckpt import load_best_metrics, save_best_metrics
+
+        d = str(tmp_path / "ckpt")
+        assert load_best_metrics(d) == {}  # fresh run: no sidecar
+        save_best_metrics(d, {"best": 93.1, "best_vote": 94.0})
+        restored = load_best_metrics(d)
+        assert restored["best"] == pytest.approx(93.1)
+        assert restored["best_vote"] == pytest.approx(94.0)
+        save_best_metrics(d, {"best": 93.5, "best_vote": 94.0})
+        assert load_best_metrics(d)["best"] == pytest.approx(93.5)
+
     def test_vote_gate_thresholds(self):
         """In-training vote trigger matches tools/runner_finetune.py:211-212:
         acc > 92.1 unconditionally, or a new best above 91."""
