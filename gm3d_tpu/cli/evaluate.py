@@ -15,7 +15,6 @@ import numpy as np
 
 from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_cls_loaders
 from gm3d_tpu.config import build_model_from_cfg
-from gm3d_tpu.eval.metrics import accuracy
 from gm3d_tpu.train.finetune import make_eval_step, make_vote_eval_step
 from gm3d_tpu.utils import get_logger
 
@@ -61,22 +60,26 @@ def run_feature_probe(args, cfg, logger):
     npoints = cfg.get("npoints", 1024)
     _, svm_train, svm_test = make_loaders(cfg, args)
 
-    pts0 = jnp.asarray(np.zeros((2, npoints, 3), np.float32))
     if args.model_family == "gm3d":
-        from gm3d_tpu.masking import gm3d_num_mask
-
         model = GM3DStudent(dtype=dtype)
-        num_mask = gm3d_num_mask(model.num_group, 0.6)
-        mask0 = jnp.zeros((2, model.num_group), bool).at[:, :num_mask].set(True)
-        variables = model.init(jax.random.key(0), pts0, mask0, num_mask)
-    elif args.model_family == "m2ae":
-        model = build_model_from_cfg(cfg["model"], dtype=dtype)
-        vis0 = jnp.ones((2, model.num_groups[-1]), bool)
-        variables = model.init(jax.random.key(0), pts0, vis0)
     else:
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
+
+    def init_variables():
+        # only the no-ckpt (random-features) path needs a real init forward
+        # — on the tunneled TPU an init trace is an expensive extra compile
+        pts0 = jnp.asarray(np.zeros((2, npoints, 3), np.float32))
+        if args.model_family == "gm3d":
+            from gm3d_tpu.masking import gm3d_num_mask
+
+            num_mask = gm3d_num_mask(model.num_group, 0.6)
+            mask0 = jnp.zeros((2, model.num_group), bool).at[:, :num_mask].set(True)
+            return model.init(jax.random.key(0), pts0, mask0, num_mask)
+        if args.model_family == "m2ae":
+            vis0 = jnp.ones((2, model.num_groups[-1]), bool)
+            return model.init(jax.random.key(0), pts0, vis0)
         mask0 = jnp.zeros((2, model.num_group), bool)
-        variables = model.init(jax.random.key(0), pts0, mask0, 0)
+        return model.init(jax.random.key(0), pts0, mask0, 0)
 
     if args.ckpt:
         from gm3d_tpu.ckpt import restore_raw
@@ -90,6 +93,7 @@ def run_feature_probe(args, cfg, logger):
         logger.info(f"restored pretrain ckpt step {int(raw['step'])}")
     else:
         logger.warning("no --ckpt: probing RANDOM features")
+        variables = init_variables()
 
     feature_fn = make_feature_fn(model, npoints)
     tr_f, tr_l = extract_features(feature_fn, variables, svm_train)
@@ -123,8 +127,6 @@ def main():
 
     mesh, _ = setup_mesh(args, cfg["total_bs"], logger)
 
-    pts0, _ = next(iter(val_loader))
-    variables = model.init(jax.random.key(0), jnp.asarray(pts0[:2, :npoints]))
     if args.ckpt:
         from gm3d_tpu.ckpt import restore_raw
 
@@ -137,14 +139,19 @@ def main():
         if raw.get("batch_stats") is not None:
             variables["batch_stats"] = raw["batch_stats"]
         logger.info(f"restored ckpt step {int(raw['step'])}")
+    else:
+        # random-init eval only makes sense for smoke runs; skip the init
+        # forward when a checkpoint supplies the variables
+        pts0, _ = next(iter(val_loader))
+        variables = model.init(jax.random.key(0), jnp.asarray(pts0[:2, :npoints]))
 
+    from gm3d_tpu.cli.finetune import evaluate as eval_pass
+    from gm3d_tpu.cli.finetune import evaluate_vote
+
+    put = lambda x: shard_eval_batch(mesh, x)  # noqa: E731
     variables = replicate_tree(mesh, variables)
     eval_step = make_eval_step(model, npoints)
-    logits, labels_all = [], []
-    for pts, labels in val_loader:
-        logits.append(np.asarray(eval_step(variables, shard_eval_batch(mesh, pts))))
-        labels_all.append(np.asarray(labels))
-    acc = accuracy(np.concatenate(logits), np.concatenate(labels_all)) * 100.0
+    acc = eval_pass(val_loader, eval_step, variables, put=put)
     logger.info(f"[TEST] acc = {acc:.4f}")
 
     if args.vote:
@@ -154,12 +161,8 @@ def main():
         rng = jax.random.key(args.seed)
         vacc = 0.0
         for rep in range(args.vote_repeats):
-            logits, labels_all = [], []
-            for pts, labels in val_loader:
-                rng, key = jax.random.split(rng)
-                logits.append(np.asarray(vote_step(variables, shard_eval_batch(mesh, pts), key)))
-                labels_all.append(np.asarray(labels))
-            this = accuracy(np.concatenate(logits), np.concatenate(labels_all)) * 100.0
+            rng, key = jax.random.split(rng)
+            this = evaluate_vote(val_loader, vote_step, variables, key, put=put)
             vacc = max(vacc, this)
             if args.vote_repeats > 1:
                 logger.info(f"[TEST_VOTE_time {rep + 1}] acc = {this:.4f}, "
