@@ -147,10 +147,36 @@ def analytic_gm3d_flops(batch: int, num_group: int = 64, vis: int = 26,
     return batch * per_cloud
 
 
+def _wait_for_backend(retries: int = 3, sleep_s: float = 60.0) -> None:
+    """The tunneled TPU backend is intermittently UNAVAILABLE (init raises
+    after a long hang). Probe it in a SUBPROCESS — JAX memoizes a failed
+    backend init for the life of the process, so an in-process retry can
+    never succeed — and only proceed once a probe passes (or retries are
+    exhausted; the real init then surfaces the genuine error). A healthy
+    init takes seconds; the 600 s probe timeout only reaps hangs."""
+    import subprocess
+    import sys
+
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=600,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries - 1:
+            time.sleep(sleep_s)
+
+
 def main():
     import os
 
     import jax
+
+    _wait_for_backend()
 
     # persistent compile cache: first-compile over the TPU tunnel can take
     # minutes; subsequent bench runs hit the cache
