@@ -45,6 +45,32 @@ def test_finetune_resume_preserves_best_checkpoint(tmp_path):
     assert latest_step(os.path.join(ckpt, "best")) == best_step
 
 
+def test_seg_resume_preserves_best_checkpoint(tmp_path):
+    """Same poisoned-sidecar protocol as the finetune test, through the
+    segmentation CLI (its best tracking is keyed on instance mIoU and the
+    sidecar stores fractions)."""
+    from gm3d_tpu.ckpt import latest_step, load_best_metrics, save_best_metrics
+
+    out = str(tmp_path / "seg")
+    base = [
+        "sg", "--config", "configs/pointmae/seg_shapenetpart.yaml",
+        "--synthetic", "--batch_size", "8", "--synthetic_samples", "16",
+        "--val_freq", "1", "--output_dir", out,
+    ]
+    run_cli("gm3d_tpu.cli.finetune_seg", base + ["--epochs", "1"])
+    ckpt = os.path.join(out, "ckpt")
+    assert load_best_metrics(ckpt).get("instance_miou", 0.0) > 0.0
+    best_step = latest_step(os.path.join(ckpt, "best"))
+    assert best_step is not None
+
+    save_best_metrics(ckpt, {"instance_miou": 1.01, "class_miou": 1.01})
+    run_cli("gm3d_tpu.cli.finetune_seg", base + ["--epochs", "2", "--resume"])
+    log = open(os.path.join(out, "seg.log")).read()
+    assert "best inst mIoU 101.00" in log  # restored, not reset
+    assert load_best_metrics(ckpt)["instance_miou"] == 1.01
+    assert latest_step(os.path.join(ckpt, "best")) == best_step
+
+
 def test_pretrain_resume_continues_epochs(tmp_path):
     out = str(tmp_path / "run")
     base = [
