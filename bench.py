@@ -173,10 +173,24 @@ def _wait_for_backend(retries: int = 3, sleep_s: float = 60.0) -> None:
 
 def main():
     import os
+    import sys
 
     import jax
 
     _wait_for_backend()
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        # the probe can pass and the real init still hit a tunnel flap (the
+        # UNAVAILABLE error surfaces after a ~30 min hang). A fresh process
+        # gets a fresh chance — re-exec at most twice, then surface the error.
+        attempt = int(os.environ.get("GM3D_BENCH_INIT_ATTEMPT", "0"))
+        if "UNAVAILABLE" not in str(e) or attempt >= 2:
+            raise
+        os.environ["GM3D_BENCH_INIT_ATTEMPT"] = str(attempt + 1)
+        time.sleep(120)
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], os.environ)
 
     # persistent compile cache: first-compile over the TPU tunnel can take
     # minutes; subsequent bench runs hit the cache
