@@ -84,6 +84,38 @@ class TestShardedTraining:
         leaf = jax.tree.leaves(state.params)[0]
         assert len(leaf.sharding.device_set) == 8
 
+    def test_m2ae_gm3d_sharded_matches_single(self):
+        """The M2AE+GM3D overlay step (hierarchical masking + EMA loss-pred
+        feedback) under the mesh == single-device numbers — same guarantee
+        the flat GM3D step has (implicit DDP via GSPMD psum)."""
+        from gm3d_tpu.models import PointM2AE
+        from gm3d_tpu.train.pretrain import make_m2ae_gm3d_train_step
+
+        model = PointM2AE(
+            num_groups=(32, 16, 8), group_sizes=(8, 4, 4),
+            encoder_depths=(1, 1, 1), encoder_dims=(24, 48, 96),
+            local_radius=(0.32, 0.64, 1.28), decoder_dims=(96, 48),
+            decoder_depths=(1, 1), num_heads=2,
+        )
+        pts = clouds(5)
+        vis0 = jnp.ones((B, 8), bool).at[:, :6].set(False)
+        variables = model.init(jax.random.key(0), pts, vis0)
+        tx = build_adamw(1e-3)
+        step = make_m2ae_gm3d_train_step(model, tx, mask_ratio=0.75)
+        scalars = {"keep_ratio": jnp.asarray(0.5), "ema_decay": jnp.asarray(0.99)}
+
+        s1 = create_train_state(variables, tx, with_ema=True)
+        new1, m1 = step(s1, pts, jax.random.key(3), scalars)
+
+        mesh = make_mesh()
+        s8 = replicate_tree(mesh, create_train_state(variables, tx, with_ema=True))
+        new8, m8 = step(s8, shard_batch(mesh, pts), jax.random.key(3), scalars)
+        np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+        p1 = jax.tree.leaves(new1.params)[0]
+        p8 = jax.tree.leaves(new8.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+        assert len(p8.sharding.device_set) == 8
+
     def test_scaling_batch_shards_evenly(self):
         # 4-device submesh with batch 16 -> 4 per device
         mesh = make_mesh(4)
