@@ -1,0 +1,43 @@
+"""Serve an exported ``.gm3dx`` artifact over HTTP.
+
+  python -m gm3d_tpu.cli.serve --artifact model.gm3dx --port 8765
+
+One process per chip; front N replicas with a load balancer to scale out.
+See ``gm3d_tpu/serve/server.py`` for the endpoint contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import gm3d_tpu.cli.common  # noqa: F401  applies GM3D_PLATFORM before backend init
+from gm3d_tpu.utils import get_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="serve a .gm3dx artifact")
+    p.add_argument("--artifact", required=True, help=".gm3dx path")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logger = get_logger("gm3d.serve")
+    from gm3d_tpu.serve.server import make_server
+
+    server = make_server(args.artifact, args.host, args.port)
+    host, port = server.server_address[:2]
+    logger.info(f"serving {args.artifact} on http://{host}:{port} "
+                "(GET /health /info, POST /predict)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

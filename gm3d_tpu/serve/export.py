@@ -1,0 +1,151 @@
+"""AOT model export to self-contained StableHLO artifacts (``jax.export``).
+
+An artifact (``.gm3dx``) is a zip with two members:
+
+  ``manifest.json``   input/output shapes + dtypes, lowered platforms,
+                      model metadata (family, npoints, ckpt step)
+  ``module.jaxexp``   the ``jax.export`` serialized module — the jitted
+                      eval forward with the trained weights baked in as
+                      constants
+
+Loading needs ONLY this module (no model code, no config, no checkpoint):
+``load_artifact`` deserializes and returns a jitted callable. Shapes are
+static by design — the TPU rule (no dynamic shapes on the MXU path); ragged
+request batches are padded/chunked by :class:`gm3d_tpu.serve.runner.
+ServingModel`, never by re-tracing.
+
+The exported classifier forward carries the reference's validation-forward
+semantics exactly (``engine_finetune.py:186-218``: FPS straight to npoints,
+no augmentation, running BN stats); the feature forward is the frozen
+(mean+max)-pooled encoder the probes consume (``main_pretrain.py:710-717``).
+The reference itself has no equivalent deployment surface.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from gm3d_tpu.ops.fps import fps
+
+FORMAT_VERSION = 1
+_MANIFEST = "manifest.json"
+_MODULE = "module.jaxexp"
+
+
+def build_classifier_fn(model, variables, npoints: int) -> Callable:
+    """Eval forward with weights baked in: points (B, N, 3) -> logits (B, C).
+
+    Same body as ``train.finetune.make_eval_step`` (reference
+    ``engine_finetune.py:186-218``), but closed over ``variables`` so the
+    export is self-contained."""
+
+    def fn(pts: jax.Array) -> jax.Array:
+        x = fps(pts, npoints) if pts.shape[1] > npoints else pts
+        return model.apply(variables, x, deterministic=True)
+
+    return fn
+
+
+def build_feature_fn(model, variables, npoints: int) -> Callable:
+    """Frozen featurizer: points (B, N, 3) -> (mean+max)-pooled features
+    (B, D) — exactly what the SVM/kNN/linprob probes consume
+    (``eval/svm.py``, reference ``main_pretrain.py:710-717``)."""
+
+    def fn(pts: jax.Array) -> jax.Array:
+        x = fps(pts, npoints) if pts.shape[1] > npoints else pts
+        f = model.apply(variables, x, method=model.encode_features)
+        return jnp.mean(f, axis=1) + jnp.max(f, axis=1)
+
+    return fn
+
+
+def export_forward(fn: Callable, example_input: jax.Array,
+                   platforms: Tuple[str, ...] | None = None):
+    """AOT-lower ``fn`` for ``platforms`` (default: the current backend).
+
+    Multi-platform export (e.g. ``("cpu", "tpu")``) uses jax's
+    cross-platform lowering, so a TPU-serving artifact can be produced on a
+    CPU-only build host. Note the platform is fixed at TRACE time for
+    Python-level dispatch (e.g. :func:`ops.fps.fps` picks its Pallas kernel
+    only when tracing on a TPU backend), so cross-lowered variants embed the
+    portable XLA formulation — correct on every target."""
+    if platforms is None:
+        platforms = (jax.default_backend(),)
+    return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct(example_input.shape, example_input.dtype)
+    )
+
+
+def save_artifact(path: str, exported, manifest: Dict[str, Any]) -> str:
+    """Write the ``.gm3dx`` zip. Fills in the shape/dtype/platform fields
+    from the ``Exported`` itself so the manifest can't drift."""
+    in_aval = exported.in_avals[0]
+    out_aval = exported.out_avals[0]
+    manifest = dict(manifest)
+    manifest.update(
+        format_version=FORMAT_VERSION,
+        input_shape=list(in_aval.shape),
+        input_dtype=str(in_aval.dtype),
+        output_shape=list(out_aval.shape),
+        output_dtype=str(out_aval.dtype),
+        platforms=list(exported.platforms),
+        jax_version=jax.__version__,
+    )
+    blob = bytes(exported.serialize())
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_MANIFEST, json.dumps(manifest, indent=1))
+        zf.writestr(_MODULE, blob)
+    return path
+
+
+def load_artifact(path: str) -> Tuple[Callable, Dict[str, Any]]:
+    """Deserialize an artifact: returns ``(jitted_fn, manifest)``.
+
+    The callable takes one array of exactly ``manifest["input_shape"]`` /
+    ``input_dtype`` (static shapes — use :class:`ServingModel` for ragged
+    batches) and runs on the current default backend, which must be one of
+    ``manifest["platforms"]``."""
+    with zipfile.ZipFile(path, "r") as zf:
+        manifest = json.loads(zf.read(_MANIFEST).decode("utf-8"))
+        blob = zf.read(_MODULE)
+    if manifest.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported artifact format {manifest.get('format_version')!r} "
+            f"(expected {FORMAT_VERSION})")
+    backend = jax.default_backend()
+    if backend not in manifest["platforms"]:
+        raise ValueError(
+            f"artifact was lowered for {manifest['platforms']}, but the "
+            f"current backend is {backend!r}; re-export with "
+            f"--platforms {backend}")
+    exported = jax_export.deserialize(bytearray(blob))
+    call = jax.jit(exported.call)
+
+    def fn(points) -> np.ndarray:
+        shape = tuple(manifest["input_shape"])
+        points = np.asarray(points, dtype=manifest["input_dtype"])
+        if points.shape != shape:
+            raise ValueError(
+                f"input shape {points.shape} != exported shape {shape}; "
+                "ServingModel.predict handles ragged batches by padding")
+        return np.asarray(call(points))
+
+    return fn, manifest
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+def _npy_from_bytes(blob: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(blob), allow_pickle=False)

@@ -1,0 +1,80 @@
+"""Stdlib HTTP micro-server over a :class:`ServingModel`.
+
+Zero extra dependencies (``http.server``), threaded, one process per chip —
+scale-out is a load balancer in front of N replicas, which matches how a
+single-chip inference artifact should be deployed (the data-parallel mesh is
+a TRAINING construct; serving wants independent replicas).
+
+Endpoints:
+  GET  /health    -> {"status": "ok"}
+  GET  /info      -> the artifact manifest
+  POST /predict   -> body is either JSON {"points": [[[x,y,z],...],...]}
+                     or a raw ``.npy`` array (Content-Type:
+                     application/octet-stream); response is JSON
+                     {"outputs": ..., "label": ...} (``label`` = argmax over
+                     the last axis, only for classifier artifacts)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from gm3d_tpu.serve.runner import ServingModel
+
+
+def _make_handler(model: ServingModel):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet the per-request stderr lines; the CLI logs startup/shutdown
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/info":
+                self._send(200, model.info)
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                blob = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "application/json")
+                if ctype.startswith("application/octet-stream"):
+                    points = np.load(io.BytesIO(blob), allow_pickle=False)
+                else:
+                    points = np.asarray(json.loads(blob)["points"], np.float32)
+                out = model.predict(points)
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+                return
+            payload = {"outputs": out.tolist()}
+            if model.manifest.get("mode") == "classifier":
+                payload["label"] = np.argmax(out, axis=-1).tolist()
+            self._send(200, payload)
+
+    return Handler
+
+
+def make_server(artifact_path: str, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the server; ``port=0`` picks a free port
+    (``server.server_address[1]`` reports it) — used by the tests."""
+    model = ServingModel(artifact_path)
+    return ThreadingHTTPServer((host, port), _make_handler(model))

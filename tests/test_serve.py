@@ -1,0 +1,248 @@
+"""AOT export + serving (gm3d_tpu/serve): artifact round-trip fidelity,
+ragged-batch serving, the export CLI, and the HTTP micro-server.
+
+The reference has no deployment surface (checkpoints are only consumable by
+the full training stack, ``tools/runner_finetune.py``); this subsystem is a
+rebuild extension for the production-serving mandate. Fidelity contract:
+the exported module must reproduce the eval forward
+(``engine_finetune.py:186-218`` semantics) to fp32 rounding on the same
+backend (the deserialized StableHLO recompiles with its own fusion order,
+so ~1e-7 element drift vs the live jit is expected; identical inputs
+through the SAME artifact are bit-exact).
+"""
+
+import json
+import threading
+import urllib.request
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from cli_harness import run_cli
+
+TINY_MODEL = {
+    "NAME": "PointTransformer",
+    "trans_dim": 32,
+    "depth": 2,
+    "num_heads": 2,
+    "cls_dim": 5,
+    "group_size": 8,
+    "num_group": 16,
+    "encoder_dims": 32,
+    "drop_path_rate": 0.0,
+}
+
+
+def tiny_cfg_yaml(tmp_path, npoints=64):
+    cfg = {"model": dict(TINY_MODEL), "npoints": npoints, "total_bs": 4,
+           "max_epoch": 1}
+    path = tmp_path / "tiny_finetune.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+def make_tiny_classifier(npoints=64):
+    from gm3d_tpu.config import build_model_from_cfg
+
+    model = build_model_from_cfg(dict(TINY_MODEL))
+    pts0 = jnp.zeros((2, npoints, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), pts0)
+    return model, variables
+
+
+def export_tiny_artifact(tmp_path, batch=4, n_input=96, npoints=64):
+    from gm3d_tpu.serve import build_classifier_fn, export_forward, save_artifact
+
+    model, variables = make_tiny_classifier(npoints)
+    fn = build_classifier_fn(model, variables, npoints)
+    exported = export_forward(fn, jnp.zeros((batch, n_input, 3), jnp.float32))
+    path = str(tmp_path / "tiny.gm3dx")
+    save_artifact(path, exported, {"mode": "classifier", "model": "tiny",
+                                   "npoints": npoints, "ckpt_step": -1})
+    return path, fn
+
+
+def test_export_roundtrip_matches_direct_apply(tmp_path):
+    """Deserialized artifact == the live jitted forward, including the
+    in-graph FPS (input 96 points > npoints 64)."""
+    from gm3d_tpu.serve import load_artifact
+
+    path, fn = export_tiny_artifact(tmp_path)
+    loaded, manifest = load_artifact(path)
+    pts = np.random.RandomState(0).randn(4, 96, 3).astype(np.float32)
+    np.testing.assert_allclose(loaded(pts), np.asarray(fn(jnp.asarray(pts))),
+                               rtol=1e-5, atol=1e-6)
+    assert manifest["input_shape"] == [4, 96, 3]
+    assert manifest["output_shape"] == [4, 5]
+    assert manifest["mode"] == "classifier"
+    assert jax.default_backend() in manifest["platforms"]
+
+
+def test_serving_model_pads_and_chunks(tmp_path):
+    """Ragged request batches map onto the static exported batch: pad for
+    B < batch, chunk for B > batch, single-cloud promotion — all returning
+    exactly the per-row results of a full-batch call."""
+    from gm3d_tpu.serve import ServingModel
+
+    path, fn = export_tiny_artifact(tmp_path, batch=4)
+    sm = ServingModel(path)
+    rng = np.random.RandomState(1)
+
+    full = rng.randn(4, 96, 3).astype(np.float32)
+    ref = np.asarray(fn(jnp.asarray(full)))
+
+    close = lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)  # noqa: E731
+    close(sm.predict(full), ref)
+    # pad path: rows 0-1 must equal the same rows evaluated among zeros-pad
+    pad_ref = np.asarray(fn(jnp.asarray(
+        np.concatenate([full[:2], np.zeros((2, 96, 3), np.float32)]))))[:2]
+    close(sm.predict(full[:2]), pad_ref)
+    # chunk path: 7 rows -> two calls; first 4 must equal the full-batch ref
+    seven = np.concatenate([full, full[:3]], axis=0)
+    out7 = sm.predict(seven)
+    assert out7.shape == (7, 5)
+    close(out7[:4], ref)
+    # single cloud
+    single = sm.predict(full[0])
+    assert single.shape == (5,)
+    np.testing.assert_array_equal(single, sm.predict(full[:1])[0])
+    # wrong point count is a clear error, not a silent re-trace
+    with pytest.raises(ValueError, match="exported input size"):
+        sm.predict(rng.randn(2, 50, 3).astype(np.float32))
+
+
+def test_artifact_format_guards(tmp_path):
+    """Unsupported format version and wrong-platform artifacts fail loudly."""
+    from gm3d_tpu.serve import load_artifact
+
+    path, _ = export_tiny_artifact(tmp_path)
+    with zipfile.ZipFile(path) as zf:
+        manifest = json.loads(zf.read("manifest.json"))
+        blob = zf.read("module.jaxexp")
+
+    bad_ver = str(tmp_path / "bad_ver.gm3dx")
+    m = dict(manifest, format_version=99)
+    with zipfile.ZipFile(bad_ver, "w") as zf:
+        zf.writestr("manifest.json", json.dumps(m))
+        zf.writestr("module.jaxexp", blob)
+    with pytest.raises(ValueError, match="unsupported artifact format"):
+        load_artifact(bad_ver)
+
+    bad_plat = str(tmp_path / "bad_plat.gm3dx")
+    m = dict(manifest, platforms=["tpu"])
+    with zipfile.ZipFile(bad_plat, "w") as zf:
+        zf.writestr("manifest.json", json.dumps(m))
+        zf.writestr("module.jaxexp", blob)
+    with pytest.raises(ValueError, match="lowered for"):
+        load_artifact(bad_plat)
+
+
+def test_export_cli_classifier(tmp_path):
+    """cli/export_model.py end to end (random-init warn path), then load the
+    artifact through ServingModel."""
+    from gm3d_tpu.serve import ServingModel
+
+    out = str(tmp_path / "cls.gm3dx")
+    path = run_cli("gm3d_tpu.cli.export_model", [
+        "ex", "--config", tiny_cfg_yaml(tmp_path), "--out", out,
+        "--export_batch", "2", "--input_points", "96",
+        "--output_dir", str(tmp_path / "exp"),
+    ])
+    assert path == out
+    sm = ServingModel(out)
+    assert sm.manifest["model"] == "PointTransformer"
+    assert sm.manifest["ckpt_step"] == -1
+    logits = sm.predict(np.random.RandomState(2).randn(3, 96, 3).astype(np.float32))
+    assert logits.shape == (3, 5)
+
+
+def test_export_cli_features_pointmae(tmp_path):
+    """--mode features exports the pooled (mean+max) featurizer the probes
+    consume (eval/svm.py; reference main_pretrain.py:710-717)."""
+    from gm3d_tpu.serve import ServingModel
+
+    cfg = {
+        "model": {
+            "NAME": "Point_MAE",
+            "group_size": 8,
+            "num_group": 16,
+            "transformer_config": {
+                "trans_dim": 32, "depth": 2, "num_heads": 2,
+                "decoder_depth": 1, "decoder_num_heads": 2,
+                "drop_path_rate": 0.0, "encoder_dims": 32,
+                "mask_ratio": 0.6, "mask_type": "rand",
+            },
+        },
+        "npoints": 64, "total_bs": 4, "max_epoch": 1,
+    }
+    cfg_path = tmp_path / "tiny_pretrain.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = str(tmp_path / "feat.gm3dx")
+    run_cli("gm3d_tpu.cli.export_model", [
+        "ex", "--config", str(cfg_path), "--out", out,
+        "--mode", "features", "--model_family", "pointmae",
+        "--export_batch", "2", "--output_dir", str(tmp_path / "exp"),
+    ])
+    sm = ServingModel(out)
+    feats = sm.predict(np.random.RandomState(3).randn(2, 64, 3).astype(np.float32))
+    assert feats.shape == (2, 32)
+    assert np.isfinite(feats).all()
+
+
+def _http(url, data=None, headers=None):
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_http_server_endpoints(tmp_path):
+    """The stdlib micro-server: /health, /info, JSON + npy /predict, and a
+    400 (not a crash) on malformed input."""
+    import io
+
+    from gm3d_tpu.serve.server import make_server
+
+    path, fn = export_tiny_artifact(tmp_path, batch=2)
+    server = make_server(path, port=0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{host}:{port}"
+    try:
+        assert _http(base + "/health")[1] == {"status": "ok"}
+        code, info = _http(base + "/info")
+        assert code == 200 and info["mode"] == "classifier"
+
+        pts = np.random.RandomState(4).randn(2, 96, 3).astype(np.float32)
+        ref = np.asarray(fn(jnp.asarray(pts)))
+
+        body = json.dumps({"points": pts.tolist()}).encode()
+        code, out = _http(base + "/predict", body,
+                          {"Content-Type": "application/json"})
+        assert code == 200
+        np.testing.assert_allclose(np.asarray(out["outputs"], np.float32), ref,
+                                   rtol=1e-5, atol=1e-6)
+        assert out["label"] == np.argmax(ref, axis=-1).tolist()
+
+        buf = io.BytesIO()
+        np.save(buf, pts, allow_pickle=False)
+        code, out2 = _http(base + "/predict", buf.getvalue(),
+                           {"Content-Type": "application/octet-stream"})
+        assert code == 200 and out2["label"] == out["label"]
+
+        code, err = _http(base + "/predict",
+                          json.dumps({"points": [[[1.0, 2.0]]]}).encode(),
+                          {"Content-Type": "application/json"})
+        assert code == 400 and "error" in err
+
+        assert _http(base + "/nope")[0] == 404
+    finally:
+        server.shutdown()
+        server.server_close()
