@@ -25,6 +25,7 @@ from gm3d_tpu.train.schedules import cosine_warmup_schedule
 from gm3d_tpu.train.segmentation import (
     category_restricted_argmax,
     make_seg_eval_step,
+    make_seg_multi_step,
     make_seg_train_step,
 )
 from gm3d_tpu.train.state import create_train_state
@@ -62,6 +63,10 @@ def parse_args():
     p.add_argument("--pretrained", default=None,
                    help="pretrain ckpt dir (orbax) or .pth")
     p.add_argument("--torch_ckpt", action="store_true", help="--pretrained is a torch .pth")
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="scan-fuse K train steps into one device dispatch "
+                        "(see cli/finetune.py); a trailing partial group is "
+                        "flushed as single steps. Set 1 to debug")
     return p.parse_args()
 
 
@@ -148,6 +153,9 @@ def main():
                                   grad_clip=cfg.get("grad_norm_clip"))
     state = create_train_state(variables, tx)
     step_fn = make_seg_train_step(model, tx)
+    k_dispatch = args.steps_per_dispatch
+    use_multi = k_dispatch > 1
+    multi_fn = make_seg_multi_step(step_fn) if use_multi else None
     eval_step = make_seg_eval_step(model)
 
     from gm3d_tpu.data.prefetch import device_prefetch
@@ -179,11 +187,31 @@ def main():
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
         t0 = time.time()
+        pending = []
         for pts, cls_label, seg in device_prefetch(train_loader, sharding=bshard):
             rng, key = jax.random.split(rng)
+            if use_multi:
+                pending.append((pts, cls_label, seg, key))
+                if len(pending) < k_dispatch:
+                    continue
+                stacks = [jnp.stack(col) for col in zip(*pending)]
+                pending = []
+                state, mstack = multi_fn(state, *stacks)
+                # the scanned stacks are (K,): feed EVERY step to the meters
+                host = {k: np.asarray(v) for k, v in mstack.items()}
+                for j in range(k_dispatch):
+                    meter.update(**{k: float(v[j]) for k, v in host.items()})
+                loss_val = float(np.sum(host["loss"]))
+            else:
+                state, metrics = step_fn(state, pts, cls_label, seg, key)
+                meter.update(**{k: float(v) for k, v in metrics.items()})
+                loss_val = float(metrics["loss"])
+            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
+            check_finite_loss(loss_val, logger)
+        # flush a partial multi-dispatch group as single steps
+        for pts, cls_label, seg, key in pending:
             state, metrics = step_fn(state, pts, cls_label, seg, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
-            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
             check_finite_loss(float(metrics["loss"]), logger)
         stats = meter.global_avgs()
         stats.update(epoch=epoch, time=round(time.time() - t0, 2))

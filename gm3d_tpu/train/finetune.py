@@ -7,6 +7,7 @@ whole pipeline (including FPS and subsampling) runs inside the jit.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -82,6 +83,29 @@ def make_finetune_train_step(
         return new_state, {"loss": loss, "acc": acc, "grad_norm": optax.global_norm(grads)}
 
     return step
+
+
+def make_finetune_multi_step(step_fn):
+    """Scan ``k`` finetune steps inside ONE dispatch (same rationale as
+    ``train.pretrain.make_multi_step``: amortise dispatch latency — the
+    finetune step is small, so per-step dispatch overhead costs relatively
+    MORE here than in pretrain). Metrics are returned per step, shape (K,).
+
+    Usage:
+        multi = make_finetune_multi_step(step_fn)
+        state, metrics = multi(state, pts (K,B,N,3), labels (K,B), rngs (K,))
+    """
+    inner = getattr(step_fn, "__wrapped__", step_fn)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, pts_stack, labels_stack, rngs):
+        def body(carry, xs):
+            pts, labels, rng = xs
+            return inner(carry, pts, labels, rng)
+
+        return jax.lax.scan(body, state, (pts_stack, labels_stack, rngs))
+
+    return multi
 
 
 def make_eval_step(model, npoints: int = 1024):

@@ -15,6 +15,8 @@ itself is rebuilt from the published protocol, not parity-testable."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -61,6 +63,22 @@ def make_seg_train_step(model, tx: optax.GradientTransformation, augment: bool =
         return new_state, {"loss": loss, "acc": acc * 100.0}
 
     return step
+
+
+def make_seg_multi_step(step_fn):
+    """Scan ``k`` seg steps in ONE dispatch (same contract as
+    ``train.finetune.make_finetune_multi_step``); metrics come back (K,)."""
+    inner = getattr(step_fn, "__wrapped__", step_fn)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, pts_stack, cls_stack, seg_stack, rngs):
+        def body(carry, xs):
+            pts, cls_label, seg_label, rng = xs
+            return inner(carry, pts, cls_label, seg_label, rng)
+
+        return jax.lax.scan(body, state, (pts_stack, cls_stack, seg_stack, rngs))
+
+    return multi
 
 
 def make_seg_eval_step(model):

@@ -1,0 +1,166 @@
+"""Inference-throughput benchmark for the serving path (.gm3dx artifacts).
+
+Measures the exported PointTransformer classifier (the BASELINE.md finetune
+model, `configs/pointmae/finetune_modelnet.yaml`) at the serving contract:
+points (B, 1024, 3) -> logits (B, 40), weights baked into the artifact.
+
+Two numbers, two questions:
+
+- ``device_clouds_per_sec``: K calls of the DESERIALIZED exported module
+  chained inside one jit, clock stopped on a forced host read of a scalar
+  (CLAUDE.md: ``block_until_ready`` is not sufficient on the axon remote
+  backend). This is chip throughput — what a deployment with local chips
+  gets — and also proves the artifact composes under ``jax.jit``.
+- ``e2e_clouds_per_sec``: ``ServingModel.predict`` round trips (numpy in /
+  numpy out). In THIS environment the ~3 MB/call input upload rides the
+  slow tunnel (~tens of MB/s, CLAUDE.md), so this bounds the tunnel, not
+  the chip; reported for honesty, headline is the device number.
+
+Weights are random (throughput is weight-independent); they are filled
+host-side from ``jax.eval_shape`` so the benchmark never compiles an init
+program. Batch must be >= 128 on this TPU (remote-compiler SIGABRT below
+that, CLAUDE.md).
+
+Usage:  python scripts/bench_serve.py [--batch 256] [--bf16] [--calls 8]
+Prints one JSON line (supplementary to bench.py — the driver metric stays
+pretrain throughput).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def random_variables(model, example, seed: int = 0):
+    """Variables tree with eval_shape-derived shapes, host-side random fill.
+
+    params ~ N(0, 0.02) (random constants so XLA cannot fold the GEMMs);
+    batch_stats: mean=0, var=1 (running stats in eval BN).
+    """
+    import jax
+
+    shapes = jax.eval_shape(model.init, jax.random.key(0), example)
+    rng = np.random.RandomState(seed)
+
+    def fill(path, sd):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "var":
+            return np.ones(sd.shape, sd.dtype)
+        if name == "mean":
+            return np.zeros(sd.shape, sd.dtype)
+        return (rng.randn(*sd.shape) * 0.02).astype(sd.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--npoints", type=int, default=1024)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--calls", type=int, default=8,
+                    help="chained module calls per timed dispatch")
+    ap.add_argument("--windows", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gm3d_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from gm3d_tpu.config import build_model_from_cfg, cfg_from_yaml_file
+    from gm3d_tpu.serve.export import build_classifier_fn, export_forward, save_artifact
+    from gm3d_tpu.serve.runner import ServingModel
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = cfg_from_yaml_file("configs/pointmae/finetune_modelnet.yaml")
+    model = build_model_from_cfg(cfg["model"], dtype=dtype)
+
+    example = jnp.zeros((args.batch, args.npoints, 3), jnp.float32)
+    variables = random_variables(model, example)
+    fn = build_classifier_fn(model, variables, args.npoints)
+    exported = export_forward(fn, example)
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench.gm3dx")
+        save_artifact(path, exported, {"mode": "classifier", "model": "bench"})
+        artifact_mb = os.path.getsize(path) / 1e6
+
+        # --- device throughput: K chained calls of the DESERIALIZED module
+        # in one jit (same deserialization path a server uses), scalar out.
+        from jax import export as jax_export
+        import zipfile
+
+        with zipfile.ZipFile(path) as zf:
+            loaded = jax_export.deserialize(bytearray(zf.read("module.jaxexp")))
+
+        @jax.jit
+        def chained(pts):
+            # each call's input depends on the previous call's output —
+            # otherwise XLA CSEs K identical pure calls into ONE (observed:
+            # an 8-call chain timing at exactly spec peak)
+            acc = jnp.float32(0)
+            for _ in range(args.calls):
+                logits = loaded.call(pts)
+                s = jnp.sum(logits).astype(jnp.float32)
+                acc = acc + s
+                pts = pts + (s * jnp.float32(1e-12)).astype(pts.dtype)
+            return acc
+
+        pts = jnp.asarray(
+            np.random.RandomState(1).randn(args.batch, args.npoints, 3)
+            .astype(np.float32))
+        _ = np.asarray(chained(pts))  # compile + warm
+        device_windows = []
+        for _ in range(args.windows):
+            t0 = time.perf_counter()
+            out = chained(pts)
+            _ = np.asarray(out)  # forced host read
+            dt = time.perf_counter() - t0
+            device_windows.append(args.batch * args.calls / dt)
+        device_cps = max(device_windows)
+
+        # --- end-to-end through ServingModel (includes host<->device
+        # transfers; tunnel-bound in this environment)
+        sm = ServingModel(path)
+        host_pts = np.asarray(pts)
+        _ = sm.predict(host_pts)  # warm
+        e2e_windows = []
+        for _ in range(args.windows):
+            t0 = time.perf_counter()
+            for _ in range(2):
+                _ = sm.predict(host_pts)
+            dt = time.perf_counter() - t0
+            e2e_windows.append(args.batch * 2 / dt)
+        e2e_cps = max(e2e_windows)
+
+    print(json.dumps({
+        "metric": "serve_device_clouds_per_sec",
+        "value": round(device_cps, 1),
+        "unit": "clouds/s/chip",
+        "device_windows": [round(w, 1) for w in device_windows],
+        "e2e_clouds_per_sec": round(e2e_cps, 1),
+        "e2e_windows": [round(w, 1) for w in e2e_windows],
+        "batch": args.batch,
+        "npoints": args.npoints,
+        "dtype": "bfloat16" if args.bf16 else "float32",
+        "calls_per_dispatch": args.calls,
+        "artifact_mb": round(artifact_mb, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -245,6 +245,43 @@ class TestMultiStep:
         np.testing.assert_allclose(p_multi, p_seq, atol=1e-5)
 
 
+class TestFinetuneMultiStep:
+    def test_scan_equals_sequential_singles(self):
+        from gm3d_tpu.train.finetune import (
+            make_finetune_multi_step,
+            make_finetune_train_step,
+        )
+
+        model = PointTransformer(cls_dim=5, trans_dim=48, depth=2, num_heads=2,
+                                 group_size=8, num_group=16, encoder_dims=48)
+        rng = np.random.default_rng(3)
+        stack = jnp.asarray(rng.standard_normal((3, B, 1400, 3)).astype(np.float32))
+        lstack = jnp.asarray(rng.integers(0, 5, (3, B)))
+        variables = model.init(jax.random.key(0), stack[0][:, :1024])
+        tx = build_finetune_optimizer(variables["params"], 1e-3)
+        step = make_finetune_train_step(model, tx, npoints=1024)
+        multi = make_finetune_multi_step(step)
+        keys = jax.random.split(jax.random.key(7), 3)
+
+        s_seq = create_train_state(variables, tx)
+        losses_seq = []
+        for k in range(3):
+            s_seq, m = step(s_seq, stack[k], lstack[k], keys[k])
+            losses_seq.append(float(m["loss"]))
+
+        s_multi = create_train_state(variables, tx)
+        s_multi, mstack = multi(s_multi, stack, lstack, keys)
+        np.testing.assert_allclose(
+            np.asarray(mstack["loss"]), np.asarray(losses_seq), rtol=2e-4
+        )
+        p_seq = np.asarray(jax.tree.leaves(s_seq.params)[0])
+        p_multi = np.asarray(jax.tree.leaves(s_multi.params)[0])
+        np.testing.assert_allclose(p_multi, p_seq, atol=1e-5)
+        bs_seq = np.asarray(jax.tree.leaves(s_seq.batch_stats)[0])
+        bs_multi = np.asarray(jax.tree.leaves(s_multi.batch_stats)[0])
+        np.testing.assert_allclose(bs_multi, bs_seq, atol=1e-5)
+
+
 class TestFusedEmbedStep:
     def test_fused_embed_matches_unfused(self):
         """The fused Pallas patch embed (grad-free EMA/teacher passes) must
