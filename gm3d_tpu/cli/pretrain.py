@@ -342,12 +342,17 @@ def main():
         # (reference trains it every iteration, engine...:120-137)
         logger.info("--classification forces --steps_per_dispatch 1")
         k_dispatch = 1
-    use_multi = k_dispatch > 1 and args.model_family in ("gm3d", "m2ae_gm3d")
+    use_multi = k_dispatch > 1
     multi_fn = None
     if use_multi:
         from gm3d_tpu.train.pretrain import make_multi_step
 
-        multi_fn = make_multi_step(step_fn, has_teacher=args.model_family == "gm3d")
+        multi_fn = make_multi_step(
+            step_fn,
+            has_teacher=args.model_family == "gm3d",
+            # legacy Point-MAE / plain M2AE steps are (state, pts, rng)
+            has_scalars=args.model_family in ("gm3d", "m2ae_gm3d"),
+        )
 
     best_acc = resumed_best
     prof_remaining = args.profile_steps if args.profile_dir else 0
@@ -434,8 +439,10 @@ def main():
         for pts, key in pending:
             if args.model_family == "gm3d":
                 state, metrics = step_fn(state, tvars, pts, key, scalars)
-            else:
+            elif args.model_family == "m2ae_gm3d":
                 state, metrics = step_fn(state, pts, key, scalars)
+            else:
+                state, metrics = step_fn(state, pts, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
             check_finite_loss(float(metrics["loss"]), logger)
         stats = meter.global_avgs()

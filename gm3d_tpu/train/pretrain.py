@@ -550,13 +550,18 @@ def make_probe_step(feat_model, classifier, tx: optax.GradientTransformation):
     return step
 
 
-def make_multi_step(step_fn, has_teacher: bool = True):
+def make_multi_step(step_fn, has_teacher: bool = True, has_scalars: bool = True):
     """Scan ``k`` train steps inside ONE dispatch.
 
     Amortises host->device dispatch latency (the dominant cost under a remote
     controller / tunnel, and non-trivial even locally): the per-step batches
     are stacked on the leading axis and ``lax.scan`` chains the state on
     device. Metrics are returned per step.
+
+    ``has_teacher``/``has_scalars`` select the wrapped step's arity:
+    GM3D ``(state, tvars, pts, rng, scalars)``, M2AE+GM3D
+    ``(state, pts, rng, scalars)``, legacy Point-MAE / plain M2AE
+    ``(state, pts, rng)``.
 
     Usage:
         multi = make_multi_step(step_fn)
@@ -571,8 +576,10 @@ def make_multi_step(step_fn, has_teacher: bool = True):
             pts, rng = xs
             if has_teacher:
                 new_state, metrics = inner(carry, teacher_vars, pts, rng, scalars)
-            else:
+            elif has_scalars:
                 new_state, metrics = inner(carry, pts, rng, scalars)
+            else:
+                new_state, metrics = inner(carry, pts, rng)
             return new_state, metrics
 
         return jax.lax.scan(body, state, (pts_stack, rngs))

@@ -245,6 +245,39 @@ class TestMultiStep:
         np.testing.assert_allclose(p_multi, p_seq, atol=1e-5)
 
 
+class TestLegacyMultiStep:
+    def test_pointmae_scan_equals_sequential_singles(self):
+        """3-arg (state, pts, rng) steps — the legacy Point-MAE teacher path
+        — through make_multi_step(has_teacher=False, has_scalars=False)."""
+        from gm3d_tpu.train.pretrain import make_multi_step, make_pointmae_train_step
+
+        model = PointMAE(**SMALL)
+        pts = synthetic_clouds()
+        num_mask = int(16 * 0.6)
+        mask0 = jnp.zeros((B, 16), bool).at[:, :num_mask].set(True)
+        variables = model.init(jax.random.key(0), pts, mask0, num_mask)
+        tx = build_adamw(1e-3)
+        step = make_pointmae_train_step(model, tx, mask_ratio=0.6)
+        multi = make_multi_step(step, has_teacher=False, has_scalars=False)
+        stack = jnp.stack([synthetic_clouds(seed=s) for s in range(3)])
+        keys = jax.random.split(jax.random.key(5), 3)
+
+        s_seq = create_train_state(variables, tx)
+        losses_seq = []
+        for k in range(3):
+            s_seq, m = step(s_seq, stack[k], keys[k])
+            losses_seq.append(float(m["loss"]))
+
+        s_multi = create_train_state(variables, tx)
+        s_multi, mstack = multi(s_multi, None, stack, keys, None)
+        np.testing.assert_allclose(
+            np.asarray(mstack["loss"]), np.asarray(losses_seq), rtol=2e-4
+        )
+        p_seq = np.asarray(jax.tree.leaves(s_seq.params)[0])
+        p_multi = np.asarray(jax.tree.leaves(s_multi.params)[0])
+        np.testing.assert_allclose(p_multi, p_seq, atol=1e-5)
+
+
 class TestFinetuneMultiStep:
     def test_scan_equals_sequential_singles(self):
         from gm3d_tpu.train.finetune import (
