@@ -116,6 +116,39 @@ class TestShardedTraining:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
         assert len(p8.sharding.device_set) == 8
 
+    def test_finetune_sharded_matches_single(self):
+        """Downstream classification step (PointTransformer with BatchNorm,
+        in-jit FPS+subsample+augment) under the mesh == single-device —
+        including the BN RUNNING stats (SyncBN-by-construction on the path
+        that produces 5 of the 13 BASELINE rows)."""
+        from gm3d_tpu.models import PointTransformer
+        from gm3d_tpu.train.finetune import make_finetune_train_step
+        from gm3d_tpu.train.optim import build_finetune_optimizer
+
+        model = PointTransformer(cls_dim=5, trans_dim=48, depth=2, num_heads=2,
+                                 group_size=8, num_group=16, encoder_dims=48)
+        rng = np.random.default_rng(7)
+        pts = jnp.asarray(rng.standard_normal((B, 1400, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 5, B))
+        variables = model.init(jax.random.key(0), pts[:, :1024])
+        tx = build_finetune_optimizer(variables["params"], 1e-3)
+        step = make_finetune_train_step(model, tx, npoints=1024)
+
+        s1 = create_train_state(variables, tx)
+        s1, m1 = step(s1, pts, labels, jax.random.key(2))
+
+        mesh = make_mesh()
+        s8 = replicate_tree(mesh, create_train_state(variables, tx))
+        s8, m8 = step(s8, shard_batch(mesh, pts), shard_batch(mesh, labels),
+                      jax.random.key(2))
+        np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-4)
+        p1 = jax.tree.leaves(s1.params)[0]
+        p8 = jax.tree.leaves(s8.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+        bs1 = np.asarray(jax.tree.leaves(s1.batch_stats)[0])
+        bs8 = np.asarray(jax.tree.leaves(s8.batch_stats)[0])
+        np.testing.assert_allclose(bs8, bs1, atol=1e-5)
+
     def test_scaling_batch_shards_evenly(self):
         # 4-device submesh with batch 16 -> 4 per device
         mesh = make_mesh(4)
