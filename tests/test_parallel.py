@@ -149,6 +149,49 @@ class TestShardedTraining:
         bs8 = np.asarray(jax.tree.leaves(s8.batch_stats)[0])
         np.testing.assert_allclose(bs8, bs1, atol=1e-5)
 
+    def test_multi_step_scan_sharded_matches_single(self):
+        """The CLIs' actual hot path: K scan-fused steps over a mesh-sharded
+        batch STACK (cli/finetune.py jnp.stack's per-batch sharded arrays —
+        the stack must keep the batch dim sharded, spec (None, 'data'), and
+        match single-device sequential numerics)."""
+        from gm3d_tpu.models import PointTransformer
+        from gm3d_tpu.train.finetune import (
+            make_finetune_multi_step,
+            make_finetune_train_step,
+        )
+        from gm3d_tpu.train.optim import build_finetune_optimizer
+
+        model = PointTransformer(cls_dim=5, trans_dim=48, depth=2, num_heads=2,
+                                 group_size=8, num_group=16, encoder_dims=48)
+        rng = np.random.default_rng(11)
+        pts = [jnp.asarray(rng.standard_normal((B, 1400, 3)).astype(np.float32))
+               for _ in range(2)]
+        labels = [jnp.asarray(rng.integers(0, 5, B)) for _ in range(2)]
+        keys = jax.random.split(jax.random.key(6), 2)
+        variables = model.init(jax.random.key(0), pts[0][:, :1024])
+        tx = build_finetune_optimizer(variables["params"], 1e-3)
+        step = make_finetune_train_step(model, tx, npoints=1024)
+        multi = make_finetune_multi_step(step)
+
+        s1 = create_train_state(variables, tx)
+        losses = []
+        for k in range(2):
+            s1, m = step(s1, pts[k], labels[k], keys[k])
+            losses.append(float(m["loss"]))
+
+        mesh = make_mesh()
+        stack = jnp.stack([shard_batch(mesh, p) for p in pts])
+        lstack = jnp.stack([shard_batch(mesh, l) for l in labels])
+        # the stack must NOT silently gather: batch dim stays on the mesh
+        assert len(stack.sharding.device_set) == 8
+        s8 = replicate_tree(mesh, create_train_state(variables, tx))
+        s8, m8 = multi(s8, stack, lstack, keys)
+        np.testing.assert_allclose(np.asarray(m8["loss"]), np.asarray(losses),
+                                   rtol=1e-4)
+        p1 = np.asarray(jax.tree.leaves(s1.params)[0])
+        p8 = np.asarray(jax.tree.leaves(s8.params)[0])
+        np.testing.assert_allclose(p8, p1, atol=1e-5)
+
     def test_scaling_batch_shards_evenly(self):
         # 4-device submesh with batch 16 -> 4 per device
         mesh = make_mesh(4)
