@@ -2,11 +2,15 @@
 
   # classifier (finetune config + checkpoint)
   python -m gm3d_tpu.cli.export_model --config configs/pointmae/finetune_modelnet.yaml \
-      --ckpt experiments/ft/ckpt/best --out model.gm3dx --export_batch 64
+      --ckpt experiments/ft/ckpt/best --out model.gm3dx --export_batch 256
 
   # frozen featurizer (pretrain config + checkpoint, SVM/kNN feature contract)
   python -m gm3d_tpu.cli.export_model --config configs/pointmae/config.yaml \
-      --ckpt experiments/pt/ckpt/last --mode features --out feats.gm3dx
+      --ckpt experiments/pt/ckpt --mode features --out feats.gm3dx
+
+``--ckpt`` takes a checkpoint ROOT (the rolling ``.../ckpt`` dir — the
+latest step is resolved automatically) or a pinned subdir like
+``.../ckpt/best``.
 
 The artifact is loadable WITHOUT this codebase's model code (see
 ``gm3d_tpu/serve/export.py``); serve it with ``gm3d_tpu.cli.serve``. The
@@ -33,9 +37,12 @@ def parse_args():
                    default="classifier")
     p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae"],
                    default="gm3d", help="pretrain family for --mode features")
-    p.add_argument("--export_batch", type=int, default=64,
+    p.add_argument("--export_batch", type=int, default=128,
                    help="static batch baked into the artifact (requests are "
-                        "padded/chunked onto it by ServingModel)")
+                        "padded/chunked onto it by ServingModel). Keep >= 128 "
+                        "for TPU serving on this device: the remote compiler "
+                        "SIGABRTs on these transformer graphs at batch <= 64 "
+                        "(CLAUDE.md) — compilation happens at SERVE time")
     p.add_argument("--input_points", type=int, default=None,
                    help="points per input cloud (default: the config's "
                         "dataset N_POINTS; FPS to npoints is inside the "
@@ -109,7 +116,8 @@ def main():
     build = build_classifier_fn if args.mode == "classifier" else build_feature_fn
     fn = build(model, variables, npoints)
     example = jnp.zeros((args.export_batch, n_input, 3), jnp.float32)
-    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    platforms = (tuple(p.strip() for p in args.platforms.split(","))
+                 if args.platforms else None)
     exported = export_forward(fn, example, platforms)
     path = save_artifact(args.out, exported, {
         "mode": args.mode,

@@ -25,6 +25,7 @@ methodology — see CLAUDE.md):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -33,6 +34,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
+
+# When True, fps_indices uses the portable XLA formulation even on a TPU
+# backend. Needed by cross-platform AOT export (serve/export.py): the Pallas
+# kernel embedded at trace time is Mosaic/TPU-only and cannot be lowered for
+# other platforms.
+_FORCE_PORTABLE = False
+
+
+@contextlib.contextmanager
+def portable_fps():
+    """Trace-scope override: route ``fps_indices`` to the portable XLA
+    implementation regardless of backend (for multi-platform ``jax.export``)."""
+    global _FORCE_PORTABLE
+    prev = _FORCE_PORTABLE
+    _FORCE_PORTABLE = True
+    try:
+        yield
+    finally:
+        _FORCE_PORTABLE = prev
 
 
 def _round_up(x: int, m: int) -> int:
@@ -226,7 +246,7 @@ def fps_indices_pallas_batched(
 
 def fps_indices(xyz: jax.Array, n_samples: int) -> jax.Array:
     """Furthest-point-sample indices. xyz: (B, N, 3) -> (B, n_samples) int32."""
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not _FORCE_PORTABLE:
         return fps_indices_pallas_batched(xyz, n_samples)
     return fps_indices_jax(xyz, n_samples)
 

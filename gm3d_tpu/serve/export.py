@@ -23,7 +23,6 @@ The reference itself has no equivalent deployment surface.
 
 from __future__ import annotations
 
-import io
 import json
 import zipfile
 from typing import Any, Callable, Dict, Tuple
@@ -72,16 +71,25 @@ def export_forward(fn: Callable, example_input: jax.Array,
     """AOT-lower ``fn`` for ``platforms`` (default: the current backend).
 
     Multi-platform export (e.g. ``("cpu", "tpu")``) uses jax's
-    cross-platform lowering, so a TPU-serving artifact can be produced on a
-    CPU-only build host. Note the platform is fixed at TRACE time for
-    Python-level dispatch (e.g. :func:`ops.fps.fps` picks its Pallas kernel
-    only when tracing on a TPU backend), so cross-lowered variants embed the
-    portable XLA formulation — correct on every target."""
+    cross-platform lowering, so one artifact serves everywhere. Python-level
+    backend dispatch is fixed at TRACE time — on a TPU backend
+    :func:`ops.fps.fps` normally embeds the Mosaic/Pallas kernel, which
+    cannot lower for other platforms — so whenever the target set is not
+    exactly the current backend, tracing runs under
+    :func:`ops.fps.portable_fps` and the artifact embeds the portable XLA
+    formulation (identical indices, slower on TPU; export TPU-only for the
+    fast kernel)."""
     if platforms is None:
         platforms = (jax.default_backend(),)
-    return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct(example_input.shape, example_input.dtype)
-    )
+    platforms = tuple(platforms)
+    exp = jax_export.export(jax.jit(fn), platforms=platforms)
+    arg = jax.ShapeDtypeStruct(example_input.shape, example_input.dtype)
+    if platforms == (jax.default_backend(),):
+        return exp(arg)
+    from gm3d_tpu.ops.fps import portable_fps
+
+    with portable_fps():
+        return exp(arg)
 
 
 def save_artifact(path: str, exported, manifest: Dict[str, Any]) -> str:
@@ -139,13 +147,3 @@ def load_artifact(path: str) -> Tuple[Callable, Dict[str, Any]]:
         return np.asarray(call(points))
 
     return fn, manifest
-
-
-def _npy_bytes(arr: np.ndarray) -> bytes:
-    buf = io.BytesIO()
-    np.save(buf, arr, allow_pickle=False)
-    return buf.getvalue()
-
-
-def _npy_from_bytes(blob: bytes) -> np.ndarray:
-    return np.load(io.BytesIO(blob), allow_pickle=False)

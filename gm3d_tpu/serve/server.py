@@ -59,10 +59,23 @@ def _make_handler(model: ServingModel):
                 if ctype.startswith("application/octet-stream"):
                     points = np.load(io.BytesIO(blob), allow_pickle=False)
                 else:
-                    points = np.asarray(json.loads(blob)["points"], np.float32)
-                out = model.predict(points)
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    body = json.loads(blob)
+                    if not isinstance(body, dict) or "points" not in body:
+                        raise ValueError(
+                            'body must be a JSON object {"points": [...]}')
+                    points = np.asarray(body["points"], np.float32)
+            except (ValueError, KeyError, TypeError) as e:
+                # json.JSONDecodeError is a ValueError; TypeError covers
+                # ragged nested lists np.asarray rejects
                 self._send(400, {"error": str(e)})
+                return
+            try:
+                out = model.predict(points)
+            except ValueError as e:  # shape contract violations -> client error
+                self._send(400, {"error": str(e)})
+                return
+            except Exception as e:  # device/runtime failure -> server error
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             payload = {"outputs": out.tolist()}
             if model.manifest.get("mode") == "classifier":

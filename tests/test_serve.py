@@ -193,6 +193,40 @@ def test_export_cli_features_pointmae(tmp_path):
     assert np.isfinite(feats).all()
 
 
+def test_cross_platform_export_uses_portable_fps(tmp_path, monkeypatch):
+    """Multi-platform export must NOT embed the Mosaic/Pallas FPS kernel
+    (TPU-only, unlowerable elsewhere): whenever the target set differs from
+    the current backend, export_forward traces under ops.fps.portable_fps.
+    Simulated by making the TPU branch explode if taken."""
+    import importlib
+
+    # `import gm3d_tpu.ops.fps` would bind the re-exported fps FUNCTION
+    # (package attribute shadows the submodule); go through importlib
+    fps_mod = importlib.import_module("gm3d_tpu.ops.fps")
+    from gm3d_tpu.serve import build_classifier_fn, export_forward
+
+    model, variables = make_tiny_classifier(npoints=64)
+    fn = build_classifier_fn(model, variables, 64)
+    example = jnp.zeros((2, 96, 3), jnp.float32)
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas FPS kernel reached during portable export")
+
+    monkeypatch.setattr(fps_mod, "fps_indices_pallas_batched", boom)
+    # pretend we're on a TPU backend so the Pallas branch would be taken
+    monkeypatch.setattr(fps_mod.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(AssertionError, match="Pallas FPS"):
+        with jax.disable_jit():  # force eager trace through fps_indices
+            fps_mod.fps_indices(example, 4)
+    # multi-platform export routes through portable_fps -> no boom at trace
+    exported = export_forward(fn, example, platforms=("cpu",))
+    assert list(exported.platforms) == ["cpu"]
+    # and the artifact still runs on the real (cpu) backend
+    monkeypatch.undo()
+    out = np.asarray(jax.jit(exported.call)(example))
+    assert out.shape == (2, 5)
+
+
 def _http(url, data=None, headers=None):
     req = urllib.request.Request(url, data=data, headers=headers or {})
     try:
@@ -239,6 +273,18 @@ def test_http_server_endpoints(tmp_path):
 
         code, err = _http(base + "/predict",
                           json.dumps({"points": [[[1.0, 2.0]]]}).encode(),
+                          {"Content-Type": "application/json"})
+        assert code == 400 and "error" in err
+
+        # non-object JSON body (bare list) -> 400, not a dropped connection
+        code, err = _http(base + "/predict",
+                          json.dumps([[[1.0, 2.0, 3.0]]]).encode(),
+                          {"Content-Type": "application/json"})
+        assert code == 400 and "points" in err["error"]
+
+        # ragged nested lists raise TypeError inside np.asarray -> 400
+        code, err = _http(base + "/predict",
+                          json.dumps({"points": [[[1.0, 2.0, 3.0], [1.0]]]}).encode(),
                           {"Content-Type": "application/json"})
         assert code == 400 and "error" in err
 
