@@ -193,6 +193,54 @@ def test_export_cli_features_pointmae(tmp_path):
     assert np.isfinite(feats).all()
 
 
+def test_export_cli_features_m2ae(tmp_path):
+    """--model_family m2ae featurizer export (hierarchical encoder,
+    multi-scale pooled features)."""
+    from gm3d_tpu.serve import ServingModel
+
+    cfg = {
+        "model": {
+            "NAME": "Point_M2AE",
+            "num_groups": [32, 16, 8], "group_sizes": [8, 4, 4],
+            "encoder_depths": [1, 1, 1], "encoder_dims": [24, 48, 96],
+            "local_radius": [0.32, 0.64, 1.28],
+            "decoder_dims": [96, 48], "decoder_depths": [1, 1],
+            "num_heads": 2, "drop_path_rate": 0.0,
+        },
+        "npoints": 64, "total_bs": 4, "max_epoch": 1,
+    }
+    cfg_path = tmp_path / "tiny_m2ae.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = str(tmp_path / "m2ae_feat.gm3dx")
+    run_cli("gm3d_tpu.cli.export_model", [
+        "ex", "--config", str(cfg_path), "--out", out,
+        "--mode", "features", "--model_family", "m2ae",
+        "--export_batch", "2", "--output_dir", str(tmp_path / "exp"),
+    ])
+    sm = ServingModel(out)
+    feats = sm.predict(np.random.RandomState(5).randn(2, 64, 3).astype(np.float32))
+    assert feats.ndim == 2 and feats.shape[0] == 2
+    assert np.isfinite(feats).all()
+
+
+def test_export_cli_features_gm3d(tmp_path):
+    """--model_family gm3d featurizer export: the full-size GM3DStudent
+    (the flagship pretrain model; its encode_features is the SVM probe's
+    contract) through the random-init warn path."""
+    from gm3d_tpu.serve import ServingModel
+
+    out = str(tmp_path / "gm3d_feat.gm3dx")
+    run_cli("gm3d_tpu.cli.export_model", [
+        "ex", "--config", "configs/pointmae/config.yaml", "--out", out,
+        "--mode", "features", "--model_family", "gm3d",
+        "--export_batch", "2", "--output_dir", str(tmp_path / "exp"),
+    ])
+    sm = ServingModel(out)
+    feats = sm.predict(np.random.RandomState(6).randn(2, 1024, 3).astype(np.float32))
+    assert feats.shape == (2, 384)
+    assert np.isfinite(feats).all()
+
+
 def test_cross_platform_export_uses_portable_fps(tmp_path, monkeypatch):
     """Multi-platform export must NOT embed the Mosaic/Pallas FPS kernel
     (TPU-only, unlowerable elsewhere): whenever the target set differs from
