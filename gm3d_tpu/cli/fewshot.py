@@ -26,6 +26,8 @@ from gm3d_tpu.utils import JsonlLogger, get_logger
 
 
 def parse_args():
+    import argparse
+
     p = base_parser("few-shot classification")
     p.add_argument("--way", type=int, default=5)
     p.add_argument("--shot", type=int, default=10)
@@ -34,17 +36,23 @@ def parse_args():
                    help="pretrain ckpt dir (orbax) or .pth — fine-tuned from "
                         "per fold, the reference few-shot protocol")
     p.add_argument("--torch_ckpt", action="store_true", help="--pretrained is a torch .pth")
+    p.add_argument("--parallel_folds", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="vmap ALL folds' training into one program (episode "
+                        "batches are tiny, so training 10 models at once is "
+                        "how the protocol should use an MXU; one compile "
+                        "instead of one per fold). Numerically identical to "
+                        "sequential folds — same per-fold init and rng "
+                        "streams (tests/test_cli_fewshot.py pins it). "
+                        "--no-parallel_folds for the sequential path")
     return p.parse_args()
 
 
-def run_fold(args, cfg, fold, logger, mesh=None):
-    dtype = compute_dtype(args)
-    npoints = cfg.get("npoints", 1024)
+def make_fold_data(args, cfg, fold, npoints):
+    """Train/test loaders for one fold — every fold has identical sample
+    counts (way*shot train / way*20 test in the published pkl folds), which
+    is what makes the folds stackable for the vmapped path."""
     way = args.way
-    model_cfg = dict(cfg["model"])
-    model_cfg["cls_dim"] = way
-    model = build_model_from_cfg(model_cfg, dtype=dtype)
-
     if args.synthetic:
         train_ds = SyntheticClouds(way * args.shot, npoints, num_classes=way,
                                    seed=fold, labelled=True)
@@ -55,20 +63,17 @@ def run_fold(args, cfg, fold, logger, mesh=None):
             cfg["dataset"][key]["others"].update(way=way, shot=args.shot, fold=fold)
         train_ds = build_dataset_from_cfg(cfg["dataset"]["train"])
         test_ds = build_dataset_from_cfg(cfg["dataset"]["val"])
-
-    def unpack(loader):
-        for batch in loader:
-            yield batch
-
     bs = min(cfg["total_bs"], len(train_ds))
     train_loader = DataLoader(train_ds, bs, seed=fold)
     test_loader = DataLoader(test_ds, bs, shuffle=False, drop_last=False)
+    return train_loader, test_loader
 
-    pts0 = jnp.asarray(next(iter(test_loader))[0][:2, :npoints])
+
+def init_fold_variables(args, cfg, model, fold, pts0, logger):
+    """Per-fold init + pretrain overlay (fewshot = finetune protocol,
+    cfgs/fewshot.yaml + main_finetune.py path)."""
     variables = model.init(jax.random.key(fold), pts0)
     if args.pretrained:
-        # every fold fine-tunes FROM the pretrain ckpt (fewshot = finetune
-        # protocol, cfgs/fewshot.yaml + main_finetune.py path)
         from gm3d_tpu.ckpt.transfer import load_pretrained_into
 
         params, batch_stats, _ = load_pretrained_into(
@@ -80,6 +85,24 @@ def run_fold(args, cfg, fold, logger, mesh=None):
         variables["params"] = params
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
+    return variables
+
+
+def run_fold(args, cfg, fold, logger, mesh=None):
+    dtype = compute_dtype(args)
+    npoints = cfg.get("npoints", 1024)
+    model_cfg = dict(cfg["model"])
+    model_cfg["cls_dim"] = args.way
+    model = build_model_from_cfg(model_cfg, dtype=dtype)
+
+    def unpack(loader):
+        for batch in loader:
+            yield batch
+
+    train_loader, test_loader = make_fold_data(args, cfg, fold, npoints)
+
+    pts0 = jnp.asarray(next(iter(test_loader))[0][:2, :npoints])
+    variables = init_fold_variables(args, cfg, model, fold, pts0, logger)
     epochs = cfg["max_epoch"]
     steps_per_epoch = max(len(train_loader), 1)
     # few-shot ran the LEGACY runner stack (cfgs/fewshot.yaml is
@@ -129,6 +152,77 @@ def run_fold(args, cfg, fold, logger, mesh=None):
     return best
 
 
+def run_folds_parallel(args, cfg, logger):
+    """Train ALL folds simultaneously: one ``jax.vmap`` over the fold axis of
+    (state, batch, rng). TPU-native formulation of the protocol — episode
+    batches are way*shot <= 200 clouds, far too small to feed the MXU alone,
+    so the folds ARE the batch. Numerically identical to the sequential path:
+    same per-fold init keys, same per-step rng splits (``jax.random.key(fold)``
+    split once per train step), same data order; and ONE compile replaces
+    ``folds`` recompiles of the per-fold step closure."""
+    dtype = compute_dtype(args)
+    npoints = cfg.get("npoints", 1024)
+    model_cfg = dict(cfg["model"])
+    model_cfg["cls_dim"] = args.way
+    model = build_model_from_cfg(model_cfg, dtype=dtype)
+    folds = list(range(args.folds))
+
+    loaders = [make_fold_data(args, cfg, f, npoints) for f in folds]
+    train_loaders = [t for t, _ in loaders]
+    test_loaders = [t for _, t in loaders]
+
+    var_list = []
+    for fold in folds:
+        pts0 = jnp.asarray(next(iter(test_loaders[fold]))[0][:2, :npoints])
+        var_list.append(init_fold_variables(args, cfg, model, fold, pts0, logger))
+
+    epochs = cfg["max_epoch"]
+    steps_per_epoch = max(len(train_loaders[0]), 1)
+    sched = legacy_cosine_epoch_schedule(
+        cfg["optimizer"]["kwargs"]["lr"],
+        cfg["scheduler"]["kwargs"].get("epochs", epochs),
+        cfg["scheduler"]["kwargs"]["initial_epochs"], steps_per_epoch)
+    tx = build_legacy_adamw(sched, cfg["optimizer"]["kwargs"]["weight_decay"],
+                            grad_clip=cfg.get("grad_norm_clip"))
+    states = [create_train_state(v, tx) for v in var_list]
+    state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    smoothing = cfg["model"].get("smooth", 0.0)
+    if smoothing:
+        logger.info(f"label smoothing {smoothing} (config model.smooth)")
+    step_fn = make_finetune_train_step(model, tx, npoints, smoothing)
+    eval_step = make_eval_step(model, npoints)
+    vstep = jax.jit(jax.vmap(getattr(step_fn, "__wrapped__", step_fn)),
+                    donate_argnums=(0,))
+    veval = jax.jit(jax.vmap(getattr(eval_step, "__wrapped__", eval_step)))
+
+    rngs = [jax.random.key(f) for f in folds]
+    best = np.zeros(len(folds))
+    for epoch in range(epochs):
+        for batches in zip(*[iter(t) for t in train_loaders]):
+            pts = jnp.stack([jnp.asarray(b[0]) for b in batches])
+            labels = jnp.stack([jnp.asarray(b[1]) for b in batches])
+            keys = []
+            for i in folds:
+                rngs[i], k = jax.random.split(rngs[i])
+                keys.append(k)
+            state, _ = vstep(state, pts, labels, jnp.stack(keys))
+        if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
+            logits_all, labels_all = [], []
+            for batches in zip(*[iter(t) for t in test_loaders]):
+                pts = jnp.stack([jnp.asarray(b[0]) for b in batches])
+                logits_all.append(np.asarray(veval(state.variables(), pts)))
+                labels_all.append(np.stack([np.asarray(b[1]) for b in batches]))
+            logits = np.concatenate(logits_all, axis=1)   # (folds, n_test, C)
+            labels = np.concatenate(labels_all, axis=1)   # (folds, n_test)
+            accs = np.array([
+                accuracy(logits[i], labels[i]) * 100.0 for i in folds])
+            best = np.maximum(best, accs)
+    for fold in folds:
+        logger.info(f"fold {fold}: best acc {best[fold]:.2f}")
+    return [float(b) for b in best]
+
+
 def main():
     args = parse_args()
     cfg = load_config(args)
@@ -139,7 +233,10 @@ def main():
 
     init_distributed()
     mesh = make_mesh(args.num_devices)
-    accs = [run_fold(args, cfg, f, logger, mesh=mesh) for f in range(args.folds)]
+    if args.parallel_folds:
+        accs = run_folds_parallel(args, cfg, logger)
+    else:
+        accs = [run_fold(args, cfg, f, logger, mesh=mesh) for f in range(args.folds)]
     mean, std = float(np.mean(accs)), float(np.std(accs))
     logger.info(f"{args.way}-way {args.shot}-shot over {args.folds} folds: "
                 f"{mean:.1f} +/- {std:.1f}")

@@ -32,3 +32,19 @@ def test_fewshot_cli_two_folds(tmp_path):
     log = [json.loads(l) for l in open(os.path.join(str(tmp_path), "log.txt"))]
     assert log[-1]["way"] == 3 and log[-1]["shot"] == 4
     assert len(log[-1]["accs"]) == 2
+
+
+def test_parallel_folds_match_sequential(tmp_path):
+    """The vmapped all-folds-at-once path is numerically identical to the
+    sequential per-fold loop: same init keys, same per-step rng splits, same
+    data order -> identical per-fold accuracies."""
+    common = ["--config", "configs/pointmae/fewshot.yaml",
+              "--synthetic", "--way", "3", "--shot", "4", "--folds", "2",
+              "--epochs", "2", "--val_freq", "1"]
+    run_cli("gm3d_tpu.cli.fewshot", ["fs"] + common +
+            ["--output_dir", str(tmp_path / "par")])
+    run_cli("gm3d_tpu.cli.fewshot", ["fs"] + common +
+            ["--no-parallel_folds", "--output_dir", str(tmp_path / "seq")])
+    par = json.loads(open(str(tmp_path / "par" / "log.txt")).readlines()[-1])
+    seq = json.loads(open(str(tmp_path / "seq" / "log.txt")).readlines()[-1])
+    assert par["accs"] == seq["accs"], (par, seq)
