@@ -41,7 +41,24 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="data-parallel devices (default: all visible); the "
                         "global batch is sharded over a 1-D mesh and grads "
                         "psum over ICI (reference DDP, main_pretrain.py:389-391)")
+    p.add_argument("--batch_floor", type=int, default=None,
+                   help="compile-shape floor: tile batches smaller than this "
+                        "with exact copies inside the jit (numerically "
+                        "transparent, train.finetune.floor_reps). Default: "
+                        "128 on TPU (the axon compiler SIGABRTs at batch "
+                        "<= 64), 0 elsewhere. 0 disables")
     return p
+
+
+def resolve_batch_floor(args, logger=None) -> int:
+    """--batch_floor, or the platform default (128 on TPU, 0 elsewhere)."""
+    floor = getattr(args, "batch_floor", None)
+    if floor is None:
+        floor = 128 if jax.default_backend() == "tpu" else 0
+    if floor and logger is not None:
+        logger.info(f"batch floor {floor}: batches below it are tiled inside "
+                    "the jit (exact replication; train.finetune.floor_reps)")
+    return floor
 
 
 def setup_mesh(args, batch: int, logger=None):

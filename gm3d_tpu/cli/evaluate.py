@@ -95,7 +95,10 @@ def run_feature_probe(args, cfg, logger):
         logger.warning("no --ckpt: probing RANDOM features")
         variables = init_variables()
 
-    feature_fn = make_feature_fn(model, npoints)
+    from gm3d_tpu.cli.common import resolve_batch_floor
+
+    # positional args: keep one lru_cache key shape with svm_probe's call
+    feature_fn = make_feature_fn(model, npoints, resolve_batch_floor(args, logger))
     tr_f, tr_l = extract_features(feature_fn, variables, svm_train)
     te_f, te_l = extract_features(feature_fn, variables, svm_test)
     if args.probe == "svm":
@@ -148,16 +151,20 @@ def main():
     from gm3d_tpu.cli.finetune import evaluate as eval_pass
     from gm3d_tpu.cli.finetune import evaluate_vote
 
+    from gm3d_tpu.cli.common import resolve_batch_floor
+
+    floor = resolve_batch_floor(args, logger)
     put = lambda x: shard_eval_batch(mesh, x)  # noqa: E731
     variables = replicate_tree(mesh, variables)
-    eval_step = make_eval_step(model, npoints)
+    eval_step = make_eval_step(model, npoints, batch_floor=floor)
     acc = eval_pass(val_loader, eval_step, variables, put=put)
     logger.info(f"[TEST] acc = {acc:.4f}")
 
     if args.vote:
         # published protocol: the reference's test mode repeats the 10-vote
         # eval 299 times and keeps the best (tools/runner_finetune.py:391-397)
-        vote_step = make_vote_eval_step(model, npoints, args.vote_times)
+        vote_step = make_vote_eval_step(model, npoints, args.vote_times,
+                                        batch_floor=floor)
         rng = jax.random.key(args.seed)
         vacc = 0.0
         for rep in range(args.vote_repeats):

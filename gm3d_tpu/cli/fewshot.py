@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config
+from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, resolve_batch_floor
 from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.data.datasets import DataLoader, SyntheticClouds, build_dataset_from_cfg
 from gm3d_tpu.eval.metrics import accuracy
@@ -132,8 +132,11 @@ def run_fold(args, cfg, fold, logger, mesh=None):
     smoothing = cfg["model"].get("smooth", 0.0)
     if fold == 0 and smoothing:
         logger.info(f"label smoothing {smoothing} (config model.smooth)")
-    step_fn = make_finetune_train_step(model, tx, npoints, smoothing)
-    eval_step = make_eval_step(model, npoints)
+    # episode batches (way*shot = 50) are below the TPU compile floor
+    floor = resolve_batch_floor(args, logger if fold == 0 else None)
+    step_fn = make_finetune_train_step(model, tx, npoints, smoothing,
+                                       batch_floor=floor)
+    eval_step = make_eval_step(model, npoints, batch_floor=floor)
 
     rng = jax.random.key(fold)
     best = 0.0
@@ -190,8 +193,10 @@ def run_folds_parallel(args, cfg, logger):
     smoothing = cfg["model"].get("smooth", 0.0)
     if smoothing:
         logger.info(f"label smoothing {smoothing} (config model.smooth)")
-    step_fn = make_finetune_train_step(model, tx, npoints, smoothing)
-    eval_step = make_eval_step(model, npoints)
+    floor = resolve_batch_floor(args, logger)
+    step_fn = make_finetune_train_step(model, tx, npoints, smoothing,
+                                       batch_floor=floor)
+    eval_step = make_eval_step(model, npoints, batch_floor=floor)
     vstep = jax.jit(jax.vmap(getattr(step_fn, "__wrapped__", step_fn)),
                     donate_argnums=(0,))
     veval = jax.jit(jax.vmap(getattr(eval_step, "__wrapped__", eval_step)))

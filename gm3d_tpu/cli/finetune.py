@@ -17,7 +17,13 @@ import numpy as np
 
 from gm3d_tpu.ckpt import save_best_metrics, save_checkpoint
 from gm3d_tpu.ckpt.transfer import load_pretrained_into
-from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_cls_loaders
+from gm3d_tpu.cli.common import (
+    base_parser,
+    compute_dtype,
+    load_config,
+    make_cls_loaders,
+    resolve_batch_floor,
+)
 from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.eval.metrics import accuracy
 from gm3d_tpu.train.finetune import (
@@ -291,11 +297,13 @@ def main():
     smoothing = resolve_smoothing(args.smoothing, recipe, cfg)
     if smoothing:
         logger.info(f"label smoothing {smoothing}")
-    step_fn = make_finetune_train_step(model, tx, npoints, smoothing)
+    floor = resolve_batch_floor(args, logger)
+    step_fn = make_finetune_train_step(model, tx, npoints, smoothing,
+                                       batch_floor=floor)
     k_dispatch = args.steps_per_dispatch
     use_multi = k_dispatch > 1
     multi_fn = make_finetune_multi_step(step_fn) if use_multi else None
-    eval_step = make_eval_step(model, npoints)
+    eval_step = make_eval_step(model, npoints, batch_floor=floor)
 
     from gm3d_tpu.data.prefetch import device_prefetch
     from gm3d_tpu.parallel import replicate_tree
@@ -371,7 +379,8 @@ def main():
             # 211-218), tracking a separate ckpt-best_vote
             if args.vote and vote_gate(acc, better):
                 if vote_step is None:
-                    vote_step = make_vote_eval_step(model, npoints)
+                    vote_step = make_vote_eval_step(model, npoints,
+                                                    batch_floor=floor)
                 rng, key = jax.random.split(rng)
                 vacc = evaluate_vote(val_loader, vote_step, state.variables(), key)
                 stats["val_vote_acc"] = vacc
@@ -390,7 +399,7 @@ def main():
 
     if args.vote:
         if vote_step is None:
-            vote_step = make_vote_eval_step(model, npoints)
+            vote_step = make_vote_eval_step(model, npoints, batch_floor=floor)
         rng, key = jax.random.split(rng)
         vote_acc = evaluate_vote(val_loader, vote_step, state.variables(), key)
         logger.info(f"[TEST_VOTE] acc = {vote_acc:.4f}")

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gm3d_tpu.ckpt import save_checkpoint
-from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config
+from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, resolve_batch_floor
 from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.data.datasets import SEG_CLASSES, DataLoader, build_dataset_from_cfg
 from gm3d_tpu.eval.metrics import part_miou
@@ -152,11 +152,12 @@ def main():
                                   layer_decay=None,
                                   grad_clip=cfg.get("grad_norm_clip"))
     state = create_train_state(variables, tx)
-    step_fn = make_seg_train_step(model, tx)
+    floor = resolve_batch_floor(args, logger)
+    step_fn = make_seg_train_step(model, tx, batch_floor=floor)
     k_dispatch = args.steps_per_dispatch
     use_multi = k_dispatch > 1
     multi_fn = make_seg_multi_step(step_fn) if use_multi else None
-    eval_step = make_seg_eval_step(model)
+    eval_step = make_seg_eval_step(model, batch_floor=floor)
 
     from gm3d_tpu.data.prefetch import device_prefetch
     from gm3d_tpu.parallel import replicate_tree

@@ -27,7 +27,13 @@ import numpy as np
 
 from gm3d_tpu.ckpt import restore_checkpoint, save_checkpoint
 from gm3d_tpu.ckpt.torch_import import POINT_MAE_MAP, import_torch_checkpoint, load_torch_file
-from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_loaders
+from gm3d_tpu.cli.common import (
+    base_parser,
+    compute_dtype,
+    load_config,
+    make_loaders,
+    resolve_batch_floor,
+)
 from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.eval.svm import svm_probe
 from gm3d_tpu.models import GM3DStudent, PointMAE
@@ -459,7 +465,10 @@ def main():
             # the reference validates the STUDENT, not the EMA (main_pretrain
             # validate(model, ...) at :497-498)
             acc = svm_probe(feat_model, state.variables(), svm_train, svm_test,
-                            npoints=cfg.get("npoints", 1024))
+                            npoints=cfg.get("npoints", 1024),
+                            # ragged last probe batches tile to the TPU
+                            # compile-shape floor (exact; floor_reps)
+                            batch_floor=resolve_batch_floor(args))
             stats["val_svm_acc"] = acc
             if acc > best_acc:
                 best_acc = acc

@@ -19,18 +19,26 @@ from gm3d_tpu.ops.fps import fps
 
 
 @functools.lru_cache(maxsize=8)
-def make_feature_fn(model, npoints: int = 1024) -> Callable:
+def make_feature_fn(model, npoints: int = 1024, batch_floor: int = 0) -> Callable:
     """Jitted noaug encoder forward: points -> (B, G, D) features.
 
-    Memoized on (model, npoints) — flax modules are frozen dataclasses, so
-    repeated probes (every validation epoch) reuse ONE jitted fn instead of
-    re-tracing a fresh closure each call (first compiles cost 20–500 s on the
-    tunneled TPU, CLAUDE.md)."""
+    Memoized on (model, npoints, batch_floor) — flax modules are frozen
+    dataclasses, so repeated probes (every validation epoch) reuse ONE jitted
+    fn instead of re-tracing a fresh closure each call (first compiles cost
+    20–500 s on the tunneled TPU, CLAUDE.md). ``batch_floor`` tiles batches
+    below the TPU compile-shape floor — e.g. a ragged last probe batch —
+    with exact copies and slices the features back (deterministic forward,
+    so exact; train.finetune.floor_reps)."""
+    from gm3d_tpu.train.finetune import floor_reps
 
     @jax.jit
     def feature_fn(variables, pts):
         x = fps(pts, npoints) if pts.shape[1] > npoints else pts
-        return model.apply(variables, x, method=model.encode_features)
+        reps = floor_reps(x.shape[0], batch_floor)
+        if reps > 1:
+            x = jnp.tile(x, (reps, 1, 1))
+        feats = model.apply(variables, x, method=model.encode_features)
+        return feats[: pts.shape[0]]
 
     return feature_fn
 
@@ -63,9 +71,10 @@ def evaluate_svm(
     return float((test_labels == pred).sum() / pred.shape[0])
 
 
-def svm_probe(model, variables, train_loader, test_loader, npoints: int = 1024) -> float:
+def svm_probe(model, variables, train_loader, test_loader, npoints: int = 1024,
+              batch_floor: int = 0) -> float:
     """Full probe: extract train/test features, fit, return accuracy."""
-    feature_fn = make_feature_fn(model, npoints)
+    feature_fn = make_feature_fn(model, npoints, batch_floor)
     tr_f, tr_l = extract_features(feature_fn, variables, train_loader)
     te_f, te_l = extract_features(feature_fn, variables, test_loader)
     return evaluate_svm(tr_f, tr_l, te_f, te_l)

@@ -31,6 +31,32 @@ def _dense(features, dtype, name=None, use_bias=True):
     return nn.Dense(features, dtype=dtype, name=name, use_bias=use_bias, kernel_init=KINIT)
 
 
+import contextlib
+
+# Trace-time replica factor for the batch-floor path (train/finetune.py):
+# when a small batch is tiled K times to satisfy the TPU compile-shape floor,
+# every BN site sees K identical copies of each sample. The biased batch
+# mean/var are unchanged by exact replication, but torch's Bessel correction
+# must use the TRUE sample count n, not K*n, for running_var to match the
+# untiled run exactly. Set via ``bn_replica_tiling`` around ``model.apply``
+# INSIDE the traced step body (re-entered on every retrace, so it is a
+# static, deterministic trace-time constant — never a runtime global).
+_BN_REPLICAS: int = 1
+
+
+@contextlib.contextmanager
+def bn_replica_tiling(replicas: int):
+    """Mark that batch inputs are tiled ``replicas``× (batch-floor padding);
+    TorchBatchNorm divides its Bessel sample count accordingly."""
+    global _BN_REPLICAS
+    prev = _BN_REPLICAS
+    _BN_REPLICAS = int(replicas)
+    try:
+        yield
+    finally:
+        _BN_REPLICAS = prev
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm with ``torch.nn.BatchNorm1d`` running-stat semantics.
 
@@ -74,7 +100,7 @@ class TorchBatchNorm(nn.Module):
             # relative precision to fp32 cancellation when |mean| >> std
             var = jnp.mean(jnp.square(xf - mean), axis=axes)
             if not self.is_initializing():
-                n = x.size // feat
+                n = x.size // feat // max(_BN_REPLICAS, 1)
                 bessel = n / max(n - 1, 1)
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean

@@ -50,6 +50,7 @@ class PointMAESeg(nn.Module):
     num_classes: int = 16  # object categories
     num_parts: int = 50  # part labels
     feature_blocks: Sequence[int] = (3, 7, 11)  # encoder taps
+    dropout_rate: float = 0.5  # head dropout; exposed for deterministic harnesses
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -70,7 +71,7 @@ class PointMAESeg(nn.Module):
         self.head_fc2 = nn.Dense(256, dtype=self.dtype)
         self.head_bn2 = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
         self.head_out = nn.Dense(self.num_parts, dtype=self.dtype)
-        self.dropout = nn.Dropout(0.5)
+        self.dropout = nn.Dropout(self.dropout_rate)
         del tap_dim
 
     def __call__(self, pts, cls_label, deterministic: bool = True):

@@ -23,32 +23,44 @@ import numpy as np
 import optax
 
 from gm3d_tpu.data.transforms import scale_and_translate
+from gm3d_tpu.models.blocks import bn_replica_tiling
+from gm3d_tpu.train.finetune import floor_reps
 from gm3d_tpu.train.state import TrainState
 
 
-def make_seg_train_step(model, tx: optax.GradientTransformation, augment: bool = True):
+def make_seg_train_step(model, tx: optax.GradientTransformation, augment: bool = True,
+                        batch_floor: int = 0):
     @jax.jit
     def step(state: TrainState, pts, cls_label, seg_label, rng):
         r_aug, r_drop, r_dp = jax.random.split(rng, 3)
         x = scale_and_translate(r_aug, pts) if augment else pts
+        # compile-shape floor (train.finetune.floor_reps): seg recipes run
+        # bs=16/32, below this TPU's batch<=64 compiler SIGABRT threshold
+        reps = floor_reps(x.shape[0], batch_floor)
+        cls_t, seg_t = cls_label, seg_label
+        if reps > 1:
+            x = jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))
+            cls_t = jnp.tile(cls_label, (reps,) + (1,) * (cls_label.ndim - 1))
+            seg_t = jnp.tile(seg_label, (reps,) + (1,) * (seg_label.ndim - 1))
 
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
-            logits, updates = model.apply(
-                variables,
-                x,
-                cls_label,
-                deterministic=False,
-                rngs={"dropout": r_drop, "droppath": r_dp},
-                mutable=["batch_stats"],
-            )
-            one_hot = jax.nn.one_hot(seg_label, model.num_parts)
+            with bn_replica_tiling(reps):
+                logits, updates = model.apply(
+                    variables,
+                    x,
+                    cls_t,
+                    deterministic=False,
+                    rngs={"dropout": r_drop, "droppath": r_dp},
+                    mutable=["batch_stats"],
+                )
+            one_hot = jax.nn.one_hot(seg_t, model.num_parts)
             loss = jnp.mean(
                 optax.softmax_cross_entropy(logits.astype(jnp.float32), one_hot)
             )
-            acc = jnp.mean((jnp.argmax(logits, -1) == seg_label).astype(jnp.float32))
+            acc = jnp.mean((jnp.argmax(logits, -1) == seg_t).astype(jnp.float32))
             return loss, (acc, updates)
 
         (loss, (acc, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -81,10 +93,16 @@ def make_seg_multi_step(step_fn):
     return multi
 
 
-def make_seg_eval_step(model):
+def make_seg_eval_step(model, batch_floor: int = 0):
     @jax.jit
     def step(variables, pts, cls_label):
-        return model.apply(variables, pts, cls_label, deterministic=True)
+        reps = floor_reps(pts.shape[0], batch_floor)
+        x, c = pts, cls_label
+        if reps > 1:
+            x = jnp.tile(pts, (reps, 1, 1))
+            c = jnp.tile(cls_label, (reps,) + (1,) * (cls_label.ndim - 1))
+        logits = model.apply(variables, x, c, deterministic=True)
+        return logits[: pts.shape[0]]
 
     return step
 
