@@ -50,6 +50,11 @@ def parse_args():
     p.add_argument("--platforms", default=None,
                    help="comma list of lowering targets, e.g. 'cpu,tpu' "
                         "(default: the current backend only)")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="dynamic-int8 w8a8 quantization of every Dense "
+                        "matmul (serve/quantize.py): 2x MXU ceiling on v5e, "
+                        "~4x smaller weights; accuracy delta measured in "
+                        "docs/BENCHMARKS.md")
     return p.parse_args()
 
 
@@ -105,6 +110,11 @@ def main():
         model_name = cfg["model"]["NAME"]
 
     variables, step = _restore_or_init(args, model, npoints, n_input, logger)
+    if args.quantize == "int8":
+        # pre-quantize so the int8 kernels serialize as baked constants
+        from gm3d_tpu.serve.quantize import quantize_variables
+
+        variables = quantize_variables(variables)
 
     from gm3d_tpu.serve.export import (
         build_classifier_fn,
@@ -118,16 +128,18 @@ def main():
     example = jnp.zeros((args.export_batch, n_input, 3), jnp.float32)
     platforms = (tuple(p.strip() for p in args.platforms.split(","))
                  if args.platforms else None)
-    exported = export_forward(fn, example, platforms)
+    exported = export_forward(fn, example, platforms, quantize=args.quantize)
     path = save_artifact(args.out, exported, {
         "mode": args.mode,
         "model": model_name,
         "npoints": npoints,
         "ckpt_step": step,
         "compute_dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "quantization": args.quantize or "none",
     })
     logger.info(f"exported {args.mode} ({model_name}) -> {path} "
-                f"platforms={list(exported.platforms)}")
+                f"platforms={list(exported.platforms)} "
+                f"quantization={args.quantize or 'none'}")
     return path
 
 

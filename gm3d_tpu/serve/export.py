@@ -67,7 +67,8 @@ def build_feature_fn(model, variables, npoints: int) -> Callable:
 
 
 def export_forward(fn: Callable, example_input: jax.Array,
-                   platforms: Tuple[str, ...] | None = None):
+                   platforms: Tuple[str, ...] | None = None,
+                   quantize: str | None = None):
     """AOT-lower ``fn`` for ``platforms`` (default: the current backend).
 
     Multi-platform export (e.g. ``("cpu", "tpu")``) uses jax's
@@ -78,17 +79,31 @@ def export_forward(fn: Callable, example_input: jax.Array,
     exactly the current backend, tracing runs under
     :func:`ops.fps.portable_fps` and the artifact embeds the portable XLA
     formulation (identical indices, slower on TPU; export TPU-only for the
-    fast kernel)."""
+    fast kernel).
+
+    ``quantize="int8"`` traces under :func:`serve.quantize.quantized_dense`:
+    every Dense matmul becomes dynamic-int8 w8a8 and the int8 kernels
+    constant-fold into the artifact (2x MXU ceiling on v5e, ~4x smaller
+    weights)."""
     if platforms is None:
         platforms = (jax.default_backend(),)
     platforms = tuple(platforms)
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize mode {quantize!r} "
+                         "(expected None or 'int8')")
     exp = jax_export.export(jax.jit(fn), platforms=platforms)
     arg = jax.ShapeDtypeStruct(example_input.shape, example_input.dtype)
-    if platforms == (jax.default_backend(),):
-        return exp(arg)
-    from gm3d_tpu.ops.fps import portable_fps
+    import contextlib
 
-    with portable_fps():
+    with contextlib.ExitStack() as stack:
+        if platforms != (jax.default_backend(),):
+            from gm3d_tpu.ops.fps import portable_fps
+
+            stack.enter_context(portable_fps())
+        if quantize == "int8":
+            from gm3d_tpu.serve.quantize import quantized_dense
+
+            stack.enter_context(quantized_dense())
         return exp(arg)
 
 

@@ -1,0 +1,158 @@
+"""Dynamic-int8 serving quantization (gm3d_tpu/serve/quantize.py).
+
+Fidelity contract: the w8a8 forward must track the fp forward closely enough
+that serving decisions are unchanged — argmax agreement on well-separated
+logits, bounded relative logit error — and the int8 kernels must
+constant-fold into a ~4x-smaller artifact. The reference has no deployment
+surface at all (SURVEY.md §5.4); quantization is a rebuild-only capability.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_serve import export_tiny_artifact, make_tiny_classifier
+
+
+def _logits(fn, pts):
+    return np.asarray(fn(jnp.asarray(pts)))
+
+
+class TestQuantizedDense:
+    def test_logit_fidelity_and_agreement(self):
+        """Quantized forward tracks fp logits; per-row top-1 mostly agrees
+        even on a random-init model (trained models separate classes more)."""
+        from gm3d_tpu.serve.export import build_classifier_fn
+        from gm3d_tpu.serve.quantize import quantized_dense
+
+        model, variables = make_tiny_classifier()
+        fn = build_classifier_fn(model, variables, 64)
+        pts = np.random.RandomState(0).randn(16, 64, 3).astype(np.float32)
+        ref = _logits(jax.jit(fn), pts)
+        with quantized_dense():
+            q = _logits(jax.jit(fn), pts)
+        # relative error against the logit RANGE (random-init logits cluster
+        # near 0, so per-element relative error is ill-posed)
+        scale = np.abs(ref).max()
+        assert np.abs(q - ref).max() / scale < 0.15
+        agree = (q.argmax(-1) == ref.argmax(-1)).mean()
+        assert agree >= 0.75, f"top-1 agreement {agree}"
+
+    def test_quantization_error_shrinks_with_more_bits_of_margin(self):
+        """Sanity: on logits with a decisive margin the argmax never flips.
+        Build a decisive case by scaling one class's head row."""
+        from gm3d_tpu.serve.export import build_classifier_fn
+        from gm3d_tpu.serve.quantize import quantized_dense
+
+        model, variables = make_tiny_classifier()
+        params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+        head = params["cls_head_finetune"]["fc3"]
+        kernel = np.asarray(head["kernel"]).copy()
+        kernel[:, 2] += 0.5  # bias class 2 upward decisively
+        head["kernel"] = jnp.asarray(kernel)
+        variables = {**variables, "params": params}
+        fn = build_classifier_fn(model, variables, 64)
+        pts = np.random.RandomState(1).randn(8, 64, 3).astype(np.float32)
+        ref = _logits(jax.jit(fn), pts)
+        with quantized_dense():
+            q = _logits(jax.jit(fn), pts)
+        assert (ref.argmax(-1) == 2).all()
+        assert (q.argmax(-1) == 2).all()
+
+    def test_non_dense_modules_untouched(self):
+        """The interceptor must leave non-Dense methods alone (LayerNorm,
+        BatchNorm, attention internals run exactly once, unquantized):
+        quantizing with an identity-preserving kernel reproduces fp exactly
+        for a pure-Dense toy."""
+        from gm3d_tpu.serve.quantize import quantized_dense
+        from flax import linen as nn
+
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Dense(8, name="d", kernel_init=nn.initializers.zeros)(x)
+                return nn.LayerNorm()(x + 1.0)
+
+        m = Toy()
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 8), jnp.float32)
+        v = m.init(jax.random.key(0), x)
+        ref = np.asarray(m.apply(v, x))
+        with quantized_dense():
+            q = np.asarray(m.apply(v, x))
+        # zero kernel -> Dense output is exactly bias (0); LayerNorm of the
+        # constant is identical, so quantization introduces NO drift at all
+        np.testing.assert_array_equal(ref, q)
+
+
+class TestQuantizedArtifact:
+    def test_export_int8_roundtrip_and_size(self, tmp_path):
+        """--quantize int8 artifacts load, run close to fp, and carry int8
+        kernels as baked constants (materially smaller zip)."""
+        from gm3d_tpu.serve import load_artifact
+        from gm3d_tpu.serve.export import (
+            build_classifier_fn,
+            export_forward,
+            save_artifact,
+        )
+
+        import os
+
+        from gm3d_tpu.serve.quantize import quantize_variables
+
+        model, variables = make_tiny_classifier()
+        fn = build_classifier_fn(model, variables, 64)
+        q_fn_build = build_classifier_fn(model, quantize_variables(variables), 64)
+        example = jnp.zeros((4, 96, 3), jnp.float32)
+
+        fp = export_forward(fn, example)
+        q = export_forward(q_fn_build, example, quantize="int8")
+        fp_path = str(tmp_path / "fp.gm3dx")
+        q_path = str(tmp_path / "q.gm3dx")
+        save_artifact(fp_path, fp, {"quantization": "none"})
+        save_artifact(q_path, q, {"quantization": "int8"})
+
+        pts = np.random.RandomState(0).randn(4, 96, 3).astype(np.float32)
+        fp_fn, _ = load_artifact(fp_path)
+        q_fn, manifest = load_artifact(q_path)
+        assert manifest["quantization"] == "int8"
+        ref, out = fp_fn(pts), q_fn(pts)
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 0.15
+        # int8 kernels are 4x smaller pre-compression; allow slack for the
+        # non-weight module bytes
+        assert os.path.getsize(q_path) < 0.6 * os.path.getsize(fp_path)
+
+    def test_bad_quantize_mode_raises(self):
+        from gm3d_tpu.serve.export import build_classifier_fn, export_forward
+
+        model, variables = make_tiny_classifier()
+        fn = build_classifier_fn(model, variables, 64)
+        with pytest.raises(ValueError, match="quantize"):
+            export_forward(fn, jnp.zeros((2, 64, 3), jnp.float32),
+                           quantize="int4")
+
+    def test_export_cli_quantize_flag(self, tmp_path):
+        """End-to-end through the CLI: --quantize int8 produces a loadable
+        artifact whose manifest records the quantization."""
+        import json
+        import zipfile
+
+        from cli_harness import run_cli
+        from test_serve import tiny_cfg_yaml
+
+        cfg = tiny_cfg_yaml(tmp_path)
+        out = str(tmp_path / "cli_q.gm3dx")
+        run_cli("gm3d_tpu.cli.export_model",
+                ["exp", "--config", cfg, "--out", out, "--export_batch", "4",
+                 "--input_points", "64", "--quantize", "int8"])
+        with zipfile.ZipFile(out) as zf:
+            manifest = json.loads(zf.read("manifest.json").decode())
+        assert manifest["quantization"] == "int8"
+        from gm3d_tpu.serve import load_artifact
+
+        fn, _ = load_artifact(out)
+        pts = np.random.RandomState(0).randn(4, 64, 3).astype(np.float32)
+        out_logits = fn(pts)
+        assert out_logits.shape == (4, 5)
+        assert np.isfinite(out_logits).all()
