@@ -15,9 +15,12 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = 128
 NPOINTS_IN = 8192  # dataset-shaped input; FPS to 1200 + subsample in-step

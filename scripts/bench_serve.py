@@ -31,10 +31,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def random_variables(model, example, seed: int = 0):
@@ -68,6 +71,9 @@ def main():
     ap.add_argument("--calls", type=int, default=8,
                     help="chained module calls per timed dispatch")
     ap.add_argument("--windows", type=int, default=2)
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="benchmark the dynamic-w8a8 export "
+                         "(serve/quantize.py) instead of the fp one")
     args = ap.parse_args()
 
     import jax
@@ -90,8 +96,12 @@ def main():
 
     example = jnp.zeros((args.batch, args.npoints, 3), jnp.float32)
     variables = random_variables(model, example)
+    if args.quantize == "int8":
+        from gm3d_tpu.serve.quantize import quantize_variables
+
+        variables = quantize_variables(variables)
     fn = build_classifier_fn(model, variables, args.npoints)
-    exported = export_forward(fn, example)
+    exported = export_forward(fn, example, quantize=args.quantize)
 
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "bench.gm3dx")
@@ -156,6 +166,7 @@ def main():
         "batch": args.batch,
         "npoints": args.npoints,
         "dtype": "bfloat16" if args.bf16 else "float32",
+        "quantization": args.quantize or "none",
         "calls_per_dispatch": args.calls,
         "artifact_mb": round(artifact_mb, 1),
         "backend": jax.default_backend(),
