@@ -132,6 +132,32 @@ class TestQuantizedArtifact:
             export_forward(fn, jnp.zeros((2, 64, 3), jnp.float32),
                            quantize="int4")
 
+    def test_quantized_featurizer_tracks_fp(self):
+        """The SVM/kNN/linprob probes consume (mean+max)-pooled features;
+        quantized features must stay directionally faithful (cosine) so
+        probe decisions survive quantization."""
+        from gm3d_tpu.masking import gm3d_num_mask
+        from gm3d_tpu.models import GM3DStudent
+        from gm3d_tpu.serve.export import build_feature_fn
+        from gm3d_tpu.serve.quantize import quantize_variables, quantized_dense
+
+        model = GM3DStudent(trans_dim=32, depth=2, num_heads=2,
+                            decoder_depth=1, decoder_num_heads=2,
+                            group_size=8, num_group=16, encoder_dims=32)
+        pts0 = jnp.zeros((2, 64, 3), jnp.float32)
+        num_mask = gm3d_num_mask(model.num_group, 0.6)
+        mask0 = jnp.zeros((2, 16), bool).at[:, :num_mask].set(True)
+        variables = model.init(jax.random.key(0), pts0, mask0, num_mask)
+        fn = build_feature_fn(model, variables, 64)
+        q_fn = build_feature_fn(model, quantize_variables(variables), 64)
+        pts = np.random.RandomState(2).randn(8, 64, 3).astype(np.float32)
+        ref = _logits(jax.jit(fn), pts)
+        with quantized_dense():
+            q = _logits(jax.jit(q_fn), pts)
+        cos = (ref * q).sum(-1) / (
+            np.linalg.norm(ref, axis=-1) * np.linalg.norm(q, axis=-1))
+        assert cos.min() > 0.995, f"feature cosine {cos.min()}"
+
     def test_export_cli_quantize_flag(self, tmp_path):
         """End-to-end through the CLI: --quantize int8 produces a loadable
         artifact whose manifest records the quantization."""
