@@ -117,6 +117,11 @@ def parse_args():
                    help="one optimizer over all params (reference default); "
                         "--no-shared_opt = separated recon / loss-pred "
                         "optimizers (train_one_epoch_seperated)")
+    p.add_argument("--quantize_ema", action="store_true",
+                   help="opt-in perf lever, PARITY-BREAKING: run the "
+                        "grad-free EMA forward's matmuls as dynamic-int8 "
+                        "w8a8 (serve/quantize.py). Only the mask ranking "
+                        "sees the noise; numbers in docs/BENCHMARKS.md")
     return p.parse_args()
 
 
@@ -251,6 +256,7 @@ def main():
             student, teacher, tx, args.mask_ratio, args.shared_learnable_tokens,
             args.relative, distill_mode=args.learn_feature_loss,
             shared_opt=args.shared_opt, accum_steps=args.accum_iter,
+            quantize_ema=args.quantize_ema,
         )
         feat_model = student
     elif args.model_family == "pointmae":

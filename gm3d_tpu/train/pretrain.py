@@ -169,6 +169,7 @@ def make_gm3d_train_step(
     accum_steps: int = 1,
     trim_ema: bool = True,
     remat_student: bool = False,
+    quantize_ema: bool = False,
 ):
     """The GM3D core path (SURVEY.md §3.1) as one jit:
 
@@ -187,6 +188,14 @@ def make_gm3d_train_step(
     ``--learn_feature_loss dino``); 'ema' = feature targets from the EMA's
     unmasked features (``engine_pretrain_Classifier_SVM.py:148-149``), no
     teacher replay; 'none' = usual-mode Chamfer only.
+
+    ``quantize_ema`` (opt-in, PARITY-BREAKING): runs the grad-free EMA
+    forward's Dense matmuls as dynamic-int8 w8a8 (``serve/quantize.py``) —
+    the EMA pass only produces ``loss_pred`` for mask *ranking*, so int8
+    noise can at most flip near-tied group orderings; gradients and the
+    distillation targets are untouched (refuse under ``distill_mode='ema'``,
+    where EMA features ARE the targets). Off by default because it perturbs
+    the reference trajectory; numbers in docs/BENCHMARKS.md.
     """
     num_mask = gm3d_num_mask(student.num_group, mask_ratio)
     use_distill = teacher is not None and distill_mode == "dino"
@@ -221,6 +230,17 @@ def make_gm3d_train_step(
     if use_fused_embed is None:
         use_fused_embed = jax.default_backend() == "tpu"
     fused_interpret = jax.default_backend() != "tpu"
+    if quantize_ema and distill_mode == "ema":
+        raise ValueError(
+            "quantize_ema is not allowed with distill_mode='ema': the EMA "
+            "features are the distillation targets there, so quantization "
+            "noise would enter the loss, not just the mask ranking")
+    if quantize_ema:
+        from gm3d_tpu.serve.quantize import quantized_dense as _ema_ctx
+    else:
+        import contextlib
+
+        _ema_ctx = contextlib.nullcontext
 
     # donate the train state: params/opt/EMA buffers are updated in place,
     # halving their HBM traffic per step
@@ -263,17 +283,18 @@ def make_gm3d_train_step(
         # 'ema' mode, the encoder feature targets) — its recon decoder +
         # coord head are dead compute, skipped explicitly
         zeros_mask = jnp.zeros((batch, student.num_group), bool)
-        outs_ema = student.apply(
-            state.ema_variables(),
-            samples,
-            zeros_mask,
-            0,
-            shared_learnable_tokens,
-            deterministic=True,
-            grouped=grouped,
-            tokens=ema_tokens,
-            loss_pred_only=trim_ema,
-        )
+        with _ema_ctx():  # trace-time: int8 EMA matmuls when quantize_ema
+            outs_ema = student.apply(
+                state.ema_variables(),
+                samples,
+                zeros_mask,
+                0,
+                shared_learnable_tokens,
+                deterministic=True,
+                grouped=grouped,
+                tokens=ema_tokens,
+                loss_pred_only=trim_ema,
+            )
         # ---- geometric-complexity mask from EMA loss prediction
         mask = geometric_mask(
             r_mask, outs_ema["loss_pred"], num_mask, scalars["keep_ratio"]

@@ -12,6 +12,8 @@ Levers:
   remat_student   jax.checkpoint around the student forward
   b512            batch 512 (same clouds/s accounting)
   k1              one step per dispatch (quantifies dispatch amortisation)
+  int8_ema        opt-in parity-breaking: dynamic-int8 EMA forward
+                  (serve/quantize.py; mask ranking only, grads untouched)
 
 Run ON TPU:  python scripts/perf_levers.py [--quick]
 (CPU works for plumbing checks but the numbers are meaningless there.)
@@ -116,6 +118,8 @@ def main():
         "remat_student": dict(remat_student=True),
         "b512": dict(_batch=512),
         "k1": dict(_scan=1),
+        # opt-in parity-breaking: int8 w8a8 EMA forward (mask ranking only)
+        "int8_ema": dict(quantize_ema=True),
     }
     selected = args.levers or list(levers)
     for name in selected:

@@ -86,6 +86,59 @@ class TestQuantizedDense:
         np.testing.assert_array_equal(ref, q)
 
 
+class TestQuantizedEmaStep:
+    """Opt-in int8 EMA forward inside the GM3D train step (perf lever,
+    parity-breaking by design — docs/BENCHMARKS.md)."""
+
+    def _setup(self, quantize_ema):
+        from gm3d_tpu.masking import gm3d_num_mask
+        from gm3d_tpu.models import GM3DStudent, PointMAE
+        from gm3d_tpu.train.optim import build_gm3d_shared_optimizer
+        from gm3d_tpu.train.pretrain import make_gm3d_train_step
+        from gm3d_tpu.train.state import create_train_state
+
+        small = dict(trans_dim=48, depth=2, num_heads=2, decoder_depth=1,
+                     decoder_num_heads=2, group_size=8, num_group=16,
+                     encoder_dims=48)
+        student, teacher = GM3DStudent(**small), PointMAE(**small)
+        pts = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 128, 3)) * 0.5,
+            jnp.float32)
+        num_mask = gm3d_num_mask(16, 0.6)
+        mask0 = jnp.zeros((4, 16), bool).at[:, :num_mask].set(True)
+        svars = student.init(jax.random.key(0), pts, mask0, num_mask)
+        tvars = teacher.init(jax.random.key(1), pts, mask0, num_mask)
+        tx = build_gm3d_shared_optimizer(svars["params"], 1e-3)
+        state = create_train_state(svars, tx, with_ema=True)
+        step = make_gm3d_train_step(student, teacher, tx, mask_ratio=0.6,
+                                    augment=False, quantize_ema=quantize_ema)
+        scalars = {k: jnp.asarray(v) for k, v in
+                   [("keep_ratio", 0.5), ("ema_decay", 0.999),
+                    ("w_mse", 1.0), ("w_cd", 1.0)]}
+        return step, state, tvars, pts, scalars
+
+    def test_step_runs_and_tracks_base(self):
+        """Same state/batch: the int8-EMA step produces a finite loss close
+        to the fp step (the EMA output only feeds the mask ranking, so the
+        losses differ only where near-tied rankings flip)."""
+        step_q, state_q, tvars, pts, scalars = self._setup(True)
+        step_f, state_f, _, _, _ = self._setup(False)
+        rng = jax.random.key(7)
+        _, m_f = step_f(state_f, tvars, pts, rng, scalars)
+        _, m_q = step_q(state_q, tvars, pts, rng, scalars)
+        lf, lq = float(m_f["loss"]), float(m_q["loss"])
+        assert np.isfinite(lq)
+        assert abs(lq - lf) / max(abs(lf), 1e-6) < 0.05, (lf, lq)
+
+    def test_refused_for_ema_distill_targets(self):
+        from gm3d_tpu.models import GM3DStudent
+        from gm3d_tpu.train.pretrain import make_gm3d_train_step
+
+        with pytest.raises(ValueError, match="quantize_ema"):
+            make_gm3d_train_step(GM3DStudent(), None, None,
+                                 distill_mode="ema", quantize_ema=True)
+
+
 class TestQuantizedArtifact:
     def test_export_int8_roundtrip_and_size(self, tmp_path):
         """--quantize int8 artifacts load, run close to fp, and carry int8
