@@ -52,9 +52,10 @@ def parse_args():
                         "(default: the current backend only)")
     p.add_argument("--quantize", choices=["int8"], default=None,
                    help="dynamic-int8 w8a8 quantization of every Dense "
-                        "matmul (serve/quantize.py): 2x MXU ceiling on v5e, "
-                        "~4x smaller weights; accuracy delta measured in "
-                        "docs/BENCHMARKS.md")
+                        "matmul (serve/quantize.py): 1.7x smaller artifact, "
+                        "zero measured accuracy loss — but ~12% slower than "
+                        "bf16 on this chip (docs/BENCHMARKS.md); use for "
+                        "size-constrained deployments")
     return p.parse_args()
 
 

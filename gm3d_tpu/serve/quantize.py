@@ -1,12 +1,15 @@
 """Dynamic-int8 post-training quantization for serving exports (w8a8).
 
-TPU v5e's MXU runs int8 x int8 -> int32 matmuls at twice the bf16 rate
-(393.6 TOPS vs 196.8 TFLOPS), so a quantized classifier forward has a 2x
-compute ceiling over the bf16 export — and int8 weight constants shrink the
-artifact ~4x. The reference has no deployment surface at all (its checkpoints
-need the full torch stack, ``tools/runner_finetune.py``), so this is a
-rebuild-only capability, gated behind ``--quantize int8`` on
-``cli/export_model.py``.
+TPU v5e's MXU runs int8 x int8 -> int32 matmuls at twice the bf16 rate on
+paper (393.6 TOPS vs 196.8 TFLOPS). MEASURED on this chip (docs/
+BENCHMARKS.md): the dynamically quantized forward is ~12% SLOWER than bf16
+— the per-token absmax/round/rescale around every matmul is not recovered
+at these layer shapes, so on this toolchain int8 export is a SIZE feature
+(1.7x smaller artifact, int8 kernels baked as constants, zero measured
+accuracy loss on a trained classifier), not a throughput feature. The
+reference has no deployment surface at all (its checkpoints need the full
+torch stack, ``tools/runner_finetune.py``); gated behind ``--quantize
+int8`` on ``cli/export_model.py``.
 
 Scheme (standard dynamic PTQ, chosen for zero calibration data):
 
