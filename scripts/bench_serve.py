@@ -132,6 +132,15 @@ def main():
         pts = jnp.asarray(
             np.random.RandomState(1).randn(args.batch, args.npoints, 3)
             .astype(np.float32))
+        # FLOPs per forward from XLA's own cost analysis (bench.py method)
+        flops_per_call = 0.0
+        try:
+            compiled = jax.jit(loaded.call).lower(pts).compile()
+            cost = compiled.cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops_per_call = float(cost.get("flops", 0.0)) if cost else 0.0
+        except Exception:
+            pass
         _ = np.asarray(chained(pts))  # compile + warm
         device_windows = []
         for _ in range(args.windows):
@@ -167,6 +176,9 @@ def main():
         "npoints": args.npoints,
         "dtype": "bfloat16" if args.bf16 else "float32",
         "quantization": args.quantize or "none",
+        "tflops": round(device_cps / args.batch * flops_per_call / 1e12, 2)
+        if flops_per_call else None,
+        "flops_per_call": flops_per_call or None,
         "calls_per_dispatch": args.calls,
         "artifact_mb": round(artifact_mb, 1),
         "backend": jax.default_backend(),
