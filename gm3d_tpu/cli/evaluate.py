@@ -13,7 +13,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, make_cls_loaders
+from gm3d_tpu.cli.common import (
+    base_parser,
+    compute_dtype,
+    load_config,
+    make_cls_loaders,
+    resolve_batch_floor,
+)
 from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.train.finetune import make_eval_step, make_vote_eval_step
 from gm3d_tpu.utils import get_logger
@@ -95,8 +101,6 @@ def run_feature_probe(args, cfg, logger):
         logger.warning("no --ckpt: probing RANDOM features")
         variables = init_variables()
 
-    from gm3d_tpu.cli.common import resolve_batch_floor
-
     # positional args: keep one lru_cache key shape with svm_probe's call
     feature_fn = make_feature_fn(model, npoints, resolve_batch_floor(args, logger))
     tr_f, tr_l = extract_features(feature_fn, variables, svm_train)
@@ -150,8 +154,6 @@ def main():
 
     from gm3d_tpu.cli.finetune import evaluate as eval_pass
     from gm3d_tpu.cli.finetune import evaluate_vote
-
-    from gm3d_tpu.cli.common import resolve_batch_floor
 
     floor = resolve_batch_floor(args, logger)
     put = lambda x: shard_eval_batch(mesh, x)  # noqa: E731

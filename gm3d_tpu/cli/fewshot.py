@@ -221,17 +221,26 @@ def run_folds_parallel(args, cfg, logger):
     rngs = [jax.random.key(f) for f in folds]
     best = np.zeros(len(folds))
     for epoch in range(epochs):
-        for batches in zip(*[iter(t) for t in train_loaders]):
+        # list() drains every fold's generator to StopIteration — bare
+        # zip(*iterators) abandons folds 1..N-1 mid-generator at the first
+        # StopIteration, skipping DataLoader's trailing epoch increment, so
+        # those folds would replay the epoch-0 shuffle forever (episodes are
+        # ~way*shot clouds, so materialising an epoch is a few MB)
+        for batches in zip(*[list(iter(t)) for t in train_loaders]):
             pts = jnp.stack([jnp.asarray(b[0]) for b in batches])
             labels = jnp.stack([jnp.asarray(b[1]) for b in batches])
             keys = []
             for i in folds:
                 rngs[i], k = jax.random.split(rngs[i])
                 keys.append(k)
-            state, _ = vstep(state, put(pts), put(labels), put(jnp.stack(keys)))
+            # shard key DATA, not typed keys: the multihost _put branch
+            # np.asarray's its input, which typed PRNG arrays refuse
+            stacked_keys = jax.random.wrap_key_data(
+                put(jax.random.key_data(jnp.stack(keys))))
+            state, _ = vstep(state, put(pts), put(labels), stacked_keys)
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
             logits_all, labels_all = [], []
-            for batches in zip(*[iter(t) for t in test_loaders]):
+            for batches in zip(*[list(iter(t)) for t in test_loaders]):
                 pts = jnp.stack([jnp.asarray(b[0]) for b in batches])
                 logits_all.append(np.asarray(veval(state.variables(), put(pts))))
                 labels_all.append(np.stack([np.asarray(b[1]) for b in batches]))

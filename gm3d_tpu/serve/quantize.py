@@ -118,7 +118,11 @@ def _interceptor(next_fun, args, kwargs, context):
     else:  # fp variables: quantize at trace time (constant-folds at compile)
         q_kernel, k_scale = quantize_kernel(kernel)
     bias = params.get("bias") if mod.use_bias else None
-    return _int8_dense(args[0], q_kernel, k_scale, bias, args[0].dtype)
+    # honor the module's compute dtype: nn.Dense(dtype=bf16) returns bf16
+    # even for fp32 inputs — returning the INPUT dtype would leak fp32
+    # activations through bf16 models' patch-embed stacks
+    out_dtype = mod.dtype if mod.dtype is not None else args[0].dtype
+    return _int8_dense(args[0], q_kernel, k_scale, bias, out_dtype)
 
 
 @contextlib.contextmanager

@@ -42,7 +42,7 @@ def build_tree(root: str, n_files: int, rows: int, seed: int = 0) -> None:
         f.write("\n".join(names) + "\n")
 
 
-def time_epochs(iterator_factory, epochs: int, batch: int) -> tuple[float, int]:
+def time_epochs(iterator_factory, epochs: int) -> tuple[float, int]:
     """Returns (seconds, clouds) over ``epochs`` full passes."""
     clouds = 0
     t0 = time.perf_counter()
@@ -67,6 +67,7 @@ def main() -> None:
     if not os.path.exists(os.path.join(args.root, "train.txt")):
         print(f"building {args.files} x ({args.rows},3) synthetic tree at {args.root}")
         build_tree(args.root, args.files, args.rows)
+    args.batch = min(args.batch, args.files)  # drop_last needs >= one batch
 
     from gm3d_tpu.data.datasets import DataLoader, ShapeNet55
 
@@ -79,7 +80,7 @@ def main() -> None:
         loader = DataLoader(ds, args.batch, shuffle=True, num_workers=workers)
         # warm one batch (thread-pool spin-up, page cache)
         next(iter(loader))
-        secs, clouds = time_epochs(lambda: iter(loader), args.epochs, args.batch)
+        secs, clouds = time_epochs(lambda: iter(loader), args.epochs)
         results[f"python_w{workers}"] = clouds / secs
 
     from gm3d_tpu.native import NativeCloudLoader, native_available
@@ -91,8 +92,10 @@ def main() -> None:
             return iter(loader_n)
 
         loader_n = NativeCloudLoader(paths, args.npoints, args.batch, num_workers=8)
-        next(iter(loader_n))  # warm: first epoch's ring buffer fill
-        secs, clouds = time_epochs(native_iter, args.epochs, args.batch)
+        # workers start prefetching at construction; give the ring buffer a
+        # beat (consuming a batch to warm would eat single-batch epochs)
+        time.sleep(0.3)
+        secs, clouds = time_epochs(native_iter, args.epochs)
         results["native_w8"] = clouds / secs
         loader_n.close()
     else:

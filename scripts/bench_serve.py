@@ -132,16 +132,19 @@ def main():
         pts = jnp.asarray(
             np.random.RandomState(1).randn(args.batch, args.npoints, 3)
             .astype(np.float32))
-        # FLOPs per forward from XLA's own cost analysis (bench.py method)
+        # FLOPs per forward from XLA's cost analysis of the SAME chained
+        # executable the timing uses (a separate compile would cost 20-500 s
+        # through the tunnel); chain glue (sum + scaled add) is negligible
         flops_per_call = 0.0
+        compiled_chained = chained.lower(pts).compile()
         try:
-            compiled = jax.jit(loaded.call).lower(pts).compile()
-            cost = compiled.cost_analysis()
+            cost = compiled_chained.cost_analysis()
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops_per_call = float(cost.get("flops", 0.0)) if cost else 0.0
+            if cost and cost.get("flops"):
+                flops_per_call = float(cost["flops"]) / args.calls
         except Exception:
             pass
-        _ = np.asarray(chained(pts))  # compile + warm
+        _ = np.asarray(chained(pts))  # warm (hits the compile cache)
         device_windows = []
         for _ in range(args.windows):
             t0 = time.perf_counter()

@@ -55,7 +55,10 @@ def main():
     ds = SyntheticClouds(args.samples, npoints, seed=3, labelled=True)
     loader = DataLoader(ds, args.batch, shuffle=False, drop_last=False)
 
-    fp_step = make_eval_step(model, npoints)
+    # ragged last batches (drop_last=False) tile to the TPU compile-shape
+    # floor, matching every CLI (CLAUDE.md small-batch compiler SIGABRT)
+    floor = 0 if jax.default_backend() != "tpu" else 128
+    fp_step = make_eval_step(model, npoints, batch_floor=floor)
     # quantized twin: same eval body, traced under the interceptor with
     # pre-quantized kernels
     q_vars = quantize_variables(variables)
@@ -63,10 +66,14 @@ def main():
     @jax.jit
     def q_forward(v, pts):
         from gm3d_tpu.ops.fps import fps
+        from gm3d_tpu.train.finetune import floor_reps
 
         x = fps(pts, npoints) if pts.shape[1] > npoints else pts
+        reps = floor_reps(x.shape[0], floor)
+        if reps > 1:
+            x = jnp.tile(x, (reps, 1, 1))
         with quantized_dense():
-            return model.apply(v, x, deterministic=True)
+            return model.apply(v, x, deterministic=True)[: pts.shape[0]]
 
     n = agree = fp_correct = q_correct = 0
     max_rel = 0.0
