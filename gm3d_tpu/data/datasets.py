@@ -20,11 +20,16 @@ from gm3d_tpu.data import io
 
 
 def pc_normalize(pc: np.ndarray) -> np.ndarray:
-    """Unit-sphere normalisation (``datasets/ShapeNet55Dataset.py:44-50``)."""
+    """Unit-sphere normalisation (``datasets/ShapeNet55Dataset.py:44-50``).
+
+    Degenerate clouds (all points identical — e.g. a 1-row item subsampled
+    with replacement) have scale 0; dividing would flood the batch with NaN
+    that surfaces steps later as a NaN loss. Centered-but-unscaled matches
+    the native loader (``loader.cpp pc_normalize``)."""
     centroid = pc.mean(axis=0)
     pc = pc - centroid
     scale = np.sqrt((pc**2).sum(axis=1)).max()
-    return pc / scale
+    return pc / scale if scale > 0 else pc
 
 
 def numpy_fps(points: np.ndarray, n: int, rng: np.random.RandomState | None = None) -> np.ndarray:
@@ -146,10 +151,18 @@ class ModelNet:
         cache = os.path.join(
             self.root, f"modelnet{self.num_category}_{split}_8192pts_fps.dat"
         )
+        # atomic write + corrupt-cache recovery, mirroring ShapeNetPart's
+        # _load_raw: an interrupted first-run FPS preprocessing must not
+        # brick the dataset behind a truncated pickle forever
+        loaded = False
         if os.path.exists(cache):
-            with open(cache, "rb") as f:
-                self.points, self.labels = pickle.load(f)
-        else:
+            try:
+                with open(cache, "rb") as f:
+                    self.points, self.labels = pickle.load(f)
+                loaded = True
+            except (EOFError, pickle.UnpicklingError, ValueError, OSError):
+                pass  # re-preprocess and rewrite below
+        if not loaded:
             pts_list, lbl_list = [], []
             # random FPS seed point per item, as the reference's preprocessing
             # does (``datasets/ModelNetDataset.py:37``) — deterministic here
@@ -160,8 +173,13 @@ class ModelNet:
                 lbl_list.append(self.classes[name])
             self.points = np.stack(pts_list)
             self.labels = np.asarray(lbl_list, np.int64)
-            with open(cache, "wb") as f:
-                pickle.dump((self.points, self.labels), f)
+            try:
+                tmp = f"{cache}.{os.getpid()}.tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump((self.points, self.labels), f)
+                os.replace(tmp, cache)
+            except OSError:
+                pass  # read-only dataset dir: run uncached
         self._rng = _ItemRng(0x30DE)
 
     def set_epoch(self, epoch: int) -> None:
@@ -325,7 +343,12 @@ class ShapeNetPart:
                 return np.load(cache)
             except (ValueError, OSError, EOFError):
                 pass  # truncated/corrupt cache: re-parse and rewrite below
-        raw = np.loadtxt(path).astype(np.float32)  # x y z nx ny nz part
+        raw = np.atleast_2d(np.loadtxt(path).astype(np.float32))  # x y z nx ny nz part
+        if raw.size == 0 or raw.shape[1] < 4:
+            # fail loudly with the culprit named — the generic downstream
+            # error ('low >= high' from rng.integers) hides the file, and a
+            # cached empty array would make it permanent
+            raise ValueError(f"empty or malformed ShapeNetPart item: {path}")
         try:
             tmp = f"{cache}.{os.getpid()}.tmp.npy"  # .npy suffix: np.save won't rename
             np.save(tmp, raw)

@@ -120,4 +120,6 @@ def unit_sphere_normalize(pts: jax.Array) -> jax.Array:
     centroid = jnp.mean(pts, axis=-2, keepdims=True)
     pts = pts - centroid
     scale = jnp.max(jnp.sqrt(jnp.sum(pts**2, axis=-1)), axis=-1)
+    # degenerate (all-identical) clouds: leave centered, don't divide by 0
+    scale = jnp.where(scale > 0, scale, 1.0)
     return pts / scale[..., None, None]

@@ -118,6 +118,7 @@ struct Loader {
 
   std::vector<uint32_t> order;
   std::atomic<size_t> next_item{0};
+  std::atomic<long> read_errors{0};  // unreadable/invalid files (see next())
   size_t epoch = 0;
 
   // ring buffer of ready samples
@@ -149,15 +150,18 @@ struct Loader {
 
   void worker(int wid) {
     std::vector<float> raw;
-    active_workers.fetch_add(1);
     while (!stop_flag.load()) {
       const size_t item = next_item.fetch_add(1);
       if (item >= order.size()) break;
       const uint32_t file_idx = order[item];
       int64_t rows = 0, cols = 0;
-      if (!read_npy_points(paths[file_idx], raw, rows, cols) || cols < 3) continue;
-      if (rows <= 0) continue;  // empty cloud: i % take below would SIGFPE
-      if (with_seg && cols < 4) continue;  // need a part-id column
+      // unreadable/invalid files are counted, not silently dropped — the
+      // consumer raises after the epoch so the shortfall is never invisible
+      if (!read_npy_points(paths[file_idx], raw, rows, cols) || cols < 3 ||
+          rows <= 0 || (with_seg && cols < 4)) {
+        read_errors.fetch_add(1);
+        continue;
+      }
 
       Sample s;
       s.pts.resize(static_cast<size_t>(npoints) * 3);
@@ -165,27 +169,39 @@ struct Loader {
       if (with_seg) s.seg.resize(npoints);
       std::mt19937 rng(seed * 2654435761u + static_cast<unsigned>(epoch) * 40503u +
                        file_idx);
-      // random permutation subset of npoints (partial Fisher-Yates)
-      std::vector<uint32_t> idx(rows);
-      for (int64_t i = 0; i < rows; ++i) idx[i] = static_cast<uint32_t>(i);
-      const int64_t take = std::min<int64_t>(npoints, rows);
-      for (int64_t i = 0; i < take; ++i) {
-        std::uniform_int_distribution<int64_t> dist(i, rows - 1);
-        std::swap(idx[i], idx[dist(rng)]);
-        const uint32_t src = idx[i];
-        s.pts[3 * i] = raw[src * cols];
-        s.pts[3 * i + 1] = raw[src * cols + 1];
-        s.pts[3 * i + 2] = raw[src * cols + 2];
-        if (with_seg)
+      if (with_seg) {
+        // WITH replacement: the reference PartNormalDataset subsamples via
+        // np.random.choice(..., replace=True) and the Python ShapeNetPart
+        // reader matches it — the native path must too
+        std::uniform_int_distribution<int64_t> dist(0, rows - 1);
+        for (int64_t i = 0; i < npoints; ++i) {
+          const int64_t src = dist(rng);
+          s.pts[3 * i] = raw[src * cols];
+          s.pts[3 * i + 1] = raw[src * cols + 1];
+          s.pts[3 * i + 2] = raw[src * cols + 2];
           s.seg[i] = static_cast<int32_t>(raw[src * cols + (cols - 1)]);
-      }
-      // pad by repetition if the cloud is smaller than npoints
-      for (int64_t i = take; i < npoints; ++i) {
-        const int64_t src = i % take;
-        s.pts[3 * i] = s.pts[3 * src];
-        s.pts[3 * i + 1] = s.pts[3 * src + 1];
-        s.pts[3 * i + 2] = s.pts[3 * src + 2];
-        if (with_seg) s.seg[i] = s.seg[src];
+        }
+      } else {
+        // WITHOUT replacement (ShapeNet55 contract: shuffled permutation
+        // subset); partial Fisher-Yates
+        std::vector<uint32_t> idx(rows);
+        for (int64_t i = 0; i < rows; ++i) idx[i] = static_cast<uint32_t>(i);
+        const int64_t take = std::min<int64_t>(npoints, rows);
+        for (int64_t i = 0; i < take; ++i) {
+          std::uniform_int_distribution<int64_t> dist(i, rows - 1);
+          std::swap(idx[i], idx[dist(rng)]);
+          const uint32_t src = idx[i];
+          s.pts[3 * i] = raw[src * cols];
+          s.pts[3 * i + 1] = raw[src * cols + 1];
+          s.pts[3 * i + 2] = raw[src * cols + 2];
+        }
+        // pad by repetition if the cloud is smaller than npoints
+        for (int64_t i = take; i < npoints; ++i) {
+          const int64_t src = i % take;
+          s.pts[3 * i] = s.pts[3 * src];
+          s.pts[3 * i + 1] = s.pts[3 * src + 1];
+          s.pts[3 * i + 2] = s.pts[3 * src + 2];
+        }
       }
       pc_normalize(s.pts.data(), npoints);
 
@@ -195,11 +211,25 @@ struct Loader {
       ready.push_back(std::move(s));
       cv_ready.notify_one();
     }
-    active_workers.fetch_sub(1);
+    // predicate state (active_workers) must change under mu: a bare atomic
+    // decrement + notify can fire while the consumer is between its predicate
+    // check and its sleep — the classic lost wakeup, hanging next() at epoch
+    // end
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      active_workers.fetch_sub(1);
+    }
     cv_ready.notify_all();
   }
 
   void start_workers() {
+    // count workers BEFORE they run (and under mu): incrementing inside the
+    // worker would let a consumer observe 0 workers + items remaining and
+    // conclude the epoch ended before it began
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      active_workers.store(num_workers);
+    }
     for (int i = 0; i < num_workers; ++i)
       workers.emplace_back(&Loader::worker, this, i);
   }
@@ -251,7 +281,11 @@ struct Loader {
   }
 
   ~Loader() {
-    stop_flag.store(true);
+    {
+      // under mu for the same lost-wakeup reason as the worker-exit path
+      std::lock_guard<std::mutex> lk(mu);
+      stop_flag.store(true);
+    }
     cv_space.notify_all();
     cv_ready.notify_all();
     join_workers();
@@ -295,6 +329,12 @@ int gm3d_loader_next_labelled(void* handle, float* out, int32_t* out_cls,
 int gm3d_loader_num_batches(void* handle) {
   auto* l = static_cast<Loader*>(handle);
   return static_cast<int>(l->paths.size() / l->batch_size);
+}
+
+// cumulative count of unreadable/invalid files skipped by workers; the
+// Python wrapper raises when this grows so data loss is never silent
+long gm3d_loader_error_count(void* handle) {
+  return static_cast<Loader*>(handle)->read_errors.load();
 }
 
 void gm3d_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

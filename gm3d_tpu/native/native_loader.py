@@ -62,6 +62,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.gm3d_loader_num_batches.restype = ctypes.c_int
     lib.gm3d_loader_num_batches.argtypes = [ctypes.c_void_p]
+    lib.gm3d_loader_error_count.restype = ctypes.c_long
+    lib.gm3d_loader_error_count.argtypes = [ctypes.c_void_p]
     lib.gm3d_loader_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -93,9 +95,25 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def _check_loader_errors(loader):
+    """Raise when workers skipped unreadable/invalid files: a silent skip
+    would shorten the epoch while __len__ still counts every path, skewing
+    steps_per_epoch-derived schedules and hiding data loss."""
+    n = int(loader._lib.gm3d_loader_error_count(loader._handle))
+    if n > getattr(loader, "_errors_seen", 0):
+        loader._errors_seen = n
+        raise RuntimeError(
+            f"native loader: {n} file(s) unreadable or invalid this run — "
+            "fix or remove them (the torch reference would crash on the "
+            "first one; a silent skip would shorten epochs invisibly)")
+
+
 class NativeCloudLoader:
     """Iterates (batch_size, npoints, 3) float32 batches read, subsampled and
     unit-sphere-normalised by C++ worker threads."""
+
+    def _check_errors(self):
+        _check_loader_errors(self)
 
     def __init__(
         self,
@@ -112,6 +130,8 @@ class NativeCloudLoader:
         self._lib = lib
         self.npoints = npoints
         self.batch_size = batch_size
+        # 0 workers would leave next() waiting forever (no producer)
+        num_workers = max(1, int(num_workers))
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         self._handle = lib.gm3d_loader_create(
             arr, len(paths), npoints, batch_size, num_workers, seed, int(shuffle)
@@ -127,6 +147,7 @@ class NativeCloudLoader:
                 self._handle, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             )
             if ok == 0:
+                self._check_errors()
                 return
             yield self._buf.copy()
 
@@ -150,6 +171,9 @@ class NativeLabelledCloudLoader:
     ``with_seg`` the last npy column is returned as per-point int32 part ids
     (the ShapeNetPart ``.npy`` caches are (N, 7) ``x y z nx ny nz part``)."""
 
+    def _check_errors(self):
+        _check_loader_errors(self)
+
     def __init__(
         self,
         paths: List[str],
@@ -169,6 +193,7 @@ class NativeLabelledCloudLoader:
         self.npoints = npoints
         self.batch_size = batch_size
         self.with_seg = with_seg
+        num_workers = max(1, int(num_workers))  # 0 workers = no producer
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         lbl = np.asarray(labels, np.int32)
         self._handle = lib.gm3d_labelled_loader_create(
@@ -191,6 +216,7 @@ class NativeLabelledCloudLoader:
                 self._seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
             if ok == 0:
+                self._check_errors()
                 return
             if self.with_seg:
                 yield self._pts.copy(), self._cls.copy(), self._seg.copy()

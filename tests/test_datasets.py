@@ -92,6 +92,70 @@ class TestModelNet:
         ))
         assert len(ds2) == 4
 
+    def test_corrupt_cache_recovers(self, root):
+        """A truncated .dat (interrupted first-run FPS preprocessing) must
+        not brick the dataset: the reader falls back to re-preprocessing and
+        rewrites the cache atomically (review-pass fix; mirrors
+        ShapeNetPart._load_raw)."""
+        cache = os.path.join(root, "modelnet40_train_8192pts_fps.dat")
+        assert os.path.exists(cache)  # created by test_reads_with_fps_cache
+        with open(cache, "wb") as f:
+            f.write(b"\x80truncated")
+        ds = build_dataset_from_cfg(make_cfg(
+            {"NAME": "ModelNet", "DATA_PATH": root, "N_POINTS": 8192,
+             "NUM_CATEGORY": 40, "USE_NORMALS": False},
+            {"subset": "train", "npoints": 64},
+        ))
+        assert len(ds) == 4
+        _, _, (pts, _) = ds[0]
+        assert np.isfinite(pts).all()
+        # rewritten cache is valid again
+        ds2 = build_dataset_from_cfg(make_cfg(
+            {"NAME": "ModelNet", "DATA_PATH": root, "N_POINTS": 8192,
+             "NUM_CATEGORY": 40, "USE_NORMALS": False},
+            {"subset": "train", "npoints": 64},
+        ))
+        assert len(ds2) == 4
+
+
+def test_pc_normalize_degenerate_cloud_no_nan():
+    """All-identical points have scale 0; normalisation must return the
+    centered cloud, not NaN (matches loader.cpp's maxd > 0 guard)."""
+    from gm3d_tpu.data.datasets import pc_normalize
+
+    out = pc_normalize(np.ones((16, 3), np.float32) * 5.0)
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out, np.zeros((16, 3), np.float32))
+
+
+def test_empty_shapenetpart_item_fails_loudly(tmp_path):
+    """An empty part .txt must raise naming the file, not a generic
+    'low >= high' from rng.integers epochs later (and must not cache the
+    empty parse)."""
+    from gm3d_tpu.data.datasets import ShapeNetPart
+
+    (tmp_path / "bad.txt").write_text("")
+    with pytest.raises(ValueError, match="bad.txt"):
+        ShapeNetPart._load_raw(object.__new__(ShapeNetPart), str(tmp_path / "bad.txt"))
+
+
+def test_device_prefetch_state_tracks_yielded_batch():
+    """The prefetcher pre-pulls batches, advancing the wrapped loader's own
+    state() ahead of training; prefetcher.state() must report the resume
+    token of the LAST YIELDED batch instead (review-pass fix)."""
+    from gm3d_tpu.data.datasets import DataLoader, SyntheticClouds
+    from gm3d_tpu.data.prefetch import device_prefetch
+
+    loader = DataLoader(SyntheticClouds(16, 32), batch_size=4, shuffle=False)
+    pf = device_prefetch(loader, size=2)
+    it = iter(pf)
+    next(it)  # consumed batch 0
+    assert pf.state() == {"epoch": 0, "batch": 1}
+    # the RAW loader has read ahead — exactly the skew the fix addresses
+    assert loader.state()["batch"] > 1
+    next(it)
+    assert pf.state() == {"epoch": 0, "batch": 2}
+
 
 class TestScanObjectNN:
     @pytest.fixture(scope="class")

@@ -138,3 +138,53 @@ class TestNativeLabelledLoader:
         # one epoch covers 6 of 6 items (bs 3 x 2 batches), each exactly once
         assert sorted(all_cls.tolist()) == sorted(labels)
         loader.close()
+
+
+class TestNativeLoaderRobustness:
+    """Review-pass regressions: error surfacing, worker clamp, seg sampling."""
+
+    def test_unreadable_file_raises_not_skips(self, tmp_path):
+        """A corrupt .npy must fail the epoch loudly — a silent skip would
+        shorten the epoch while __len__ still counts every path (schedule /
+        resume arithmetic drift; the torch reference crashes on the first
+        unreadable item)."""
+        good = str(tmp_path / "good.npy")
+        np.save(good, np.random.default_rng(0).standard_normal((64, 3)).astype(np.float32))
+        bad = str(tmp_path / "bad.npy")
+        with open(bad, "wb") as f:
+            f.write(b"not an npy file")
+        loader = NativeCloudLoader([good, bad], npoints=16, batch_size=1, num_workers=1)
+        with pytest.raises(RuntimeError, match="unreadable"):
+            list(loader)
+        loader.close()
+
+    def test_zero_workers_clamped(self, tmp_path):
+        """num_workers=0 would leave next() waiting on a producer that never
+        existed; the wrapper clamps to 1 instead of hanging."""
+        p = str(tmp_path / "c.npy")
+        np.save(p, np.random.default_rng(2).standard_normal((64, 3)).astype(np.float32))
+        loader = NativeCloudLoader([p], npoints=16, batch_size=1, num_workers=0)
+        assert len(list(loader)) == 1
+        loader.close()
+
+    def test_seg_subsamples_with_replacement(self, tmp_path):
+        """ShapeNetPart parity: the reference subsamples with replacement
+        (np.random.choice(..., replace=True), matched by the Python reader),
+        so drawing npoints > rows from a seg item must work and produce
+        duplicate points rather than Fisher-Yates padding."""
+        from gm3d_tpu.native import NativeLabelledCloudLoader
+
+        n = 40
+        xyz = np.random.default_rng(3).standard_normal((n, 3)).astype(np.float32)
+        raw = np.concatenate(
+            [xyz, np.zeros((n, 3), np.float32), np.full((n, 1), 7.0, np.float32)], axis=1)
+        p = str(tmp_path / "seg.npy")
+        np.save(p, raw)
+        loader = NativeLabelledCloudLoader([p], [0], npoints=128, batch_size=1,
+                                           num_workers=1, with_seg=True)
+        ((pts, cls, seg),) = list(loader)
+        assert pts.shape == (1, 128, 3) and np.isfinite(pts).all()
+        assert (seg == 7).all()
+        # 128 draws from 40 rows: duplicates are certain with replacement
+        assert len(np.unique(pts.round(6).reshape(128, 3), axis=0)) < 128
+        loader.close()
