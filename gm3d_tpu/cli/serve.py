@@ -19,6 +19,13 @@ def parse_args():
     p.add_argument("--artifact", required=True, help=".gm3dx path")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--batch_wait_ms", type=float, default=3.0,
+                   help="dynamic batching: max time a lone request waits for "
+                        "company before dispatching (latency bound)")
+    p.add_argument("--no-dynamic_batching", dest="dynamic_batching",
+                   action="store_false", default=True,
+                   help="dispatch each request as its own padded batch "
+                        "instead of coalescing concurrent requests")
     return p.parse_args()
 
 
@@ -27,10 +34,14 @@ def main():
     logger = get_logger("gm3d.serve")
     from gm3d_tpu.serve.server import make_server
 
-    server = make_server(args.artifact, args.host, args.port)
+    server = make_server(args.artifact, args.host, args.port,
+                         batch_wait_ms=args.batch_wait_ms,
+                         dynamic_batching=args.dynamic_batching)
     host, port = server.server_address[:2]
+    mode = (f"dynamic batching, wait<={args.batch_wait_ms}ms"
+            if args.dynamic_batching else "per-request dispatch")
     logger.info(f"serving {args.artifact} on http://{host}:{port} "
-                "(GET /health /info, POST /predict)")
+                f"({mode}; GET /health /info, POST /predict)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

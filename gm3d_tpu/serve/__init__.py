@@ -10,6 +10,8 @@ WITHOUT any model code, on every platform it was lowered for (cpu / tpu).
 Surfaces:
   - :mod:`gm3d_tpu.serve.export`  — artifact format, export/load
   - :mod:`gm3d_tpu.serve.runner`  — :class:`ServingModel` (pad/chunk batching)
+  - :mod:`gm3d_tpu.serve.batcher` — :class:`DynamicBatcher` (coalesce
+    concurrent requests into shared device calls)
   - :mod:`gm3d_tpu.serve.server`  — stdlib HTTP micro-server
   - CLIs: ``gm3d_tpu.cli.export_model``, ``gm3d_tpu.cli.serve``
 """
@@ -21,4 +23,5 @@ from gm3d_tpu.serve.export import (  # noqa: F401
     load_artifact,
     save_artifact,
 )
+from gm3d_tpu.serve.batcher import DynamicBatcher  # noqa: F401
 from gm3d_tpu.serve.runner import ServingModel  # noqa: F401

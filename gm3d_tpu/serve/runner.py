@@ -19,6 +19,26 @@ import numpy as np
 from gm3d_tpu.serve.export import load_artifact
 
 
+def check_points(points: np.ndarray, npoints: int):
+    """Validate and batch-promote request points.
+
+    Returns ``(points (B, npoints, 3) float32, was_single)``; raises
+    ``ValueError`` on any shape-contract violation. Shared by
+    :class:`ServingModel` and the :class:`~gm3d_tpu.serve.batcher.DynamicBatcher`
+    (which must validate on the REQUEST thread, before enqueueing)."""
+    points = np.asarray(points, dtype=np.float32)
+    single = points.ndim == 2
+    if single:
+        points = points[None]
+    if points.ndim != 3 or points.shape[2] != 3:
+        raise ValueError(f"expected (B, N, 3) points, got {points.shape}")
+    if points.shape[1] != npoints:
+        raise ValueError(
+            f"expected {npoints} points per cloud (the exported "
+            f"input size), got {points.shape[1]}")
+    return points, single
+
+
 class ServingModel:
     """Loads a ``.gm3dx`` artifact and serves numpy in / numpy out."""
 
@@ -32,16 +52,7 @@ class ServingModel:
 
     def predict(self, points: np.ndarray) -> np.ndarray:
         """points (B, N, 3) or (N, 3) -> outputs (B, ...) / (...)."""
-        points = np.asarray(points, dtype=np.float32)
-        single = points.ndim == 2
-        if single:
-            points = points[None]
-        if points.ndim != 3 or points.shape[2] != 3:
-            raise ValueError(f"expected (B, N, 3) points, got {points.shape}")
-        if points.shape[1] != self.npoints:
-            raise ValueError(
-                f"expected {self.npoints} points per cloud (the exported "
-                f"input size), got {points.shape[1]}")
+        points, single = check_points(points, self.npoints)
         b = points.shape[0]
         outs = []
         for start in range(0, b, self.batch):

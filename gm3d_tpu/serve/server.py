@@ -23,10 +23,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from gm3d_tpu.serve.batcher import DynamicBatcher
 from gm3d_tpu.serve.runner import ServingModel
 
 
-def _make_handler(model: ServingModel):
+def _make_handler(model: ServingModel, backend):
     class Handler(BaseHTTPRequestHandler):
         # quiet the per-request stderr lines; the CLI logs startup/shutdown
         def log_message(self, fmt, *args):  # noqa: D102
@@ -44,7 +45,14 @@ def _make_handler(model: ServingModel):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
             elif self.path == "/info":
-                self._send(200, model.info)
+                info = model.info
+                if isinstance(backend, DynamicBatcher):
+                    info["dynamic_batching"] = {
+                        "max_wait_ms": backend.max_wait * 1000.0,
+                        "device_calls": backend.device_calls,
+                        "clouds_served": backend.clouds_served,
+                    }
+                self._send(200, info)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -70,7 +78,7 @@ def _make_handler(model: ServingModel):
                 self._send(400, {"error": str(e)})
                 return
             try:
-                out = model.predict(points)
+                out = backend.predict(points)
             except ValueError as e:  # shape contract violations -> client error
                 self._send(400, {"error": str(e)})
                 return
@@ -85,9 +93,29 @@ def _make_handler(model: ServingModel):
     return Handler
 
 
-def make_server(artifact_path: str, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+class _Server(ThreadingHTTPServer):
+    """ThreadingHTTPServer that owns an optional DynamicBatcher; closing the
+    server stops the batcher thread (pending requests are served first)."""
+
+    batcher: DynamicBatcher | None = None
+
+    def server_close(self):
+        if self.batcher is not None:
+            self.batcher.close()
+        super().server_close()
+
+
+def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
+                batch_wait_ms: float = 3.0,
+                dynamic_batching: bool = True) -> ThreadingHTTPServer:
     """Build (but don't start) the server; ``port=0`` picks a free port
-    (``server.server_address[1]`` reports it) — used by the tests."""
+    (``server.server_address[1]`` reports it) — used by the tests.
+
+    ``dynamic_batching`` coalesces concurrent requests into shared device
+    calls (see ``serve/batcher.py``); off = each request dispatches its own
+    padded batch, the pre-batcher behavior."""
     model = ServingModel(artifact_path)
-    return ThreadingHTTPServer((host, port), _make_handler(model))
+    backend = DynamicBatcher(model, batch_wait_ms) if dynamic_batching else model
+    server = _Server((host, port), _make_handler(model, backend))
+    server.batcher = backend if isinstance(backend, DynamicBatcher) else None
+    return server

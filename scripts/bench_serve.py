@@ -38,6 +38,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import gm3d_tpu.cli.common  # noqa: F401,E402  honors GM3D_PLATFORM=cpu BEFORE backend init (the axon TPU plugin
+# ignores JAX_PLATFORMS; without this a "CPU" run grabs the real chip and
+# collides with any TPU process already running)
+
 
 
 def random_variables(model, example, seed: int = 0):
@@ -74,6 +78,11 @@ def main():
     ap.add_argument("--quantize", choices=["int8"], default=None,
                     help="benchmark the dynamic-w8a8 export "
                          "(serve/quantize.py) instead of the fp one")
+    ap.add_argument("--concurrent", type=int, default=0,
+                    help="also measure N-thread single-cloud request "
+                         "throughput, DynamicBatcher vs per-request dispatch")
+    ap.add_argument("--concurrent_requests", type=int, default=64)
+    ap.add_argument("--batch_wait_ms", type=float, default=3.0)
     args = ap.parse_args()
 
     import jax
@@ -168,6 +177,39 @@ def main():
             e2e_windows.append(args.batch * 2 / dt)
         e2e_cps = max(e2e_windows)
 
+        # --- concurrent single-cloud requests: the production pattern the
+        # DynamicBatcher exists for. Without it every request pads to the
+        # full static batch host-side and dispatches (and, through this
+        # tunnel, UPLOADS) a whole batch for one cloud's worth of answer.
+        conc = None
+        if args.concurrent > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from gm3d_tpu.serve.batcher import DynamicBatcher
+
+            n_req = args.concurrent_requests
+            reqs = [host_pts[i % args.batch] for i in range(n_req)]
+
+            def run_concurrent(backend):
+                with ThreadPoolExecutor(max_workers=args.concurrent) as ex:
+                    t0 = time.perf_counter()
+                    list(ex.map(backend.predict, reqs))
+                    return n_req / (time.perf_counter() - t0)
+
+            unbatched_rps = run_concurrent(sm)
+            batcher = DynamicBatcher(sm, max_wait_ms=args.batch_wait_ms)
+            batched_rps = run_concurrent(batcher)
+            conc = {
+                "threads": args.concurrent,
+                "requests": n_req,
+                "batched_rps": round(batched_rps, 1),
+                "unbatched_rps": round(unbatched_rps, 1),
+                "speedup": round(batched_rps / unbatched_rps, 2),
+                "device_calls_batched": batcher.device_calls,
+                "batch_wait_ms": args.batch_wait_ms,
+            }
+            batcher.close()
+
     print(json.dumps({
         "metric": "serve_device_clouds_per_sec",
         "value": round(device_cps, 1),
@@ -185,6 +227,7 @@ def main():
         "calls_per_dispatch": args.calls,
         "artifact_mb": round(artifact_mb, 1),
         "backend": jax.default_backend(),
+        **({"concurrent": conc} if conc else {}),
     }))
 
 

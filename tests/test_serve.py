@@ -340,3 +340,156 @@ def test_http_server_endpoints(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+class TestDynamicBatcher:
+    """Dynamic request batching (serve/batcher.py): concurrent small
+    requests must coalesce into shared device calls without changing any
+    output (the artifact batch is static — uncoalesced, K concurrent
+    single-cloud requests pay K full-batch dispatches)."""
+
+    def _model(self, tmp_path, batch=4):
+        from gm3d_tpu.serve import ServingModel
+
+        path, fn = export_tiny_artifact(tmp_path, batch=batch)
+        return ServingModel(path), fn
+
+    def test_matches_direct_predict(self, tmp_path):
+        from gm3d_tpu.serve import DynamicBatcher
+
+        model, _ = self._model(tmp_path)
+        b = DynamicBatcher(model, max_wait_ms=1.0)
+        try:
+            rng = np.random.RandomState(0)
+            close = lambda a, b: np.testing.assert_allclose(  # noqa: E731
+                a, b, rtol=1e-5, atol=1e-6)
+            single = rng.randn(96, 3).astype(np.float32)
+            close(b.predict(single), model.predict(single))
+            for n in (1, 3, 4, 7):  # under, at, and over the artifact batch
+                pts = rng.randn(n, 96, 3).astype(np.float32)
+                close(b.predict(pts), model.predict(pts))
+        finally:
+            b.close()
+
+    def test_concurrent_requests_coalesce(self, tmp_path):
+        """8 threads x 1 cloud against a batch-4 artifact: results match the
+        direct path and the device dispatches FEWER than 8 calls (>= 2 are
+        needed; without batching it is exactly 8)."""
+        from gm3d_tpu.serve import DynamicBatcher
+
+        model, _ = self._model(tmp_path, batch=4)
+        calls = {"n": 0}
+        inner = model._fn
+
+        def counting_fn(chunk):
+            calls["n"] += 1
+            return inner(chunk)
+
+        model._fn = counting_fn
+        b = DynamicBatcher(model, max_wait_ms=50.0)
+        try:
+            rng = np.random.RandomState(1)
+            clouds = rng.randn(8, 96, 3).astype(np.float32)
+            ref = model.predict(clouds)  # 2 chunked calls, not via batcher
+            calls["n"] = 0
+            results = [None] * 8
+            start = threading.Barrier(8)
+
+            def worker(i):
+                start.wait()
+                results[i] = b.predict(clouds[i])
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i in range(8):
+                np.testing.assert_allclose(results[i], ref[i],
+                                           rtol=1e-5, atol=1e-6)
+            assert 2 <= calls["n"] < 8, calls["n"]
+            assert b.clouds_served == 8 and b.device_calls == calls["n"]
+        finally:
+            b.close()
+
+    def test_shape_errors_raise_in_caller(self, tmp_path):
+        from gm3d_tpu.serve import DynamicBatcher
+
+        model, _ = self._model(tmp_path)
+        b = DynamicBatcher(model, max_wait_ms=1.0)
+        try:
+            with pytest.raises(ValueError, match="expected"):
+                b.predict(np.zeros((2, 96, 2), np.float32))  # wrong last dim
+            with pytest.raises(ValueError, match="96"):
+                b.predict(np.zeros((2, 32, 3), np.float32))  # wrong npoints
+            # the batcher still works after rejected requests
+            assert b.predict(np.zeros((96, 3), np.float32)).shape == (5,)
+        finally:
+            b.close()
+
+    def test_device_failure_propagates_to_all_waiters(self, tmp_path):
+        from gm3d_tpu.serve import DynamicBatcher
+
+        model, _ = self._model(tmp_path)
+
+        def boom(chunk):
+            raise RuntimeError("device gone")
+
+        model._fn = boom
+        b = DynamicBatcher(model, max_wait_ms=1.0)
+        try:
+            with pytest.raises(RuntimeError, match="device gone"):
+                b.predict(np.zeros((2, 96, 3), np.float32))
+        finally:
+            b.close()
+
+    def test_close_rejects_new_requests(self, tmp_path):
+        from gm3d_tpu.serve import DynamicBatcher
+
+        model, _ = self._model(tmp_path)
+        b = DynamicBatcher(model, max_wait_ms=1.0)
+        b.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            b.predict(np.zeros((96, 3), np.float32))
+
+
+def test_http_server_dynamic_batching(tmp_path):
+    """End-to-end through HTTP: concurrent single-cloud POSTs coalesce
+    (visible in /info counters) and return the same labels as a direct
+    batched predict; server_close stops the batcher thread."""
+    from gm3d_tpu.serve.server import make_server
+
+    path, fn = export_tiny_artifact(tmp_path, batch=4)
+    server = make_server(path, port=0, batch_wait_ms=50.0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{host}:{port}"
+    try:
+        pts = np.random.RandomState(7).randn(6, 96, 3).astype(np.float32)
+        ref_labels = np.argmax(np.asarray(fn(jnp.asarray(pts))), -1).tolist()
+        labels = [None] * 6
+        start = threading.Barrier(6)
+
+        def post(i):
+            start.wait()
+            body = json.dumps({"points": pts[i].tolist()}).encode()
+            code, out = _http(base + "/predict", body,
+                              {"Content-Type": "application/json"})
+            labels[i] = (code, out["label"])
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert [l for _, l in labels] == ref_labels
+        assert all(c == 200 for c, _ in labels)
+        code, info = _http(base + "/info")
+        db = info["dynamic_batching"]
+        assert db["clouds_served"] == 6 and db["device_calls"] < 6
+    finally:
+        server.shutdown()
+        server.server_close()
+    assert not server.batcher._thread.is_alive()
