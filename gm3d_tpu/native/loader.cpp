@@ -142,6 +142,10 @@ struct Loader {
   }
 
   void reshuffle() {
+    // rebuild from identity so the order is purely f(seed, epoch) — shuffling
+    // the previous epoch's order in place would make it history-dependent and
+    // unrestorable by set_epoch (the resume contract)
+    for (uint32_t i = 0; i < order.size(); ++i) order[i] = i;
     if (shuffle) {
       std::mt19937 rng(seed + static_cast<unsigned>(epoch));
       std::shuffle(order.begin(), order.end(), rng);
@@ -268,13 +272,27 @@ struct Loader {
     return 1;
   }
 
-  void advance_epoch() {
+  void advance_epoch() { set_epoch(epoch + 1); }
+
+  // jump to an arbitrary epoch's shuffle order (resume support: the Python
+  // DataLoader reshuffles as f(seed, epoch) and restores on load_state; the
+  // native path must honor the same contract or a resumed run silently
+  // replays epoch-0 order). Safe mid-epoch: in-flight workers are stopped
+  // (they may be blocked on cv_space), queued samples discarded, and the
+  // epoch rebuilt from item 0.
+  void set_epoch(size_t e) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop_flag.store(true);
+    }
+    cv_space.notify_all();
     join_workers();
+    stop_flag.store(false);
     {
       std::lock_guard<std::mutex> lk(mu);
       ready.clear();
     }
-    epoch++;
+    epoch = e;
     reshuffle();
     next_item.store(0);
     start_workers();
@@ -335,6 +353,17 @@ int gm3d_loader_num_batches(void* handle) {
 // Python wrapper raises when this grows so data loss is never silent
 long gm3d_loader_error_count(void* handle) {
   return static_cast<Loader*>(handle)->read_errors.load();
+}
+
+// resume support: jump to epoch e's deterministic shuffle order (f(seed, e),
+// the Python DataLoader contract) / report the current epoch. Call from the
+// consumer thread only (same thread as gm3d_loader_next).
+void gm3d_loader_set_epoch(void* handle, int epoch) {
+  static_cast<Loader*>(handle)->set_epoch(static_cast<size_t>(epoch));
+}
+
+int gm3d_loader_epoch(void* handle) {
+  return static_cast<int>(static_cast<Loader*>(handle)->epoch);
 }
 
 void gm3d_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

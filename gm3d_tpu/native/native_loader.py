@@ -64,6 +64,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gm3d_loader_num_batches.argtypes = [ctypes.c_void_p]
     lib.gm3d_loader_error_count.restype = ctypes.c_long
     lib.gm3d_loader_error_count.argtypes = [ctypes.c_void_p]
+    lib.gm3d_loader_set_epoch.restype = None
+    lib.gm3d_loader_set_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gm3d_loader_epoch.restype = ctypes.c_int
+    lib.gm3d_loader_epoch.argtypes = [ctypes.c_void_p]
     lib.gm3d_loader_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -108,7 +112,29 @@ def _check_loader_errors(loader):
             "first one; a silent skip would shorten epochs invisibly)")
 
 
-class NativeCloudLoader:
+class _EpochControl:
+    """Resume contract shared with the Python DataLoader: the shuffle order
+    is f(seed, epoch), so restoring the epoch restores the sequence. The CLIs
+    call ``load_state({"epoch": e, "batch": 0})`` on ``--resume``
+    (``cli/pretrain.py``) — without this the native path silently replayed
+    epoch-0 order after resume. Mid-epoch positions are not restored (the
+    CLIs checkpoint at epoch boundaries; see ``data/prefetch.py``)."""
+
+    @property
+    def epoch(self) -> int:
+        return int(self._lib.gm3d_loader_epoch(self._handle))
+
+    def set_epoch(self, epoch: int) -> None:
+        self._lib.gm3d_loader_set_epoch(self._handle, int(epoch))
+
+    def state(self) -> dict:
+        return {"epoch": self.epoch, "batch": 0}
+
+    def load_state(self, state: dict) -> None:
+        self.set_epoch(int(state.get("epoch", 0)))
+
+
+class NativeCloudLoader(_EpochControl):
     """Iterates (batch_size, npoints, 3) float32 batches read, subsampled and
     unit-sphere-normalised by C++ worker threads."""
 
@@ -163,7 +189,7 @@ class NativeCloudLoader:
             pass
 
 
-class NativeLabelledCloudLoader:
+class NativeLabelledCloudLoader(_EpochControl):
     """Labelled variant: yields ``(pts, cls)`` — or ``(pts, cls, seg)`` with
     ``with_seg=True`` — batches assembled by the C++ worker threads. The class
     label travels with each sample through the ring buffer (Sample struct in
