@@ -42,6 +42,14 @@ def main():
             if args.dynamic_batching else "per-request dispatch")
     logger.info(f"serving {args.artifact} on http://{host}:{port} "
                 f"({mode}; GET /health /info, POST /predict)")
+    # orchestrators stop containers with SIGTERM; route it through the same
+    # graceful path as ctrl-C (serve_forever unwinds, batcher drains + joins)
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
