@@ -13,6 +13,8 @@ from gm3d_tpu.ckpt.checkpoint import (
     latest_step,
     save_best_metrics,
     load_best_metrics,
+    save_loader_state,
+    load_loader_state,
 )
 from gm3d_tpu.ckpt.torch_import import (
     export_torch_checkpoint,
@@ -28,6 +30,8 @@ __all__ = [
     "latest_step",
     "save_best_metrics",
     "load_best_metrics",
+    "save_loader_state",
+    "load_loader_state",
     "export_torch_checkpoint",
     "import_torch_checkpoint",
     "torch_key_to_flax",

@@ -31,6 +31,27 @@ def load_best_metrics(ckpt_dir: str) -> dict:
         return json.load(f)
 
 
+def save_loader_state(ckpt_dir: str, state: dict) -> None:
+    """Persist the data-loader resume token ``{"epoch", "batch"}`` next to the
+    rolling checkpoint (mid-epoch saves, ``--save_steps``): restoring the
+    model state without the loader position would replay already-trained
+    batches. Written atomically, like the best-metrics sidecar."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, "loader_state.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def load_loader_state(ckpt_dir: str) -> dict:
+    path = os.path.join(ckpt_dir, "loader_state.json")
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
         os.path.abspath(ckpt_dir),

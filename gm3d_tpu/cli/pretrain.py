@@ -107,6 +107,14 @@ def parse_args():
     p.add_argument("--save_interval", type=int, default=100,
                    help="periodic epoch snapshots under <ckpt>/epochs "
                         "(reference saves every 100 epochs); 0 disables")
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="also checkpoint every N optimizer steps WITHIN an "
+                        "epoch (rolling last + loader position sidecar); "
+                        "resume continues mid-epoch without replaying "
+                        "batches. 0 (default) = epoch-boundary saves only, "
+                        "the reference cadence. With --native_loader the "
+                        "loader position is epoch-granular (the resumed "
+                        "epoch restarts from its first batch)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace (TensorBoard/Perfetto) "
                         "of the first --profile_steps DISPATCHES (each holds "
@@ -371,10 +379,22 @@ def main():
     if prof_remaining:
         jax.profiler.start_trace(args.profile_dir)
     start_epoch = int(state.step) // steps_per_epoch
+    loader_token = {}
+    if args.resume:
+        # mid-epoch saves (--save_steps) leave a loader-position sidecar; it
+        # names the exact next batch, superseding the derived epoch boundary
+        from gm3d_tpu.ckpt import load_loader_state
+
+        loader_token = load_loader_state(ckpt_dir)
+        if loader_token:
+            start_epoch = int(loader_token.get("epoch", start_epoch))
     if hasattr(train_loader, "load_state"):
         # continue the deterministic shuffle sequence on resume (the epoch-e
         # order is a pure function of (seed, e) — see data.datasets.DataLoader)
-        train_loader.load_state({"epoch": start_epoch, "batch": 0})
+        train_loader.load_state(loader_token or {"epoch": start_epoch, "batch": 0})
+    from gm3d_tpu.ckpt import save_loader_state
+
+    last_saved_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
         t0 = time.time()
@@ -399,7 +419,23 @@ def main():
         pending = []
         from gm3d_tpu.data.prefetch import device_prefetch
 
-        for it, pts in enumerate(device_prefetch(train_loader, sharding=bshard)):
+        prefetcher = device_prefetch(train_loader, sharding=bshard)
+
+        def maybe_save_steps():
+            # mid-epoch rolling save + the loader position of the NEXT batch
+            # (prefetcher.state(): the token as of the last yielded batch, so
+            # resume replays nothing — data/prefetch.py)
+            nonlocal last_saved_step
+            if not args.save_steps:
+                return
+            if int(state.step) - last_saved_step < args.save_steps:
+                return
+            save_checkpoint(ckpt_dir, state, int(state.step))
+            save_loader_state(ckpt_dir,
+                              prefetcher.state() or {"epoch": epoch, "batch": 0})
+            last_saved_step = int(state.step)
+
+        for it, pts in enumerate(prefetcher):
             rng, key = jax.random.split(rng)
             if use_multi:
                 pending.append((pts, key))
@@ -431,6 +467,7 @@ def main():
             # NaN-loss hard exit (engine_pretrain_Classifier_SVM.py:232-234);
             # the loss is already read for the meters, so no extra host sync
             check_finite_loss(loss_val, logger)
+            maybe_save_steps()
             if prof_remaining:
                 prof_remaining -= 1
                 if prof_remaining == 0:
@@ -459,13 +496,16 @@ def main():
             check_finite_loss(float(metrics["loss"]), logger)
         stats = meter.global_avgs()
         epoch_time = time.time() - t0
+        # meter coverage: equals steps_per_epoch regardless of
+        # --steps_per_dispatch (every scanned step feeds the meters); fewer
+        # only on a mid-epoch resume (--save_steps), where throughput must
+        # count the steps actually run
+        n_steps = meter.meters["loss"].count if "loss" in meter.meters else 0
         stats.update(epoch=epoch, time=round(epoch_time, 2),
                      # the schedule's axis is optimizer UPDATES
                      lr=float(sched(int(state.step) // args.accum_iter)),
-                     # meter coverage: must equal steps_per_epoch regardless of
-                     # --steps_per_dispatch (every scanned step feeds the meters)
-                     steps=meter.meters["loss"].count if "loss" in meter.meters else 0,
-                     clouds_per_sec=round(steps_per_epoch * batch / max(epoch_time, 1e-9), 1))
+                     steps=n_steps,
+                     clouds_per_sec=round(n_steps * batch / max(epoch_time, 1e-9), 1))
 
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
             # the reference validates the STUDENT, not the EMA (main_pretrain
@@ -488,6 +528,10 @@ def main():
         # rolling last-epoch save (*_temp_last.pth parity — crash resume
         # continues from the last completed epoch, not the last best)
         save_checkpoint(ckpt_dir, state, int(state.step))
+        # keep the loader sidecar in lockstep: a resume after a COMPLETED
+        # epoch must not replay from a stale mid-epoch token
+        save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
+        last_saved_step = int(state.step)
         if args.save_interval and (epoch + 1) % args.save_interval == 0:
             # periodic snapshots every N epochs ({model}_{epoch:04d}.pth parity)
             save_checkpoint(os.path.join(ckpt_dir, "epochs"), state,

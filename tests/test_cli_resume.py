@@ -89,3 +89,52 @@ def test_pretrain_resume_continues_epochs(tmp_path):
     assert [e["epoch"] for e in log] == [0, 1, 2, 3], log
     # the step counter continued (2 steps/epoch at 16 samples / batch 8)
     assert log[-1]["steps"] == 2
+
+
+def test_pretrain_save_steps_mid_epoch_crash_resume(tmp_path, monkeypatch):
+    """--save_steps: a crash mid-epoch resumes from the last step-level save
+    WITHOUT replaying already-trained batches (the loader-position sidecar
+    names the exact next batch). Total optimizer steps across crash + resume
+    must equal an uninterrupted run's."""
+    from gm3d_tpu.ckpt import load_loader_state
+    from gm3d_tpu.ckpt.checkpoint import latest_step
+    from gm3d_tpu.utils import debug as dbg
+
+    out = str(tmp_path / "run")
+    ckpt = os.path.join(out, "ckpt")
+    base = [
+        "pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+        "--learn_feature_loss", "ema", "--steps_per_dispatch", "1",
+        "--batch_size", "8", "--synthetic_samples", "32", "--save_steps", "1",
+        "--val_freq", "100", "--output_dir", out,
+    ]
+
+    # crash on the 3rd step (after its loss check, BEFORE its save): the
+    # rolling ckpt holds step 2 and the sidecar points at epoch 0 / batch 2
+    orig = dbg.check_finite_loss
+    calls = {"n": 0}
+
+    def crashing(loss_value, logger=None, exit_on_nan=True):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected crash")
+        return orig(loss_value, logger, exit_on_nan)
+
+    monkeypatch.setattr(dbg, "check_finite_loss", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_cli("gm3d_tpu.cli.pretrain", base + ["--epochs", "2"])
+    monkeypatch.setattr(dbg, "check_finite_loss", orig)
+
+    assert latest_step(ckpt) == 2
+    assert load_loader_state(ckpt) == {"epoch": 0, "batch": 2}
+
+    # resume: finishes epoch 0 from batch 2 (2 steps) then epoch 1 (4 steps)
+    run_cli("gm3d_tpu.cli.pretrain", base + ["--epochs", "2", "--resume"])
+    # 4 steps/epoch x 2 epochs; replaying batches would overshoot 8
+    assert latest_step(ckpt) == 8
+    log = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert [e["epoch"] for e in log] == [0, 1]
+    assert log[0]["steps"] == 2  # the resumed partial epoch ran 2 steps only
+    assert log[1]["steps"] == 4
+    # completed-epoch sidecar points at the next epoch boundary
+    assert load_loader_state(ckpt) == {"epoch": 2, "batch": 0}
