@@ -29,6 +29,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--val_freq", type=int, default=1)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="also checkpoint every N optimizer steps WITHIN an "
+                        "epoch (rolling last + loader-position sidecar); "
+                        "resume continues mid-epoch without replaying "
+                        "batches. 0 (default) = epoch-boundary saves only, "
+                        "the reference cadence. With --native_loader the "
+                        "loader position is epoch-granular (the resumed "
+                        "epoch restarts from its first batch)")
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic clouds instead of on-disk datasets")
     p.add_argument("--synthetic_samples", type=int, default=512)

@@ -183,13 +183,37 @@ def main():
             logger.info(f"resumed from step {int(restored.step)} (epoch "
                         f"{start_epoch}, best inst mIoU "
                         f"{best['instance_miou']*100:.2f})")
-            if hasattr(train_loader, "load_state"):  # native loader has none
-                train_loader.load_state({"epoch": start_epoch, "batch": 0})
+            # mid-epoch saves (--save_steps) leave a loader-position sidecar
+            # naming the exact next batch (see cli/pretrain.py)
+            from gm3d_tpu.ckpt import load_loader_state
+
+            loader_token = load_loader_state(ckpt_dir)
+            if loader_token:
+                start_epoch = int(loader_token.get("epoch", start_epoch))
+            if hasattr(train_loader, "load_state"):
+                train_loader.load_state(
+                    loader_token or {"epoch": start_epoch, "batch": 0})
+    from gm3d_tpu.ckpt import save_loader_state
+
+    last_saved_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
         t0 = time.time()
         pending = []
-        for pts, cls_label, seg in device_prefetch(train_loader, sharding=bshard):
+        prefetcher = device_prefetch(train_loader, sharding=bshard)
+
+        def maybe_save_steps():
+            nonlocal last_saved_step
+            if not args.save_steps:
+                return
+            if int(state.step) - last_saved_step < args.save_steps:
+                return
+            save_checkpoint(ckpt_dir, state, int(state.step))
+            save_loader_state(ckpt_dir,
+                              prefetcher.state() or {"epoch": epoch, "batch": 0})
+            last_saved_step = int(state.step)
+
+        for pts, cls_label, seg in prefetcher:
             rng, key = jax.random.split(rng)
             if use_multi:
                 pending.append((pts, cls_label, seg, key))
@@ -209,6 +233,7 @@ def main():
                 loss_val = float(metrics["loss"])
             # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
             check_finite_loss(loss_val, logger)
+            maybe_save_steps()
         # flush a partial multi-dispatch group as single steps
         for pts, cls_label, seg, key in pending:
             state, metrics = step_fn(state, pts, cls_label, seg, key)
@@ -241,6 +266,9 @@ def main():
                 save_best_metrics(ckpt_dir, best)
         # rolling last-epoch save (ckpt-last.pth parity)
         save_checkpoint(ckpt_dir, state, int(state.step))
+        # keep the loader sidecar in lockstep (see cli/pretrain.py)
+        save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
+        last_saved_step = int(state.step)
         logger.info(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
         jsonl.write(stats)

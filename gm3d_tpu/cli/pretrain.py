@@ -107,14 +107,6 @@ def parse_args():
     p.add_argument("--save_interval", type=int, default=100,
                    help="periodic epoch snapshots under <ckpt>/epochs "
                         "(reference saves every 100 epochs); 0 disables")
-    p.add_argument("--save_steps", type=int, default=0,
-                   help="also checkpoint every N optimizer steps WITHIN an "
-                        "epoch (rolling last + loader position sidecar); "
-                        "resume continues mid-epoch without replaying "
-                        "batches. 0 (default) = epoch-boundary saves only, "
-                        "the reference cadence. With --native_loader the "
-                        "loader position is epoch-granular (the resumed "
-                        "epoch restarts from its first batch)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace (TensorBoard/Perfetto) "
                         "of the first --profile_steps DISPATCHES (each holds "
