@@ -2,7 +2,8 @@
 
   python -m gm3d_tpu.cli.serve --artifact model.gm3dx --port 8765
 
-One process per chip; front N replicas with a load balancer to scale out.
+One process per host (``--num_devices -1`` fans request chunks over all
+local chips); front N host replicas with a load balancer to scale out.
 See ``gm3d_tpu/serve/server.py`` for the endpoint contract.
 """
 
@@ -26,6 +27,10 @@ def parse_args():
                    action="store_false", default=True,
                    help="dispatch each request as its own padded batch "
                         "instead of coalescing concurrent requests")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="fan multi-chunk requests out over this many local "
+                        "chips (round-robin, async dispatch; -1 = all). One "
+                        "server process per HOST; load-balance across hosts")
     return p.parse_args()
 
 
@@ -36,10 +41,14 @@ def main():
 
     server = make_server(args.artifact, args.host, args.port,
                          batch_wait_ms=args.batch_wait_ms,
-                         dynamic_batching=args.dynamic_batching)
+                         dynamic_batching=args.dynamic_batching,
+                         num_devices=args.num_devices)
     host, port = server.server_address[:2]
     mode = (f"dynamic batching, wait<={args.batch_wait_ms}ms"
             if args.dynamic_batching else "per-request dispatch")
+    if server.serving_model.devices:
+        mode += (f"; fan-out over {len(server.serving_model.devices)} "
+                 "local devices")
     logger.info(f"serving {args.artifact} on http://{host}:{port} "
                 f"({mode}; GET /health /info, POST /predict)")
     # orchestrators stop containers with SIGTERM; route it through the same

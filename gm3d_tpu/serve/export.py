@@ -161,4 +161,9 @@ def load_artifact(path: str) -> Tuple[Callable, Dict[str, Any]]:
                 "ServingModel.predict handles ragged batches by padding")
         return np.asarray(call(points))
 
+    # async device-level entry: takes a (possibly device-committed) array of
+    # the exported shape and returns the jit future WITHOUT a host read —
+    # ServingModel uses it to overlap chunk dispatches across local chips
+    # (jit runs on the device the input is committed to)
+    fn.device_call = call
     return fn, manifest

@@ -8,11 +8,18 @@ path). :class:`ServingModel` maps arbitrary request sizes onto it:
   - ``B > batch``: chunk into ceil(B / batch) calls
 
 Padding clouds are all-zeros; their outputs are discarded, never returned.
+
+Multi-chip fan-out: with ``devices=[...]`` the chunks of a large request are
+round-robined across local chips and dispatched asynchronously (the host
+read happens only after every chunk is in flight), so a host that owns N
+chips serves from one process instead of N artifact replicas. Each chunk is
+still the single-device exported program — this is request-level data
+parallelism, the right shape for inference (no cross-chip collectives).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 
@@ -40,27 +47,47 @@ def check_points(points: np.ndarray, npoints: int):
 
 
 class ServingModel:
-    """Loads a ``.gm3dx`` artifact and serves numpy in / numpy out."""
+    """Loads a ``.gm3dx`` artifact and serves numpy in / numpy out.
 
-    def __init__(self, path: str):
+    ``devices``: optional sequence of local ``jax.Device`` to fan chunks out
+    over (round-robin, async dispatch). ``None`` (default) keeps the
+    single-device synchronous path."""
+
+    def __init__(self, path: str, devices: Optional[Sequence] = None):
         self._fn, self.manifest = load_artifact(path)
         self.batch, self.npoints, _ = self.manifest["input_shape"]
+        self.devices = list(devices) if devices else None
+        self._in_dtype = np.dtype(self.manifest["input_dtype"])
 
     @property
     def info(self) -> Dict[str, Any]:
-        return dict(self.manifest)
+        info = dict(self.manifest)
+        if self.devices:
+            info["serving_devices"] = len(self.devices)
+        return info
 
     def predict(self, points: np.ndarray) -> np.ndarray:
         """points (B, N, 3) or (N, 3) -> outputs (B, ...) / (...)."""
         points, single = check_points(points, self.npoints)
         b = points.shape[0]
-        outs = []
-        for start in range(0, b, self.batch):
+        pending = []  # (result or jit future, valid rows)
+        for i, start in enumerate(range(0, b, self.batch)):
             chunk = points[start:start + self.batch]
-            if chunk.shape[0] < self.batch:
-                pad = np.zeros((self.batch - chunk.shape[0],) + chunk.shape[1:],
+            n = chunk.shape[0]
+            if n < self.batch:
+                pad = np.zeros((self.batch - n,) + chunk.shape[1:],
                                np.float32)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            outs.append(self._fn(chunk))
-        out = np.concatenate(outs, axis=0)[:b]
+            if self.devices:
+                import jax
+
+                dev = self.devices[i % len(self.devices)]
+                arr = jax.device_put(chunk.astype(self._in_dtype, copy=False),
+                                     dev)
+                # async: jit returns a future; all chunks go in flight
+                # before any host read below
+                pending.append((self._fn.device_call(arr), n))
+            else:
+                pending.append((self._fn(chunk), n))
+        out = np.concatenate([np.asarray(o)[:n] for o, n in pending], axis=0)
         return out[0] if single else out

@@ -1,9 +1,11 @@
 """Stdlib HTTP micro-server over a :class:`ServingModel`.
 
-Zero extra dependencies (``http.server``), threaded, one process per chip —
-scale-out is a load balancer in front of N replicas, which matches how a
-single-chip inference artifact should be deployed (the data-parallel mesh is
-a TRAINING construct; serving wants independent replicas).
+Zero extra dependencies (``http.server``), threaded, one process per HOST —
+``num_devices`` fans request chunks out over the host's local chips
+(round-robin, async dispatch; see ``serve/runner.py``), and scale-out beyond
+one host is a load balancer in front of N host replicas. The data-parallel
+mesh is a TRAINING construct; serving wants independent per-chip programs,
+not collectives.
 
 Endpoints:
   GET  /health    -> {"status": "ok"}
@@ -107,15 +109,26 @@ class _Server(ThreadingHTTPServer):
 
 def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
                 batch_wait_ms: float = 3.0,
-                dynamic_batching: bool = True) -> ThreadingHTTPServer:
+                dynamic_batching: bool = True,
+                num_devices: int = 1) -> ThreadingHTTPServer:
     """Build (but don't start) the server; ``port=0`` picks a free port
     (``server.server_address[1]`` reports it) — used by the tests.
 
     ``dynamic_batching`` coalesces concurrent requests into shared device
     calls (see ``serve/batcher.py``); off = each request dispatches its own
-    padded batch, the pre-batcher behavior."""
-    model = ServingModel(artifact_path)
+    padded batch, the pre-batcher behavior.
+
+    ``num_devices``: fan multi-chunk requests out over this many local
+    devices (-1 = all); 1 keeps the single-device path."""
+    devices = None
+    if num_devices != 1:
+        import jax
+
+        local = jax.local_devices()
+        devices = local if num_devices in (-1, 0) else local[:num_devices]
+    model = ServingModel(artifact_path, devices=devices)
     backend = DynamicBatcher(model, batch_wait_ms) if dynamic_batching else model
     server = _Server((host, port), _make_handler(model, backend))
     server.batcher = backend if isinstance(backend, DynamicBatcher) else None
+    server.serving_model = model
     return server

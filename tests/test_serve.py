@@ -493,3 +493,35 @@ def test_http_server_dynamic_batching(tmp_path):
         server.shutdown()
         server.server_close()
     assert not server.batcher._thread.is_alive()
+
+
+def test_multi_device_fanout_matches_single_device(tmp_path):
+    """Chunks of a large request round-robin over the 8 virtual CPU devices
+    with async dispatch (serve/runner.py fan-out); results must equal the
+    single-device path (same exported program on every device)."""
+    from gm3d_tpu.serve import ServingModel
+
+    path, _ = export_tiny_artifact(tmp_path, batch=4)
+    single = ServingModel(path)
+    fan = ServingModel(path, devices=jax.devices())
+    # 14 clouds = 3 chunks of the batch-4 artifact across >1 device, with a
+    # padded tail chunk
+    pts = np.random.RandomState(1).randn(14, 96, 3).astype(np.float32)
+    np.testing.assert_array_equal(fan.predict(pts), single.predict(pts))
+    assert fan.info["serving_devices"] == len(jax.devices())
+    # single-cloud promotion still works through the fan-out path
+    np.testing.assert_array_equal(fan.predict(pts[0]), single.predict(pts[0]))
+
+
+def test_make_server_device_fanout(tmp_path):
+    """--num_devices -1 builds a ServingModel over all local devices."""
+    from gm3d_tpu.serve.server import make_server
+
+    path, _ = export_tiny_artifact(tmp_path, batch=4)
+    server = make_server(path, num_devices=-1)
+    try:
+        model = server.batcher.model if server.batcher else None
+        assert model is not None
+        assert len(model.devices) == len(jax.devices())
+    finally:
+        server.server_close()
