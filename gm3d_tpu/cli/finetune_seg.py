@@ -31,6 +31,7 @@ from gm3d_tpu.train.segmentation import (
 from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
 from gm3d_tpu.utils.debug import check_finite_loss
+from gm3d_tpu.utils.preempt import PreemptionGuard
 
 CLS_NAMES = sorted(SEG_CLASSES)
 
@@ -75,6 +76,8 @@ def main():
     cfg = load_config(args)
     logger = get_logger("gm3d.seg", os.path.join(args.output_dir, "seg.log"))
     jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    # SIGTERM (spot/preemptible VMs) -> checkpoint at the next step boundary
+    guard = PreemptionGuard(logger).install()
     dtype = compute_dtype(args)
 
     model = build_model_from_cfg(cfg["model"], dtype=dtype)
@@ -213,6 +216,13 @@ def main():
                               prefetcher.state() or {"epoch": epoch, "batch": 0})
             last_saved_step = int(state.step)
 
+        def preempt_save():
+            # consistent here: in multi-dispatch mode this runs only right
+            # after a full scanned group, so every yielded batch is trained
+            save_checkpoint(ckpt_dir, state, int(state.step))
+            save_loader_state(ckpt_dir,
+                              prefetcher.state() or {"epoch": epoch, "batch": 0})
+
         for pts, cls_label, seg in prefetcher:
             rng, key = jax.random.split(rng)
             if use_multi:
@@ -234,11 +244,19 @@ def main():
             # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
             check_finite_loss(loss_val, logger)
             maybe_save_steps()
+            guard.exit_if_triggered(preempt_save)
         # flush a partial multi-dispatch group as single steps
         for pts, cls_label, seg, key in pending:
             state, metrics = step_fn(state, pts, cls_label, seg, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
             check_finite_loss(float(metrics["loss"]), logger)
+
+        def preempt_save_epoch_end():
+            # all steps trained; skip the mIoU pass, resume at epoch+1
+            save_checkpoint(ckpt_dir, state, int(state.step))
+            save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
+
+        guard.exit_if_triggered(preempt_save_epoch_end)
         stats = meter.global_avgs()
         stats.update(epoch=epoch, time=round(time.time() - t0, 2))
 
@@ -272,6 +290,7 @@ def main():
         logger.info(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
         jsonl.write(stats)
+    guard.uninstall()
     logger.info(f"best inst mIoU {best['instance_miou']*100:.2f} / "
                 f"class mIoU {best['class_miou']*100:.2f}")
     return best

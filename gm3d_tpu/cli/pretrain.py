@@ -54,6 +54,7 @@ from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.masking import keep_ratio_schedule
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
 from gm3d_tpu.utils.debug import check_finite_loss
+from gm3d_tpu.utils.preempt import PreemptionGuard
 
 
 def parse_args():
@@ -142,6 +143,9 @@ def main():
     from gm3d_tpu.utils.logging import ScalarWriter
 
     tb = ScalarWriter(os.path.join(args.output_dir, "tfboard"))
+    # preemptible/spot TPU VMs deliver SIGTERM with a grace window; the
+    # guard checkpoints at the next step boundary and exits 0 (utils/preempt)
+    guard = PreemptionGuard(logger).install()
     dtype = compute_dtype(args)
 
     epochs = cfg["max_epoch"]
@@ -427,6 +431,14 @@ def main():
                               prefetcher.state() or {"epoch": epoch, "batch": 0})
             last_saved_step = int(state.step)
 
+        def preempt_save():
+            # (state, loader position) are consistent here: in multi-dispatch
+            # mode this runs only right after a full scanned group (pending
+            # empty), so every yielded batch has been trained on
+            save_checkpoint(ckpt_dir, state, int(state.step))
+            save_loader_state(ckpt_dir,
+                              prefetcher.state() or {"epoch": epoch, "batch": 0})
+
         for it, pts in enumerate(prefetcher):
             rng, key = jax.random.split(rng)
             if use_multi:
@@ -460,6 +472,7 @@ def main():
             # the loss is already read for the meters, so no extra host sync
             check_finite_loss(loss_val, logger)
             maybe_save_steps()
+            guard.exit_if_triggered(preempt_save)
             if prof_remaining:
                 prof_remaining -= 1
                 if prof_remaining == 0:
@@ -486,6 +499,14 @@ def main():
                 state, metrics = step_fn(state, pts, key)
             meter.update(**{k: float(v) for k, v in metrics.items()})
             check_finite_loss(float(metrics["loss"]), logger)
+
+        def preempt_save_epoch_end():
+            # every step of this epoch is trained; a signal here skips the
+            # (potentially minutes-long) SVM probe and resumes at epoch+1
+            save_checkpoint(ckpt_dir, state, int(state.step))
+            save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
+
+        guard.exit_if_triggered(preempt_save_epoch_end)
         stats = meter.global_avgs()
         epoch_time = time.time() - t0
         # meter coverage: equals steps_per_epoch regardless of
@@ -548,6 +569,7 @@ def main():
 
     if latest_step(ckpt_dir) != int(state.step):  # 0-epoch runs (resume at end)
         save_checkpoint(ckpt_dir, state, int(state.step))
+    guard.uninstall()
     logger.info(f"done; best svm acc {best_acc:.4f}")
     return best_acc
 
