@@ -49,6 +49,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="data-parallel devices (default: all visible); the "
                         "global batch is sharded over a 1-D mesh and grads "
                         "psum over ICI (reference DDP, main_pretrain.py:389-391)")
+    p.add_argument("--sync_metrics", action="store_true",
+                   help="read each dispatch's metrics synchronously instead "
+                        "of one dispatch behind (the default pipeline keeps "
+                        "the device queue full through the remote-dispatch "
+                        "round-trip; utils/pipeline.py)")
     p.add_argument("--batch_floor", type=int, default=None,
                    help="compile-shape floor: tile batches smaller than this "
                         "with exact copies inside the jit (numerically "

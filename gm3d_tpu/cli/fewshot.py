@@ -147,9 +147,11 @@ def run_fold(args, cfg, fold, logger, mesh=None):
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
             logits, labels_all = [], []
             for pts, labels in unpack(test_loader):
-                logits.append(np.asarray(eval_step(state.variables(), put(pts))))
+                # deferred host read (see cli.finetune.evaluate)
+                logits.append(eval_step(state.variables(), put(pts)))
                 labels_all.append(np.asarray(labels))
-            acc = accuracy(np.concatenate(logits), np.concatenate(labels_all)) * 100.0
+            acc = accuracy(np.concatenate([np.asarray(l) for l in logits]),
+                           np.concatenate(labels_all)) * 100.0
             best = max(best, acc)
     logger.info(f"fold {fold}: best acc {best:.2f}")
     return best

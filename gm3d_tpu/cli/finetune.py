@@ -37,6 +37,7 @@ from gm3d_tpu.train.schedules import cosine_warmup_schedule
 from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
 from gm3d_tpu.utils.debug import check_finite_loss
+from gm3d_tpu.utils.pipeline import DeferredMetrics
 from gm3d_tpu.utils.preempt import PreemptionGuard
 
 
@@ -166,11 +167,16 @@ def published_eff_bs(cfg) -> int | None:
 
 
 def evaluate(loader, eval_step, variables, put=jnp.asarray):
+    # device futures are held until after the LAST batch is enqueued: the
+    # device streams through the whole eval set back-to-back instead of
+    # idling one dispatch round-trip per batch (same rationale as the
+    # training-loop metrics pipeline, utils/pipeline.py)
     logits_all, labels_all = [], []
     for pts, labels in loader:
-        logits_all.append(np.asarray(eval_step(variables, put(pts))))
+        logits_all.append(eval_step(variables, put(pts)))
         labels_all.append(np.asarray(labels))
-    return accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
+    return accuracy(np.concatenate([np.asarray(l) for l in logits_all]),
+                    np.concatenate(labels_all)) * 100.0
 
 
 def resolve_smoothing(override, recipe: str, cfg) -> float:
@@ -202,9 +208,11 @@ def evaluate_vote(loader, vote_step, variables, key, put=jnp.asarray):
     logits_all, labels_all = [], []
     for pts, labels in loader:
         key, k2 = jax.random.split(key)
-        logits_all.append(np.asarray(vote_step(variables, put(pts), k2)))
+        # deferred host read — see evaluate()
+        logits_all.append(vote_step(variables, put(pts), k2))
         labels_all.append(np.asarray(labels))
-    return accuracy(np.concatenate(logits_all), np.concatenate(labels_all)) * 100.0
+    return accuracy(np.concatenate([np.asarray(l) for l in logits_all]),
+                    np.concatenate(labels_all)) * 100.0
 
 
 def main():
@@ -370,6 +378,27 @@ def main():
             save_loader_state(ckpt_dir,
                               prefetcher.state() or {"epoch": epoch, "batch": 0})
 
+        def drain_metrics(payload, k):
+            # host read (blocks on that dispatch); every scanned step feeds
+            # the meters so epoch averages cover all steps
+            host = {k2: np.asarray(v) for k2, v in payload.items()}
+            if k > 1:
+                for j in range(k):
+                    meter.update(**{k2: float(v[j]) for k2, v in host.items()})
+                # sum is non-finite iff any step's loss is (NaN/inf propagate)
+                loss_val = float(np.sum(host["loss"]))
+            else:
+                meter.update(**{k2: float(v) for k2, v in host.items()})
+                loss_val = float(host["loss"])
+            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
+            # — one dispatch late under the pipeline (utils/pipeline.py)
+            check_finite_loss(loss_val, logger)
+
+        # metrics are read one dispatch behind so the device queue never
+        # drains on the tunnel round-trip (utils/pipeline.py)
+        dm = DeferredMetrics(drain_metrics,
+                             depth=0 if args.sync_metrics else 1)
+
         for pts, labels in prefetcher:
             rng, key = jax.random.split(rng)
             if use_multi:
@@ -381,25 +410,18 @@ def main():
                 keys = jnp.stack([k for _, _, k in pending])
                 pending = []
                 state, mstack = multi_fn(state, stack, lstack, keys)
-                # the scanned stacks are (K,): feed EVERY step to the meters
-                host = {k: np.asarray(v) for k, v in mstack.items()}
-                for j in range(k_dispatch):
-                    meter.update(**{k: float(v[j]) for k, v in host.items()})
-                # sum is non-finite iff any step's loss is (NaN/inf propagate)
-                loss_val = float(np.sum(host["loss"]))
+                dm.push(mstack, k_dispatch)
             else:
                 state, metrics = step_fn(state, pts, labels, key)
-                meter.update(**{k: float(v) for k, v in metrics.items()})
-                loss_val = float(metrics["loss"])
-            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
-            check_finite_loss(loss_val, logger)
+                dm.push(metrics, 1)
             maybe_save_steps()
             guard.exit_if_triggered(preempt_save)
         # flush a partial multi-dispatch group as single steps
         for pts, labels, key in pending:
             state, metrics = step_fn(state, pts, labels, key)
-            meter.update(**{k: float(v) for k, v in metrics.items()})
-            check_finite_loss(float(metrics["loss"]), logger)
+            dm.push(metrics, 1)
+        # drain the pipeline: meters must be complete before the epoch stats
+        dm.flush()
 
         def preempt_save_epoch_end():
             # all steps trained; skip the validation pass, resume at epoch+1

@@ -31,6 +31,7 @@ from gm3d_tpu.train.segmentation import (
 from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
 from gm3d_tpu.utils.debug import check_finite_loss
+from gm3d_tpu.utils.pipeline import DeferredMetrics
 from gm3d_tpu.utils.preempt import PreemptionGuard
 
 CLS_NAMES = sorted(SEG_CLASSES)
@@ -223,6 +224,26 @@ def main():
             save_loader_state(ckpt_dir,
                               prefetcher.state() or {"epoch": epoch, "batch": 0})
 
+        def drain_metrics(payload, k):
+            # host read (blocks on that dispatch); every scanned step feeds
+            # the meters so epoch averages cover all steps
+            host = {k2: np.asarray(v) for k2, v in payload.items()}
+            if k > 1:
+                for j in range(k):
+                    meter.update(**{k2: float(v[j]) for k2, v in host.items()})
+                loss_val = float(np.sum(host["loss"]))
+            else:
+                meter.update(**{k2: float(v) for k2, v in host.items()})
+                loss_val = float(host["loss"])
+            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
+            # — one dispatch late under the pipeline (utils/pipeline.py)
+            check_finite_loss(loss_val, logger)
+
+        # metrics are read one dispatch behind so the device queue never
+        # drains on the tunnel round-trip (utils/pipeline.py)
+        dm = DeferredMetrics(drain_metrics,
+                             depth=0 if args.sync_metrics else 1)
+
         for pts, cls_label, seg in prefetcher:
             rng, key = jax.random.split(rng)
             if use_multi:
@@ -232,24 +253,18 @@ def main():
                 stacks = [jnp.stack(col) for col in zip(*pending)]
                 pending = []
                 state, mstack = multi_fn(state, *stacks)
-                # the scanned stacks are (K,): feed EVERY step to the meters
-                host = {k: np.asarray(v) for k, v in mstack.items()}
-                for j in range(k_dispatch):
-                    meter.update(**{k: float(v[j]) for k, v in host.items()})
-                loss_val = float(np.sum(host["loss"]))
+                dm.push(mstack, k_dispatch)
             else:
                 state, metrics = step_fn(state, pts, cls_label, seg, key)
-                meter.update(**{k: float(v) for k, v in metrics.items()})
-                loss_val = float(metrics["loss"])
-            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
-            check_finite_loss(loss_val, logger)
+                dm.push(metrics, 1)
             maybe_save_steps()
             guard.exit_if_triggered(preempt_save)
         # flush a partial multi-dispatch group as single steps
         for pts, cls_label, seg, key in pending:
             state, metrics = step_fn(state, pts, cls_label, seg, key)
-            meter.update(**{k: float(v) for k, v in metrics.items()})
-            check_finite_loss(float(metrics["loss"]), logger)
+            dm.push(metrics, 1)
+        # drain the pipeline: meters must be complete before the epoch stats
+        dm.flush()
 
         def preempt_save_epoch_end():
             # all steps trained; skip the mIoU pass, resume at epoch+1
@@ -261,14 +276,20 @@ def main():
         stats.update(epoch=epoch, time=round(time.time() - t0, 2))
 
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
-            preds, targets, clss = [], [], []
+            # enqueue every eval dispatch before any host read: the device
+            # streams the whole val set; the numpy argmax/mIoU work then
+            # overlaps nothing it shouldn't (utils/pipeline.py rationale)
+            flight = []
             for pts, cls_label, seg in val_loader:
-                logits = np.asarray(eval_step(state.variables(), jnp.asarray(pts),
-                                              jnp.asarray(cls_label)))
-                preds.append(category_restricted_argmax(logits, np.asarray(cls_label),
-                                                        SEG_CLASSES, CLS_NAMES))
-                targets.append(np.asarray(seg))
-                clss.append(np.asarray(cls_label))
+                flight.append((eval_step(state.variables(), jnp.asarray(pts),
+                                         jnp.asarray(cls_label)),
+                               np.asarray(cls_label), np.asarray(seg)))
+            preds, targets, clss = [], [], []
+            for logits_dev, cls_np, seg_np in flight:
+                preds.append(category_restricted_argmax(
+                    np.asarray(logits_dev), cls_np, SEG_CLASSES, CLS_NAMES))
+                targets.append(seg_np)
+                clss.append(cls_np)
             miou = part_miou(np.concatenate(preds), np.concatenate(targets),
                              np.concatenate(clss), SEG_CLASSES, CLS_NAMES)
             stats["instance_miou"] = miou["instance_miou"] * 100

@@ -54,6 +54,7 @@ from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.masking import keep_ratio_schedule
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
 from gm3d_tpu.utils.debug import check_finite_loss
+from gm3d_tpu.utils.pipeline import DeferredMetrics
 from gm3d_tpu.utils.preempt import PreemptionGuard
 
 
@@ -439,6 +440,27 @@ def main():
             save_loader_state(ckpt_dir,
                               prefetcher.state() or {"epoch": epoch, "batch": 0})
 
+        def drain_metrics(payload, k):
+            # the host read: blocks until that dispatch completes. Feed EVERY
+            # scanned step to the meters so epoch averages cover all steps.
+            host = {kk: np.asarray(v) for kk, v in payload.items()}
+            if k > 1:
+                for j in range(k):
+                    meter.update(**{kk: float(v[j]) for kk, v in host.items()})
+                # sum is non-finite iff any step's loss is (NaN/inf propagate)
+                loss_val = float(np.sum(host["loss"]))
+            else:
+                meter.update(**{kk: float(v) for kk, v in host.items()})
+                loss_val = float(host["loss"])
+            # NaN-loss hard exit (engine_pretrain_Classifier_SVM.py:232-234);
+            # one dispatch late under the pipeline (utils/pipeline.py)
+            check_finite_loss(loss_val, logger)
+
+        # metrics are read one dispatch behind so the device queue never
+        # drains on the tunnel round-trip (utils/pipeline.py)
+        dm = DeferredMetrics(drain_metrics,
+                             depth=0 if args.sync_metrics else 1)
+
         for it, pts in enumerate(prefetcher):
             rng, key = jax.random.split(rng)
             if use_multi:
@@ -452,13 +474,7 @@ def main():
                     state, mstack = multi_fn(state, tvars, stack, keys, scalars)
                 else:
                     state, mstack = multi_fn(state, None, stack, keys, scalars)
-                # the scanned stacks are (K,): feed EVERY step to the meters
-                # so epoch averages cover all steps, not 1/K of them
-                host = {k: np.asarray(v) for k, v in mstack.items()}
-                for j in range(k_dispatch):
-                    meter.update(**{k: float(v[j]) for k, v in host.items()})
-                # sum is non-finite iff any step's loss is (NaN/inf propagate)
-                loss_val = float(np.sum(host["loss"]))
+                dm.push(mstack, k_dispatch)
             else:
                 if args.model_family == "gm3d":
                     state, metrics = step_fn(state, tvars, pts, key, scalars)
@@ -466,16 +482,15 @@ def main():
                     state, metrics = step_fn(state, pts, key, scalars)
                 else:
                     state, metrics = step_fn(state, pts, key)
-                meter.update(**{k: float(v) for k, v in metrics.items()})
-                loss_val = float(metrics["loss"])
-            # NaN-loss hard exit (engine_pretrain_Classifier_SVM.py:232-234);
-            # the loss is already read for the meters, so no extra host sync
-            check_finite_loss(loss_val, logger)
+                dm.push(metrics, 1)
             maybe_save_steps()
             guard.exit_if_triggered(preempt_save)
             if prof_remaining:
                 prof_remaining -= 1
                 if prof_remaining == 0:
+                    # force the in-flight dispatch to completion so its device
+                    # activity lands in the trace (the pipeline defers reads)
+                    dm.flush()
                     jax.profiler.stop_trace()
                     logger.info(f"profiler trace written to {args.profile_dir}")
             if probe_step is not None:
@@ -497,8 +512,9 @@ def main():
                 state, metrics = step_fn(state, pts, key, scalars)
             else:
                 state, metrics = step_fn(state, pts, key)
-            meter.update(**{k: float(v) for k, v in metrics.items()})
-            check_finite_loss(float(metrics["loss"]), logger)
+            dm.push(metrics, 1)
+        # drain the pipeline: meters must be complete before the epoch stats
+        dm.flush()
 
         def preempt_save_epoch_end():
             # every step of this epoch is trained; a signal here skips the

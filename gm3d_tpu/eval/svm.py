@@ -46,14 +46,18 @@ def make_feature_fn(model, npoints: int = 1024, batch_floor: int = 0) -> Callabl
 def extract_features(
     feature_fn: Callable, variables, loader: Iterable
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Run the feature fn over a labelled loader, pool mean+max on device."""
+    """Run the feature fn over a labelled loader, pool mean+max on device.
+
+    Host reads are deferred until every batch is enqueued, so the device
+    streams the whole probe set without idling one dispatch round-trip per
+    batch (pooled features are (B, D) — tiny to hold on device)."""
     feats, labels = [], []
     for pts, lbl in loader:
         f = feature_fn(variables, jnp.asarray(pts))
-        pooled = jnp.mean(f, axis=1) + jnp.max(f, axis=1)
-        feats.append(np.asarray(pooled, np.float32))
+        feats.append(jnp.mean(f, axis=1) + jnp.max(f, axis=1))
         labels.append(np.asarray(lbl))
-    return np.concatenate(feats), np.concatenate(labels)
+    return (np.concatenate([np.asarray(f, np.float32) for f in feats]),
+            np.concatenate(labels))
 
 
 def evaluate_svm(
