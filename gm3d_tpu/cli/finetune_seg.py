@@ -276,20 +276,24 @@ def main():
         stats.update(epoch=epoch, time=round(time.time() - t0, 2))
 
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
-            # enqueue every eval dispatch before any host read: the device
-            # streams the whole val set; the numpy argmax/mIoU work then
-            # overlaps nothing it shouldn't (utils/pipeline.py rationale)
-            flight = []
-            for pts, cls_label, seg in val_loader:
-                flight.append((eval_step(state.variables(), jnp.asarray(pts),
-                                         jnp.asarray(cls_label)),
-                               np.asarray(cls_label), np.asarray(seg)))
+            # pipeline the eval dispatches (utils/pipeline.py rationale), but
+            # bound the in-flight window: seg logits are (B, N, 50) — the
+            # full ShapeNetPart val set held on device would be >1 GB
             preds, targets, clss = [], [], []
-            for logits_dev, cls_np, seg_np in flight:
+
+            def drain_eval(logits_dev, cls_np, seg_np):
                 preds.append(category_restricted_argmax(
                     np.asarray(logits_dev), cls_np, SEG_CLASSES, CLS_NAMES))
                 targets.append(seg_np)
                 clss.append(cls_np)
+
+            flight = DeferredMetrics(drain_eval,
+                                     depth=0 if args.sync_metrics else 4)
+            for pts, cls_label, seg in val_loader:
+                flight.push(eval_step(state.variables(), jnp.asarray(pts),
+                                      jnp.asarray(cls_label)),
+                            np.asarray(cls_label), np.asarray(seg))
+            flight.flush()
             miou = part_miou(np.concatenate(preds), np.concatenate(targets),
                              np.concatenate(clss), SEG_CLASSES, CLS_NAMES)
             stats["instance_miou"] = miou["instance_miou"] * 100
