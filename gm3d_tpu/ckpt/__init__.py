@@ -16,6 +16,7 @@ from gm3d_tpu.ckpt.checkpoint import (
     save_loader_state,
     load_loader_state,
 )
+from gm3d_tpu.ckpt.async_writer import AsyncCheckpointWriter, device_snapshot
 from gm3d_tpu.ckpt.torch_import import (
     export_torch_checkpoint,
     import_torch_checkpoint,
@@ -24,6 +25,8 @@ from gm3d_tpu.ckpt.torch_import import (
 from gm3d_tpu.ckpt.transfer import load_pretrained_into, overlay_pretrained
 
 __all__ = [
+    "AsyncCheckpointWriter",
+    "device_snapshot",
     "save_checkpoint",
     "restore_checkpoint",
     "restore_raw",

@@ -49,6 +49,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="data-parallel devices (default: all visible); the "
                         "global batch is sharded over a 1-D mesh and grads "
                         "psum over ICI (reference DDP, main_pretrain.py:389-391)")
+    p.add_argument("--sync_save", action="store_true",
+                   help="write checkpoints synchronously instead of from the "
+                        "background writer (the default snapshots the state "
+                        "on device and overlaps the save's device-to-host "
+                        "transfer with training; ckpt/async_writer.py)")
     p.add_argument("--sync_metrics", action="store_true",
                    help="read each dispatch's metrics synchronously instead "
                         "of one dispatch behind (the default pipeline keeps "

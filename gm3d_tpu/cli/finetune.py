@@ -351,8 +351,11 @@ def main():
             if hasattr(train_loader, "load_state"):
                 train_loader.load_state(
                     loader_token or {"epoch": start_epoch, "batch": 0})
-    from gm3d_tpu.ckpt import save_loader_state
+    from gm3d_tpu.ckpt import AsyncCheckpointWriter, save_loader_state
 
+    # saves snapshot the state on device and stream to disk from a background
+    # thread, overlapping the slow D2H with training (ckpt/async_writer.py)
+    writer = AsyncCheckpointWriter(enabled=not args.sync_save)
     last_saved_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
@@ -366,14 +369,17 @@ def main():
                 return
             if int(state.step) - last_saved_step < args.save_steps:
                 return
-            save_checkpoint(ckpt_dir, state, int(state.step))
-            save_loader_state(ckpt_dir,
-                              prefetcher.state() or {"epoch": epoch, "batch": 0})
-            last_saved_step = int(state.step)
+            step, token = int(state.step), (prefetcher.state()
+                                            or {"epoch": epoch, "batch": 0})
+            writer.submit(state, lambda s: (save_checkpoint(ckpt_dir, s, step),
+                                            save_loader_state(ckpt_dir, token)))
+            last_saved_step = step
 
         def preempt_save():
             # consistent here: in multi-dispatch mode this runs only right
-            # after a full scanned group, so every yielded batch is trained
+            # after a full scanned group, so every yielded batch is trained.
+            # Synchronous (the process exits next); drain the writer first.
+            writer.wait()
             save_checkpoint(ckpt_dir, state, int(state.step))
             save_loader_state(ckpt_dir,
                               prefetcher.state() or {"epoch": epoch, "batch": 0})
@@ -425,6 +431,7 @@ def main():
 
         def preempt_save_epoch_end():
             # all steps trained; skip the validation pass, resume at epoch+1
+            writer.wait()
             save_checkpoint(ckpt_dir, state, int(state.step))
             save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
 
@@ -437,9 +444,13 @@ def main():
             better = acc > best
             if better:
                 best = acc
-                save_checkpoint(os.path.join(ckpt_dir, "best"), state,
-                                int(state.step), metrics={"acc": acc}, max_to_keep=1)
-                save_best_metrics(ckpt_dir, {"best": best, "best_vote": best_vote})
+                # default-arg binding: the writer thread may read these after
+                # the loop rebinds them (late-binding closure hazard)
+                writer.submit(state, lambda s, step=int(state.step), a=acc,
+                              mb={"best": best, "best_vote": best_vote}: (
+                    save_checkpoint(os.path.join(ckpt_dir, "best"), s, step,
+                                    metrics={"acc": a}, max_to_keep=1),
+                    save_best_metrics(ckpt_dir, mb)))
             # in-training gated vote validation (tools/runner_finetune.py:
             # 211-218), tracking a separate ckpt-best_vote
             if args.vote and vote_gate(acc, better):
@@ -452,19 +463,25 @@ def main():
                 logger.info(f"[Validation_vote] EPOCH: {epoch}  acc_vote = {vacc:.4f}")
                 if vacc > best_vote:
                     best_vote = vacc
-                    save_checkpoint(os.path.join(ckpt_dir, "best_vote"), state,
-                                    int(state.step), metrics={"acc_vote": vacc},
-                                    max_to_keep=1)
-                    save_best_metrics(ckpt_dir, {"best": best, "best_vote": best_vote})
+                    writer.submit(state, lambda s, step=int(state.step),
+                                  va=vacc, mb={"best": best,
+                                               "best_vote": best_vote}: (
+                        save_checkpoint(os.path.join(ckpt_dir, "best_vote"), s,
+                                        step, metrics={"acc_vote": va},
+                                        max_to_keep=1),
+                        save_best_metrics(ckpt_dir, mb)))
         # rolling last-epoch save (ckpt-last.pth parity, tools/builder.py:128-137)
-        save_checkpoint(ckpt_dir, state, int(state.step))
-        # keep the loader sidecar in lockstep (see cli/pretrain.py)
-        save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
-        last_saved_step = int(state.step)
+        # with the loader sidecar in lockstep (see cli/pretrain.py)
+        step, token = int(state.step), {"epoch": epoch + 1, "batch": 0}
+        writer.submit(state, lambda s, step=step, token=token: (
+            save_checkpoint(ckpt_dir, s, step),
+            save_loader_state(ckpt_dir, token)))
+        last_saved_step = step
         logger.info(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
         jsonl.write(stats)
 
+    writer.wait()  # all saves durable before the run reports success
     if args.vote:
         if vote_step is None:
             vote_step = make_vote_eval_step(model, npoints, batch_floor=floor)

@@ -197,8 +197,11 @@ def main():
             if hasattr(train_loader, "load_state"):
                 train_loader.load_state(
                     loader_token or {"epoch": start_epoch, "batch": 0})
-    from gm3d_tpu.ckpt import save_loader_state
+    from gm3d_tpu.ckpt import AsyncCheckpointWriter, save_loader_state
 
+    # saves snapshot the state on device and stream to disk from a background
+    # thread, overlapping the slow D2H with training (ckpt/async_writer.py)
+    writer = AsyncCheckpointWriter(enabled=not args.sync_save)
     last_saved_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
@@ -212,14 +215,17 @@ def main():
                 return
             if int(state.step) - last_saved_step < args.save_steps:
                 return
-            save_checkpoint(ckpt_dir, state, int(state.step))
-            save_loader_state(ckpt_dir,
-                              prefetcher.state() or {"epoch": epoch, "batch": 0})
-            last_saved_step = int(state.step)
+            step, token = int(state.step), (prefetcher.state()
+                                            or {"epoch": epoch, "batch": 0})
+            writer.submit(state, lambda s: (save_checkpoint(ckpt_dir, s, step),
+                                            save_loader_state(ckpt_dir, token)))
+            last_saved_step = step
 
         def preempt_save():
             # consistent here: in multi-dispatch mode this runs only right
-            # after a full scanned group, so every yielded batch is trained
+            # after a full scanned group, so every yielded batch is trained.
+            # Synchronous (the process exits next); drain the writer first.
+            writer.wait()
             save_checkpoint(ckpt_dir, state, int(state.step))
             save_loader_state(ckpt_dir,
                               prefetcher.state() or {"epoch": epoch, "batch": 0})
@@ -268,6 +274,7 @@ def main():
 
         def preempt_save_epoch_end():
             # all steps trained; skip the mIoU pass, resume at epoch+1
+            writer.wait()
             save_checkpoint(ckpt_dir, state, int(state.step))
             save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
 
@@ -300,21 +307,27 @@ def main():
             stats["class_miou"] = miou["class_miou"] * 100
             if miou["instance_miou"] > best["instance_miou"]:
                 best = {k: miou[k] for k in ("instance_miou", "class_miou")}
-                save_checkpoint(os.path.join(ckpt_dir, "best"), state,
-                                int(state.step),
-                                metrics={"instance_miou": miou["instance_miou"]},
-                                max_to_keep=1)
                 from gm3d_tpu.ckpt import save_best_metrics
 
-                save_best_metrics(ckpt_dir, best)
-        # rolling last-epoch save (ckpt-last.pth parity)
-        save_checkpoint(ckpt_dir, state, int(state.step))
-        # keep the loader sidecar in lockstep (see cli/pretrain.py)
-        save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
-        last_saved_step = int(state.step)
+                # default-arg binding: the writer thread may read these after
+                # the loop rebinds them (late-binding closure hazard)
+                writer.submit(state, lambda s, step=int(state.step),
+                              im=miou["instance_miou"], mb=dict(best): (
+                    save_checkpoint(os.path.join(ckpt_dir, "best"), s, step,
+                                    metrics={"instance_miou": im},
+                                    max_to_keep=1),
+                    save_best_metrics(ckpt_dir, mb)))
+        # rolling last-epoch save (ckpt-last.pth parity) with the loader
+        # sidecar in lockstep (see cli/pretrain.py)
+        step, token = int(state.step), {"epoch": epoch + 1, "batch": 0}
+        writer.submit(state, lambda s, step=step, token=token: (
+            save_checkpoint(ckpt_dir, s, step),
+            save_loader_state(ckpt_dir, token)))
+        last_saved_step = step
         logger.info(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
         jsonl.write(stats)
+    writer.wait()  # all saves durable before the run reports success
     guard.uninstall()
     logger.info(f"best inst mIoU {best['instance_miou']*100:.2f} / "
                 f"class mIoU {best['class_miou']*100:.2f}")

@@ -389,8 +389,11 @@ def main():
         # continue the deterministic shuffle sequence on resume (the epoch-e
         # order is a pure function of (seed, e) — see data.datasets.DataLoader)
         train_loader.load_state(loader_token or {"epoch": start_epoch, "batch": 0})
-    from gm3d_tpu.ckpt import save_loader_state
+    from gm3d_tpu.ckpt import AsyncCheckpointWriter, save_loader_state
 
+    # saves snapshot the state on device and stream to disk from a background
+    # thread, overlapping the slow D2H with training (ckpt/async_writer.py)
+    writer = AsyncCheckpointWriter(enabled=not args.sync_save)
     last_saved_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
@@ -427,15 +430,19 @@ def main():
                 return
             if int(state.step) - last_saved_step < args.save_steps:
                 return
-            save_checkpoint(ckpt_dir, state, int(state.step))
-            save_loader_state(ckpt_dir,
-                              prefetcher.state() or {"epoch": epoch, "batch": 0})
-            last_saved_step = int(state.step)
+            step, token = int(state.step), (prefetcher.state()
+                                            or {"epoch": epoch, "batch": 0})
+            writer.submit(state, lambda s: (save_checkpoint(ckpt_dir, s, step),
+                                            save_loader_state(ckpt_dir, token)))
+            last_saved_step = step
 
         def preempt_save():
             # (state, loader position) are consistent here: in multi-dispatch
             # mode this runs only right after a full scanned group (pending
-            # empty), so every yielded batch has been trained on
+            # empty), so every yielded batch has been trained on.
+            # Synchronous: the process exits right after; drain the writer
+            # first so two orbax managers never race on ckpt_dir.
+            writer.wait()
             save_checkpoint(ckpt_dir, state, int(state.step))
             save_loader_state(ckpt_dir,
                               prefetcher.state() or {"epoch": epoch, "batch": 0})
@@ -519,6 +526,7 @@ def main():
         def preempt_save_epoch_end():
             # every step of this epoch is trained; a signal here skips the
             # (potentially minutes-long) SVM probe and resumes at epoch+1
+            writer.wait()
             save_checkpoint(ckpt_dir, state, int(state.step))
             save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
 
@@ -547,24 +555,29 @@ def main():
             stats["val_svm_acc"] = acc
             if acc > best_acc:
                 best_acc = acc
-                # ckpt/best mirrors *_temp_best.pth (main_pretrain.py:591-611)
-                save_checkpoint(os.path.join(ckpt_dir, "best"), state,
-                                int(state.step), metrics={"svm_acc": acc},
-                                max_to_keep=1)
                 from gm3d_tpu.ckpt import save_best_metrics
 
-                save_best_metrics(ckpt_dir, {"best": best_acc})
+                # ckpt/best mirrors *_temp_best.pth (main_pretrain.py:591-611).
+                # Default-arg binding: the writer thread may read these after
+                # the loop rebinds them (late-binding closure hazard).
+                writer.submit(state, lambda s, step=int(state.step), a=acc,
+                              mb={"best": best_acc}: (
+                    save_checkpoint(os.path.join(ckpt_dir, "best"), s, step,
+                                    metrics={"svm_acc": a}, max_to_keep=1),
+                    save_best_metrics(ckpt_dir, mb)))
         # rolling last-epoch save (*_temp_last.pth parity — crash resume
-        # continues from the last completed epoch, not the last best)
-        save_checkpoint(ckpt_dir, state, int(state.step))
-        # keep the loader sidecar in lockstep: a resume after a COMPLETED
+        # continues from the last completed epoch, not the last best);
+        # the loader sidecar stays in lockstep: a resume after a COMPLETED
         # epoch must not replay from a stale mid-epoch token
-        save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
-        last_saved_step = int(state.step)
+        step, token = int(state.step), {"epoch": epoch + 1, "batch": 0}
+        writer.submit(state, lambda s, step=step, token=token: (
+            save_checkpoint(ckpt_dir, s, step),
+            save_loader_state(ckpt_dir, token)))
+        last_saved_step = step
         if args.save_interval and (epoch + 1) % args.save_interval == 0:
             # periodic snapshots every N epochs ({model}_{epoch:04d}.pth parity)
-            save_checkpoint(os.path.join(ckpt_dir, "epochs"), state,
-                            int(state.step), max_to_keep=1000)
+            writer.submit(state, lambda s, step=step: save_checkpoint(
+                os.path.join(ckpt_dir, "epochs"), s, step, max_to_keep=1000))
         logger.info(f"epoch {epoch}: " + " ".join(f"{k}={v:.5g}" for k, v in stats.items()
                                                   if isinstance(v, (int, float))))
         jsonl.write(stats)
@@ -581,6 +594,7 @@ def main():
 
     if prof_remaining:  # run ended before --profile_steps steps
         jax.profiler.stop_trace()
+    writer.wait()  # all saves durable before the run reports success
     from gm3d_tpu.ckpt.checkpoint import latest_step
 
     if latest_step(ckpt_dir) != int(state.step):  # 0-epoch runs (resume at end)
