@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import threading
 import time
 
 import jax
@@ -100,6 +101,13 @@ def parse_args():
                         "step-by-step")
     p.add_argument("--classification", action="store_true",
                    help="train a supervised Classifier probe alongside (reference --classification)")
+    p.add_argument("--sync_probe", action="store_true",
+                   help="run the per-epoch SVM probe synchronously. The "
+                        "default overlaps the probe (host-bound sklearn fit) "
+                        "with the next epoch's training against a device-side "
+                        "state snapshot; the epoch's log line is emitted when "
+                        "its probe finishes. Multi-process runs are always "
+                        "synchronous (the feature gather is a collective)")
     p.add_argument("--sync_bn", default=True, action=argparse.BooleanOptionalAction,
                    help="synced BatchNorm stats across data-parallel shards "
                         "(reference --sync_bn, tools/runner_pretrain.py:88-91). "
@@ -389,11 +397,89 @@ def main():
         # continue the deterministic shuffle sequence on resume (the epoch-e
         # order is a pure function of (seed, e) — see data.datasets.DataLoader)
         train_loader.load_state(loader_token or {"epoch": start_epoch, "batch": 0})
-    from gm3d_tpu.ckpt import AsyncCheckpointWriter, save_loader_state
+    from gm3d_tpu.ckpt import (AsyncCheckpointWriter, device_snapshot,
+                               save_best_metrics, save_loader_state)
 
     # saves snapshot the state on device and stream to disk from a background
     # thread, overlapping the slow D2H with training (ckpt/async_writer.py)
     writer = AsyncCheckpointWriter(enabled=not args.sync_save)
+
+    def emit_epoch(stats):
+        """The epoch's log line, JSONL record, and TensorBoard scalars
+        (reference tags, engine_pretrain...:306-315) — emitted exactly once
+        per epoch, possibly one epoch late when its SVM probe ran async."""
+        ep = stats["epoch"]
+        logger.info(f"epoch {ep}: " + " ".join(
+            f"{k}={v:.5g}" for k, v in stats.items()
+            if isinstance(v, (int, float))))
+        jsonl.write(stats)
+        tb.add_scalar("train_loss", stats.get("loss", 0.0), ep)
+        tb.add_scalar("train_loss_MSE", stats.get("loss_mse", 0.0), ep)
+        tb.add_scalar("train_loss_Chfr", stats.get("loss_chfr", 0.0), ep)
+        tb.add_scalar("train_loss_learn", stats.get("loss_learn", 0.0), ep)
+        tb.add_scalar("lr", stats.get("lr", 0.0), ep)
+        tb.add_scalar("grad_norm", stats.get("grad_norm", 0.0), ep)
+        if "val_svm_acc" in stats:
+            tb.add_scalar("Metric/ACC", stats["val_svm_acc"], ep)
+        tb.flush()
+
+    def record_probe(stats, acc, step, statelike):
+        """Fold a finished probe into its epoch's stats; track ckpt/best
+        (mirrors *_temp_best.pth, main_pretrain.py:591-611)."""
+        nonlocal best_acc
+        stats["val_svm_acc"] = acc
+        if acc > best_acc:
+            best_acc = acc
+            writer.submit(statelike, lambda s, step=step, a=acc,
+                          mb={"best": acc}: (
+                save_checkpoint(os.path.join(ckpt_dir, "best"), s, step,
+                                metrics={"svm_acc": a}, max_to_keep=1),
+                save_best_metrics(ckpt_dir, mb)))
+
+    # The SVM probe is host-bound (sklearn fit over the extracted features:
+    # comparable to a whole training epoch on real datasets, and val_freq
+    # defaults to 1). Run it from a background thread against a device-side
+    # state snapshot so it overlaps the NEXT epoch's training; the epoch's
+    # log line is emitted when its probe finishes (at most one epoch later,
+    # always before the next line — ordering is preserved). Multi-process
+    # runs stay synchronous: the probe's feature gather is a collective, and
+    # collectives issued from two threads can interleave differently across
+    # processes (deadlock).
+    probe_async = jax.process_count() == 1 and not args.sync_probe
+    pending_probe = None  # {"thread", "holder", "stats", "step", "snap"}
+
+    def start_probe(stats, step):
+        nonlocal pending_probe
+        snap = device_snapshot(state)
+        holder = {}
+
+        def run():
+            try:
+                # the reference validates the STUDENT, not the EMA
+                # (main_pretrain.py validate(model, ...) at :497-498)
+                holder["acc"] = svm_probe(
+                    feat_model, snap.variables(), svm_train, svm_test,
+                    npoints=cfg.get("npoints", 1024),
+                    batch_floor=resolve_batch_floor(args))
+            except BaseException as e:  # noqa: BLE001 — re-raised on finish
+                holder["err"] = e
+
+        t = threading.Thread(target=run, name="gm3d-svm-probe", daemon=True)
+        t.start()
+        pending_probe = {"thread": t, "holder": holder, "stats": stats,
+                         "step": step, "snap": snap}
+
+    def finish_pending_probe():
+        nonlocal pending_probe
+        if pending_probe is None:
+            return
+        p, pending_probe = pending_probe, None
+        p["thread"].join()
+        if "err" in p["holder"]:
+            raise RuntimeError("SVM probe failed") from p["holder"]["err"]
+        record_probe(p["stats"], p["holder"]["acc"], p["step"], p["snap"])
+        emit_epoch(p["stats"])
+
     last_saved_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         meter = MetricLogger()
@@ -544,27 +630,20 @@ def main():
                      steps=n_steps,
                      clouds_per_sec=round(n_steps * batch / max(epoch_time, 1e-9), 1))
 
+        # the previous epoch's probe (if any) finishes first: its log line
+        # precedes this epoch's, and best_acc must be current before this
+        # epoch's probe compares against it
+        finish_pending_probe()
         if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
-            # the reference validates the STUDENT, not the EMA (main_pretrain
-            # validate(model, ...) at :497-498)
-            acc = svm_probe(feat_model, state.variables(), svm_train, svm_test,
-                            npoints=cfg.get("npoints", 1024),
-                            # ragged last probe batches tile to the TPU
-                            # compile-shape floor (exact; floor_reps)
-                            batch_floor=resolve_batch_floor(args))
-            stats["val_svm_acc"] = acc
-            if acc > best_acc:
-                best_acc = acc
-                from gm3d_tpu.ckpt import save_best_metrics
-
-                # ckpt/best mirrors *_temp_best.pth (main_pretrain.py:591-611).
-                # Default-arg binding: the writer thread may read these after
-                # the loop rebinds them (late-binding closure hazard).
-                writer.submit(state, lambda s, step=int(state.step), a=acc,
-                              mb={"best": best_acc}: (
-                    save_checkpoint(os.path.join(ckpt_dir, "best"), s, step,
-                                    metrics={"svm_acc": a}, max_to_keep=1),
-                    save_best_metrics(ckpt_dir, mb)))
+            if probe_async:
+                start_probe(stats, int(state.step))
+            else:
+                acc = svm_probe(feat_model, state.variables(), svm_train,
+                                svm_test, npoints=cfg.get("npoints", 1024),
+                                # ragged last probe batches tile to the TPU
+                                # compile-shape floor (exact; floor_reps)
+                                batch_floor=resolve_batch_floor(args))
+                record_probe(stats, acc, int(state.step), state)
         # rolling last-epoch save (*_temp_last.pth parity — crash resume
         # continues from the last completed epoch, not the last best);
         # the loader sidecar stays in lockstep: a resume after a COMPLETED
@@ -578,20 +657,11 @@ def main():
             # periodic snapshots every N epochs ({model}_{epoch:04d}.pth parity)
             writer.submit(state, lambda s, step=step: save_checkpoint(
                 os.path.join(ckpt_dir, "epochs"), s, step, max_to_keep=1000))
-        logger.info(f"epoch {epoch}: " + " ".join(f"{k}={v:.5g}" for k, v in stats.items()
-                                                  if isinstance(v, (int, float))))
-        jsonl.write(stats)
-        # TensorBoard scalars (reference tags, engine_pretrain...:306-315)
-        tb.add_scalar("train_loss", stats.get("loss", 0.0), epoch)
-        tb.add_scalar("train_loss_MSE", stats.get("loss_mse", 0.0), epoch)
-        tb.add_scalar("train_loss_Chfr", stats.get("loss_chfr", 0.0), epoch)
-        tb.add_scalar("train_loss_learn", stats.get("loss_learn", 0.0), epoch)
-        tb.add_scalar("lr", stats.get("lr", 0.0), epoch)
-        tb.add_scalar("grad_norm", stats.get("grad_norm", 0.0), epoch)
-        if "val_svm_acc" in stats:
-            tb.add_scalar("Metric/ACC", stats["val_svm_acc"], epoch)
-        tb.flush()
+        if pending_probe is None:
+            # async-probe epochs emit when their probe finishes
+            emit_epoch(stats)
 
+    finish_pending_probe()  # the last epoch's probe and log line
     if prof_remaining:  # run ended before --profile_steps steps
         jax.profiler.stop_trace()
     writer.wait()  # all saves durable before the run reports success
