@@ -79,3 +79,38 @@ def test_cli_epoch_stats_cover_all_steps_with_pipeline(tmp_path):
     assert sync["steps"] == 6
     # same data, same seed, same math — identical epoch averages
     np.testing.assert_allclose(piped["loss"], sync["loss"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_async_probe_matches_sync_and_preserves_log_order(tmp_path):
+    """The async SVM probe (cli.pretrain --sync_probe default-off path) must
+    produce the SAME per-epoch accuracies as the synchronous probe, emit one
+    line per epoch in epoch order, and attach each probe to its own epoch."""
+    import json
+    import os
+
+    from tests.cli_harness import run_cli
+
+    def run(out, extra):
+        run_cli(
+            "gm3d_tpu.cli.pretrain",
+            ["pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+             "--learn_feature_loss", "ema", "--epochs", "3",
+             "--batch_size", "8", "--synthetic_samples", "16",
+             "--val_freq", "2", "--output_dir", out] + extra)
+        return [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+
+    async_log = run(str(tmp_path / "a"), [])
+    sync_log = run(str(tmp_path / "s"), ["--sync_probe"])
+    # one line per epoch, strictly ordered, in both modes
+    assert [e["epoch"] for e in async_log] == [0, 1, 2]
+    assert [e["epoch"] for e in sync_log] == [0, 1, 2]
+    # probes land on epochs 1 ((e+1)%2==0) and 2 (final) only
+    for log in (async_log, sync_log):
+        assert "val_svm_acc" not in log[0]
+        assert "val_svm_acc" in log[1] and "val_svm_acc" in log[2]
+    # identical state -> identical probe results, async or not
+    for a, s in zip(async_log[1:], sync_log[1:]):
+        np.testing.assert_allclose(a["val_svm_acc"], s["val_svm_acc"])
+    # ckpt/best written from the probe-time snapshot
+    assert os.path.isdir(os.path.join(tmp_path, "a", "ckpt", "best"))
