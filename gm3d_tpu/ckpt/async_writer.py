@@ -22,6 +22,12 @@ Semantics:
     never silently loses its checkpoints;
   - preemption/exit paths call ``wait()`` before their own synchronous save
     so two orbax managers never race on one directory;
+  - the training CLIs drain via ``try/finally`` around the epoch loop, so an
+    exception escaping the loop (injected test crash, NaN ``sys.exit``)
+    still commits the in-flight save before the process unwinds — which is
+    always safe, because saves are only submitted for states whose NaN
+    checks already ran (the CLIs flush the metrics pipeline first), and
+    deterministic, which crash/resume step accounting relies on;
   - ``enabled=False`` (the ``--sync_save`` escape hatch) degrades to the
     synchronous behavior.
 

@@ -203,131 +203,153 @@ def main():
     # thread, overlapping the slow D2H with training (ckpt/async_writer.py)
     writer = AsyncCheckpointWriter(enabled=not args.sync_save)
     last_saved_step = int(state.step)
-    for epoch in range(start_epoch, epochs):
-        meter = MetricLogger()
-        t0 = time.time()
-        pending = []
-        prefetcher = device_prefetch(train_loader, sharding=bshard)
+    # host-side mirror of state.step (exact: one increment per dispatched
+    # step) — reading the device scalar each iteration for --save_steps
+    # would block on the in-flight dispatch (see cli/pretrain.py)
+    host_step = last_saved_step
+    try:
+        for epoch in range(start_epoch, epochs):
+            meter = MetricLogger()
+            t0 = time.time()
+            pending = []
+            prefetcher = device_prefetch(train_loader, sharding=bshard)
 
-        def maybe_save_steps():
-            nonlocal last_saved_step
-            if not args.save_steps:
-                return
-            if int(state.step) - last_saved_step < args.save_steps:
-                return
-            step, token = int(state.step), (prefetcher.state()
-                                            or {"epoch": epoch, "batch": 0})
-            writer.submit(state, lambda s: (save_checkpoint(ckpt_dir, s, step),
-                                            save_loader_state(ckpt_dir, token)))
-            last_saved_step = step
+            def maybe_save_steps():
+                nonlocal last_saved_step
+                if not args.save_steps:
+                    return
+                if host_step - last_saved_step < args.save_steps:
+                    return
+                # deferred NaN checks run BEFORE the rolling save so a corrupted
+                # state never overwrites the last good checkpoint (cli/pretrain.py)
+                dm.flush()
+                step, token = host_step, (prefetcher.state()
+                                          or {"epoch": epoch, "batch": 0})
+                writer.submit(state, lambda s: (save_checkpoint(ckpt_dir, s, step),
+                                                save_loader_state(ckpt_dir, token)))
+                last_saved_step = step
 
-        def preempt_save():
-            # consistent here: in multi-dispatch mode this runs only right
-            # after a full scanned group, so every yielded batch is trained.
-            # Synchronous (the process exits next); drain the writer first.
-            writer.wait()
-            save_checkpoint(ckpt_dir, state, int(state.step))
-            save_loader_state(ckpt_dir,
-                              prefetcher.state() or {"epoch": epoch, "batch": 0})
+            def preempt_save():
+                # consistent here: in multi-dispatch mode this runs only right
+                # after a full scanned group, so every yielded batch is trained.
+                # Synchronous (the process exits next); drain the writer first.
+                # Flush the metrics pipeline so deferred NaN checks run before
+                # the state is persisted.
+                dm.flush()
+                writer.wait()
+                save_checkpoint(ckpt_dir, state, int(state.step))
+                save_loader_state(ckpt_dir,
+                                  prefetcher.state() or {"epoch": epoch, "batch": 0})
 
-        def drain_metrics(payload, k):
-            # host read (blocks on that dispatch); every scanned step feeds
-            # the meters so epoch averages cover all steps
-            host = {k2: np.asarray(v) for k2, v in payload.items()}
-            if k > 1:
-                for j in range(k):
-                    meter.update(**{k2: float(v[j]) for k2, v in host.items()})
-                loss_val = float(np.sum(host["loss"]))
-            else:
-                meter.update(**{k2: float(v) for k2, v in host.items()})
-                loss_val = float(host["loss"])
-            # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
-            # — one dispatch late under the pipeline (utils/pipeline.py)
-            check_finite_loss(loss_val, logger)
+            def drain_metrics(payload, k):
+                # host read (blocks on that dispatch); every scanned step feeds
+                # the meters so epoch averages cover all steps
+                host = {k2: np.asarray(v) for k2, v in payload.items()}
+                if k > 1:
+                    for j in range(k):
+                        meter.update(**{k2: float(v[j]) for k2, v in host.items()})
+                    loss_val = float(np.sum(host["loss"]))
+                else:
+                    meter.update(**{k2: float(v) for k2, v in host.items()})
+                    loss_val = float(host["loss"])
+                # NaN-loss hard exit (engine semantics, engine_pretrain...:232-234)
+                # — one dispatch late under the pipeline (utils/pipeline.py)
+                check_finite_loss(loss_val, logger)
 
-        # metrics are read one dispatch behind so the device queue never
-        # drains on the tunnel round-trip (utils/pipeline.py)
-        dm = DeferredMetrics(drain_metrics,
-                             depth=0 if args.sync_metrics else 1)
+            # metrics are read one dispatch behind so the device queue never
+            # drains on the tunnel round-trip (utils/pipeline.py)
+            dm = DeferredMetrics(drain_metrics,
+                                 depth=0 if args.sync_metrics else 1)
 
-        for pts, cls_label, seg in prefetcher:
-            rng, key = jax.random.split(rng)
-            if use_multi:
-                pending.append((pts, cls_label, seg, key))
-                if len(pending) < k_dispatch:
-                    continue
-                stacks = [jnp.stack(col) for col in zip(*pending)]
-                pending = []
-                state, mstack = multi_fn(state, *stacks)
-                dm.push(mstack, k_dispatch)
-            else:
+            for pts, cls_label, seg in prefetcher:
+                rng, key = jax.random.split(rng)
+                if use_multi:
+                    pending.append((pts, cls_label, seg, key))
+                    if len(pending) < k_dispatch:
+                        continue
+                    stacks = [jnp.stack(col) for col in zip(*pending)]
+                    pending = []
+                    state, mstack = multi_fn(state, *stacks)
+                    host_step += k_dispatch
+                    dm.push(mstack, k_dispatch)
+                else:
+                    state, metrics = step_fn(state, pts, cls_label, seg, key)
+                    host_step += 1
+                    dm.push(metrics, 1)
+                maybe_save_steps()
+                guard.exit_if_triggered(preempt_save)
+            # flush a partial multi-dispatch group as single steps
+            for pts, cls_label, seg, key in pending:
                 state, metrics = step_fn(state, pts, cls_label, seg, key)
+                host_step += 1
                 dm.push(metrics, 1)
-            maybe_save_steps()
-            guard.exit_if_triggered(preempt_save)
-        # flush a partial multi-dispatch group as single steps
-        for pts, cls_label, seg, key in pending:
-            state, metrics = step_fn(state, pts, cls_label, seg, key)
-            dm.push(metrics, 1)
-        # drain the pipeline: meters must be complete before the epoch stats
-        dm.flush()
+            # drain the pipeline: meters must be complete before the epoch stats
+            dm.flush()
 
-        def preempt_save_epoch_end():
-            # all steps trained; skip the mIoU pass, resume at epoch+1
-            writer.wait()
-            save_checkpoint(ckpt_dir, state, int(state.step))
-            save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
+            def preempt_save_epoch_end():
+                # all steps trained; skip the mIoU pass, resume at epoch+1
+                writer.wait()
+                save_checkpoint(ckpt_dir, state, int(state.step))
+                save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
 
-        guard.exit_if_triggered(preempt_save_epoch_end)
-        stats = meter.global_avgs()
-        stats.update(epoch=epoch, time=round(time.time() - t0, 2))
+            guard.exit_if_triggered(preempt_save_epoch_end)
+            stats = meter.global_avgs()
+            stats.update(epoch=epoch, time=round(time.time() - t0, 2))
 
-        if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
-            # pipeline the eval dispatches (utils/pipeline.py rationale), but
-            # bound the in-flight window: seg logits are (B, N, 50) — the
-            # full ShapeNetPart val set held on device would be >1 GB
-            preds, targets, clss = [], [], []
+            if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
+                # pipeline the eval dispatches (utils/pipeline.py rationale), but
+                # bound the in-flight window: seg logits are (B, N, 50) — the
+                # full ShapeNetPart val set held on device would be >1 GB
+                preds, targets, clss = [], [], []
 
-            def drain_eval(logits_dev, cls_np, seg_np):
-                preds.append(category_restricted_argmax(
-                    np.asarray(logits_dev), cls_np, SEG_CLASSES, CLS_NAMES))
-                targets.append(seg_np)
-                clss.append(cls_np)
+                def drain_eval(logits_dev, cls_np, seg_np):
+                    preds.append(category_restricted_argmax(
+                        np.asarray(logits_dev), cls_np, SEG_CLASSES, CLS_NAMES))
+                    targets.append(seg_np)
+                    clss.append(cls_np)
 
-            flight = DeferredMetrics(drain_eval,
-                                     depth=0 if args.sync_metrics else 4)
-            for pts, cls_label, seg in val_loader:
-                flight.push(eval_step(state.variables(), jnp.asarray(pts),
-                                      jnp.asarray(cls_label)),
-                            np.asarray(cls_label), np.asarray(seg))
-            flight.flush()
-            miou = part_miou(np.concatenate(preds), np.concatenate(targets),
-                             np.concatenate(clss), SEG_CLASSES, CLS_NAMES)
-            stats["instance_miou"] = miou["instance_miou"] * 100
-            stats["class_miou"] = miou["class_miou"] * 100
-            if miou["instance_miou"] > best["instance_miou"]:
-                best = {k: miou[k] for k in ("instance_miou", "class_miou")}
-                from gm3d_tpu.ckpt import save_best_metrics
+                flight = DeferredMetrics(drain_eval,
+                                         depth=0 if args.sync_metrics else 4)
+                for pts, cls_label, seg in val_loader:
+                    flight.push(eval_step(state.variables(), jnp.asarray(pts),
+                                          jnp.asarray(cls_label)),
+                                np.asarray(cls_label), np.asarray(seg))
+                flight.flush()
+                miou = part_miou(np.concatenate(preds), np.concatenate(targets),
+                                 np.concatenate(clss), SEG_CLASSES, CLS_NAMES)
+                stats["instance_miou"] = miou["instance_miou"] * 100
+                stats["class_miou"] = miou["class_miou"] * 100
+                if miou["instance_miou"] > best["instance_miou"]:
+                    best = {k: miou[k] for k in ("instance_miou", "class_miou")}
+                    from gm3d_tpu.ckpt import save_best_metrics
 
-                # default-arg binding: the writer thread may read these after
-                # the loop rebinds them (late-binding closure hazard)
-                writer.submit(state, lambda s, step=int(state.step),
-                              im=miou["instance_miou"], mb=dict(best): (
-                    save_checkpoint(os.path.join(ckpt_dir, "best"), s, step,
-                                    metrics={"instance_miou": im},
-                                    max_to_keep=1),
-                    save_best_metrics(ckpt_dir, mb)))
-        # rolling last-epoch save (ckpt-last.pth parity) with the loader
-        # sidecar in lockstep (see cli/pretrain.py)
-        step, token = int(state.step), {"epoch": epoch + 1, "batch": 0}
-        writer.submit(state, lambda s, step=step, token=token: (
-            save_checkpoint(ckpt_dir, s, step),
-            save_loader_state(ckpt_dir, token)))
-        last_saved_step = step
-        logger.info(f"epoch {epoch}: " + " ".join(
-            f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
-        jsonl.write(stats)
-    writer.wait()  # all saves durable before the run reports success
+                    # default-arg binding: the writer thread may read these after
+                    # the loop rebinds them (late-binding closure hazard)
+                    writer.submit(state, lambda s, step=int(state.step),
+                                  im=miou["instance_miou"], mb=dict(best): (
+                        save_checkpoint(os.path.join(ckpt_dir, "best"), s, step,
+                                        metrics={"instance_miou": im},
+                                        max_to_keep=1),
+                        save_best_metrics(ckpt_dir, mb)))
+            # rolling last-epoch save (ckpt-last.pth parity) with the loader
+            # sidecar in lockstep (see cli/pretrain.py)
+            step, token = int(state.step), {"epoch": epoch + 1, "batch": 0}
+            writer.submit(state, lambda s, step=step, token=token: (
+                save_checkpoint(ckpt_dir, s, step),
+                save_loader_state(ckpt_dir, token)))
+            last_saved_step = step
+            logger.info(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
+            jsonl.write(stats)
+    finally:
+        # drain on ANY exit from the loop (injected test crash, NaN sys.exit,
+        # real bug): the in-flight save is always of a NaN-checked state
+        # (maybe_save_steps flushes the metrics pipeline before submitting),
+        # so committing it is safe; without this the last save races process
+        # exit (and a daemon writer killed mid-orbax-save at interpreter
+        # shutdown aborts the process)
+        writer.wait()
+
     guard.uninstall()
     logger.info(f"best inst mIoU {best['instance_miou']*100:.2f} / "
                 f"class mIoU {best['class_miou']*100:.2f}")

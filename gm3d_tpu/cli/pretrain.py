@@ -481,190 +481,219 @@ def main():
         emit_epoch(p["stats"])
 
     last_saved_step = int(state.step)
-    for epoch in range(start_epoch, epochs):
-        meter = MetricLogger()
-        t0 = time.time()
-        ema_decay = ema_decay_schedule(epoch)
-        # usual-mode student always uses the capped min(..., 0.5) ramp
-        # (models_mae_learn_loss_Classifier_SVM.py generate_mask)
-        capped_ramp = args.after_200_epoch or args.learn_feature_loss == "none"
-        kr = keep_ratio_schedule(epoch, epochs, capped_ramp)
-        if args.learn_feature_loss == "none":
-            # usual-mode engine: FIXED mix 13.889*MSE + 1*CD from epoch 0
-            # (engine_pretrain.py:149-153, `if epoch < -1` dead branch)
-            w_mse, w_cd = 13.889, 1.0
-        else:
-            w_mse, w_cd = loss_weights(epoch, args.after_epoch, args.loss_multiply_by)
-        scalars = {
-            "keep_ratio": jnp.asarray(kr, jnp.float32),
-            "ema_decay": jnp.asarray(ema_decay, jnp.float32),
-            "w_mse": jnp.asarray(w_mse, jnp.float32),
-            "w_cd": jnp.asarray(w_cd, jnp.float32),
-        }
-        probe_iter = iter(svm_train) if probe_step is not None else None
-        pending = []
-        from gm3d_tpu.data.prefetch import device_prefetch
-
-        prefetcher = device_prefetch(train_loader, sharding=bshard)
-
-        def maybe_save_steps():
-            # mid-epoch rolling save + the loader position of the NEXT batch
-            # (prefetcher.state(): the token as of the last yielded batch, so
-            # resume replays nothing — data/prefetch.py)
-            nonlocal last_saved_step
-            if not args.save_steps:
-                return
-            if int(state.step) - last_saved_step < args.save_steps:
-                return
-            step, token = int(state.step), (prefetcher.state()
-                                            or {"epoch": epoch, "batch": 0})
-            writer.submit(state, lambda s: (save_checkpoint(ckpt_dir, s, step),
-                                            save_loader_state(ckpt_dir, token)))
-            last_saved_step = step
-
-        def preempt_save():
-            # (state, loader position) are consistent here: in multi-dispatch
-            # mode this runs only right after a full scanned group (pending
-            # empty), so every yielded batch has been trained on.
-            # Synchronous: the process exits right after; drain the writer
-            # first so two orbax managers never race on ckpt_dir.
-            writer.wait()
-            save_checkpoint(ckpt_dir, state, int(state.step))
-            save_loader_state(ckpt_dir,
-                              prefetcher.state() or {"epoch": epoch, "batch": 0})
-
-        def drain_metrics(payload, k):
-            # the host read: blocks until that dispatch completes. Feed EVERY
-            # scanned step to the meters so epoch averages cover all steps.
-            host = {kk: np.asarray(v) for kk, v in payload.items()}
-            if k > 1:
-                for j in range(k):
-                    meter.update(**{kk: float(v[j]) for kk, v in host.items()})
-                # sum is non-finite iff any step's loss is (NaN/inf propagate)
-                loss_val = float(np.sum(host["loss"]))
+    # host-side mirror of state.step (one increment per dispatched train
+    # step, which is exact): reading the device scalar every iteration for
+    # the --save_steps cadence would block on the in-flight dispatch and
+    # defeat the metrics pipeline
+    host_step = last_saved_step
+    try:
+        for epoch in range(start_epoch, epochs):
+            meter = MetricLogger()
+            t0 = time.time()
+            ema_decay = ema_decay_schedule(epoch)
+            # usual-mode student always uses the capped min(..., 0.5) ramp
+            # (models_mae_learn_loss_Classifier_SVM.py generate_mask)
+            capped_ramp = args.after_200_epoch or args.learn_feature_loss == "none"
+            kr = keep_ratio_schedule(epoch, epochs, capped_ramp)
+            if args.learn_feature_loss == "none":
+                # usual-mode engine: FIXED mix 13.889*MSE + 1*CD from epoch 0
+                # (engine_pretrain.py:149-153, `if epoch < -1` dead branch)
+                w_mse, w_cd = 13.889, 1.0
             else:
-                meter.update(**{kk: float(v) for kk, v in host.items()})
-                loss_val = float(host["loss"])
-            # NaN-loss hard exit (engine_pretrain_Classifier_SVM.py:232-234);
-            # one dispatch late under the pipeline (utils/pipeline.py)
-            check_finite_loss(loss_val, logger)
+                w_mse, w_cd = loss_weights(epoch, args.after_epoch, args.loss_multiply_by)
+            scalars = {
+                "keep_ratio": jnp.asarray(kr, jnp.float32),
+                "ema_decay": jnp.asarray(ema_decay, jnp.float32),
+                "w_mse": jnp.asarray(w_mse, jnp.float32),
+                "w_cd": jnp.asarray(w_cd, jnp.float32),
+            }
+            probe_iter = iter(svm_train) if probe_step is not None else None
+            pending = []
+            from gm3d_tpu.data.prefetch import device_prefetch
 
-        # metrics are read one dispatch behind so the device queue never
-        # drains on the tunnel round-trip (utils/pipeline.py)
-        dm = DeferredMetrics(drain_metrics,
-                             depth=0 if args.sync_metrics else 1)
+            prefetcher = device_prefetch(train_loader, sharding=bshard)
 
-        for it, pts in enumerate(prefetcher):
-            rng, key = jax.random.split(rng)
-            if use_multi:
-                pending.append((pts, key))
-                if len(pending) < k_dispatch:
-                    continue
-                stack = jnp.stack([p for p, _ in pending])
-                keys = jnp.stack([k for _, k in pending])
-                pending = []
-                if args.model_family == "gm3d":
-                    state, mstack = multi_fn(state, tvars, stack, keys, scalars)
+            def maybe_save_steps():
+                # mid-epoch rolling save + the loader position of the NEXT batch
+                # (prefetcher.state(): the token as of the last yielded batch, so
+                # resume replays nothing — data/prefetch.py)
+                nonlocal last_saved_step
+                if not args.save_steps:
+                    return
+                if host_step - last_saved_step < args.save_steps:
+                    return
+                # run the deferred NaN checks BEFORE persisting: the rolling save
+                # must never overwrite the last good checkpoint with a state whose
+                # loss was never verified (the pipeline defers checks one dispatch;
+                # the save's device snapshot blocks on the in-flight dispatch
+                # anyway, so this flush costs nothing extra)
+                dm.flush()
+                step, token = host_step, (prefetcher.state()
+                                          or {"epoch": epoch, "batch": 0})
+                writer.submit(state, lambda s: (save_checkpoint(ckpt_dir, s, step),
+                                                save_loader_state(ckpt_dir, token)))
+                last_saved_step = step
+
+            def preempt_save():
+                # (state, loader position) are consistent here: in multi-dispatch
+                # mode this runs only right after a full scanned group (pending
+                # empty), so every yielded batch has been trained on.
+                # Synchronous: the process exits right after; drain the writer
+                # first so two orbax managers never race on ckpt_dir. Flush the
+                # metrics pipeline so the deferred NaN checks run before the
+                # state is persisted.
+                dm.flush()
+                writer.wait()
+                save_checkpoint(ckpt_dir, state, int(state.step))
+                save_loader_state(ckpt_dir,
+                                  prefetcher.state() or {"epoch": epoch, "batch": 0})
+
+            def drain_metrics(payload, k):
+                # the host read: blocks until that dispatch completes. Feed EVERY
+                # scanned step to the meters so epoch averages cover all steps.
+                host = {kk: np.asarray(v) for kk, v in payload.items()}
+                if k > 1:
+                    for j in range(k):
+                        meter.update(**{kk: float(v[j]) for kk, v in host.items()})
+                    # sum is non-finite iff any step's loss is (NaN/inf propagate)
+                    loss_val = float(np.sum(host["loss"]))
                 else:
-                    state, mstack = multi_fn(state, None, stack, keys, scalars)
-                dm.push(mstack, k_dispatch)
-            else:
+                    meter.update(**{kk: float(v) for kk, v in host.items()})
+                    loss_val = float(host["loss"])
+                # NaN-loss hard exit (engine_pretrain_Classifier_SVM.py:232-234);
+                # one dispatch late under the pipeline (utils/pipeline.py)
+                check_finite_loss(loss_val, logger)
+
+            # metrics are read one dispatch behind so the device queue never
+            # drains on the tunnel round-trip (utils/pipeline.py)
+            dm = DeferredMetrics(drain_metrics,
+                                 depth=0 if args.sync_metrics else 1)
+
+            for it, pts in enumerate(prefetcher):
+                rng, key = jax.random.split(rng)
+                if use_multi:
+                    pending.append((pts, key))
+                    if len(pending) < k_dispatch:
+                        continue
+                    stack = jnp.stack([p for p, _ in pending])
+                    keys = jnp.stack([k for _, k in pending])
+                    pending = []
+                    if args.model_family == "gm3d":
+                        state, mstack = multi_fn(state, tvars, stack, keys, scalars)
+                    else:
+                        state, mstack = multi_fn(state, None, stack, keys, scalars)
+                    host_step += k_dispatch
+                    dm.push(mstack, k_dispatch)
+                else:
+                    if args.model_family == "gm3d":
+                        state, metrics = step_fn(state, tvars, pts, key, scalars)
+                    elif args.model_family == "m2ae_gm3d":
+                        state, metrics = step_fn(state, pts, key, scalars)
+                    else:
+                        state, metrics = step_fn(state, pts, key)
+                    host_step += 1
+                    dm.push(metrics, 1)
+                maybe_save_steps()
+                guard.exit_if_triggered(preempt_save)
+                if prof_remaining:
+                    prof_remaining -= 1
+                    if prof_remaining == 0:
+                        # force the in-flight dispatch to completion so its device
+                        # activity lands in the trace (the pipeline defers reads)
+                        dm.flush()
+                        jax.profiler.stop_trace()
+                        logger.info(f"profiler trace written to {args.profile_dir}")
+                if probe_step is not None:
+                    try:
+                        cls_pts, cls_labels = next(probe_iter)
+                    except StopIteration:
+                        probe_iter = iter(svm_train)
+                        cls_pts, cls_labels = next(probe_iter)
+                    rng, key = jax.random.split(rng)
+                    probe_state, pmetrics = probe_step(
+                        probe_state, state.variables(), jnp.asarray(cls_pts),
+                        jnp.asarray(cls_labels), key)
+                    meter.update(**{k: float(v) for k, v in pmetrics.items()})
+            # flush a partial multi-dispatch group as single steps
+            for pts, key in pending:
                 if args.model_family == "gm3d":
                     state, metrics = step_fn(state, tvars, pts, key, scalars)
                 elif args.model_family == "m2ae_gm3d":
                     state, metrics = step_fn(state, pts, key, scalars)
                 else:
                     state, metrics = step_fn(state, pts, key)
+                host_step += 1
                 dm.push(metrics, 1)
-            maybe_save_steps()
-            guard.exit_if_triggered(preempt_save)
-            if prof_remaining:
-                prof_remaining -= 1
-                if prof_remaining == 0:
-                    # force the in-flight dispatch to completion so its device
-                    # activity lands in the trace (the pipeline defers reads)
-                    dm.flush()
-                    jax.profiler.stop_trace()
-                    logger.info(f"profiler trace written to {args.profile_dir}")
-            if probe_step is not None:
-                try:
-                    cls_pts, cls_labels = next(probe_iter)
-                except StopIteration:
-                    probe_iter = iter(svm_train)
-                    cls_pts, cls_labels = next(probe_iter)
-                rng, key = jax.random.split(rng)
-                probe_state, pmetrics = probe_step(
-                    probe_state, state.variables(), jnp.asarray(cls_pts),
-                    jnp.asarray(cls_labels), key)
-                meter.update(**{k: float(v) for k, v in pmetrics.items()})
-        # flush a partial multi-dispatch group as single steps
-        for pts, key in pending:
-            if args.model_family == "gm3d":
-                state, metrics = step_fn(state, tvars, pts, key, scalars)
-            elif args.model_family == "m2ae_gm3d":
-                state, metrics = step_fn(state, pts, key, scalars)
-            else:
-                state, metrics = step_fn(state, pts, key)
-            dm.push(metrics, 1)
-        # drain the pipeline: meters must be complete before the epoch stats
-        dm.flush()
+            # drain the pipeline: meters must be complete before the epoch stats
+            dm.flush()
 
-        def preempt_save_epoch_end():
-            # every step of this epoch is trained; a signal here skips the
-            # (potentially minutes-long) SVM probe and resumes at epoch+1
-            writer.wait()
-            save_checkpoint(ckpt_dir, state, int(state.step))
-            save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
+            def preempt_save_epoch_end():
+                # every step of this epoch is trained; a signal here skips the
+                # (potentially minutes-long) SVM probe and resumes at epoch+1
+                writer.wait()
+                save_checkpoint(ckpt_dir, state, int(state.step))
+                save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})
 
-        guard.exit_if_triggered(preempt_save_epoch_end)
-        stats = meter.global_avgs()
-        epoch_time = time.time() - t0
-        # meter coverage: equals steps_per_epoch regardless of
-        # --steps_per_dispatch (every scanned step feeds the meters); fewer
-        # only on a mid-epoch resume (--save_steps), where throughput must
-        # count the steps actually run
-        n_steps = meter.meters["loss"].count if "loss" in meter.meters else 0
-        stats.update(epoch=epoch, time=round(epoch_time, 2),
-                     # the schedule's axis is optimizer UPDATES
-                     lr=float(sched(int(state.step) // args.accum_iter)),
-                     steps=n_steps,
-                     clouds_per_sec=round(n_steps * batch / max(epoch_time, 1e-9), 1))
+            guard.exit_if_triggered(preempt_save_epoch_end)
+            stats = meter.global_avgs()
+            epoch_time = time.time() - t0
+            # meter coverage: equals steps_per_epoch regardless of
+            # --steps_per_dispatch (every scanned step feeds the meters); fewer
+            # only on a mid-epoch resume (--save_steps), where throughput must
+            # count the steps actually run
+            n_steps = meter.meters["loss"].count if "loss" in meter.meters else 0
+            stats.update(epoch=epoch, time=round(epoch_time, 2),
+                         # the schedule's axis is optimizer UPDATES
+                         lr=float(sched(int(state.step) // args.accum_iter)),
+                         steps=n_steps,
+                         clouds_per_sec=round(n_steps * batch / max(epoch_time, 1e-9), 1))
 
-        # the previous epoch's probe (if any) finishes first: its log line
-        # precedes this epoch's, and best_acc must be current before this
-        # epoch's probe compares against it
-        finish_pending_probe()
-        if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
-            if probe_async:
-                start_probe(stats, int(state.step))
-            else:
-                acc = svm_probe(feat_model, state.variables(), svm_train,
-                                svm_test, npoints=cfg.get("npoints", 1024),
-                                # ragged last probe batches tile to the TPU
-                                # compile-shape floor (exact; floor_reps)
-                                batch_floor=resolve_batch_floor(args))
-                record_probe(stats, acc, int(state.step), state)
-        # rolling last-epoch save (*_temp_last.pth parity — crash resume
-        # continues from the last completed epoch, not the last best);
-        # the loader sidecar stays in lockstep: a resume after a COMPLETED
-        # epoch must not replay from a stale mid-epoch token
-        step, token = int(state.step), {"epoch": epoch + 1, "batch": 0}
-        writer.submit(state, lambda s, step=step, token=token: (
-            save_checkpoint(ckpt_dir, s, step),
-            save_loader_state(ckpt_dir, token)))
-        last_saved_step = step
-        if args.save_interval and (epoch + 1) % args.save_interval == 0:
-            # periodic snapshots every N epochs ({model}_{epoch:04d}.pth parity)
-            writer.submit(state, lambda s, step=step: save_checkpoint(
-                os.path.join(ckpt_dir, "epochs"), s, step, max_to_keep=1000))
-        if pending_probe is None:
-            # async-probe epochs emit when their probe finishes
-            emit_epoch(stats)
+            # the previous epoch's probe (if any) finishes first: its log line
+            # precedes this epoch's, and best_acc must be current before this
+            # epoch's probe compares against it
+            finish_pending_probe()
+            if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
+                if probe_async:
+                    start_probe(stats, int(state.step))
+                else:
+                    acc = svm_probe(feat_model, state.variables(), svm_train,
+                                    svm_test, npoints=cfg.get("npoints", 1024),
+                                    # ragged last probe batches tile to the TPU
+                                    # compile-shape floor (exact; floor_reps)
+                                    batch_floor=resolve_batch_floor(args))
+                    record_probe(stats, acc, int(state.step), state)
+            # rolling last-epoch save (*_temp_last.pth parity — crash resume
+            # continues from the last completed epoch, not the last best);
+            # the loader sidecar stays in lockstep: a resume after a COMPLETED
+            # epoch must not replay from a stale mid-epoch token
+            step, token = int(state.step), {"epoch": epoch + 1, "batch": 0}
+            writer.submit(state, lambda s, step=step, token=token: (
+                save_checkpoint(ckpt_dir, s, step),
+                save_loader_state(ckpt_dir, token)))
+            last_saved_step = step
+            if args.save_interval and (epoch + 1) % args.save_interval == 0:
+                # periodic snapshots every N epochs ({model}_{epoch:04d}.pth parity)
+                writer.submit(state, lambda s, step=step: save_checkpoint(
+                    os.path.join(ckpt_dir, "epochs"), s, step, max_to_keep=1000))
+            if pending_probe is None:
+                # async-probe epochs emit when their probe finishes
+                emit_epoch(stats)
+    finally:
+        # drain on ANY exit from the loop (injected test crash, NaN sys.exit,
+        # real bug): the in-flight save is always of a NaN-checked state
+        # (maybe_save_steps flushes the metrics pipeline before submitting),
+        # so committing it is safe; without this the last save races process
+        # exit (and a daemon writer killed mid-orbax-save at interpreter
+        # shutdown aborts the process)
+        writer.wait()
 
     finish_pending_probe()  # the last epoch's probe and log line
+    # the probe may have submitted a best-checkpoint save AFTER the loop's
+    # finally drained the writer; wait again or the daemon save thread dies
+    # inside orbax at interpreter shutdown (SIGABRT after a clean run)
+    writer.wait()
     if prof_remaining:  # run ended before --profile_steps steps
         jax.profiler.stop_trace()
-    writer.wait()  # all saves durable before the run reports success
     from gm3d_tpu.ckpt.checkpoint import latest_step
 
     if latest_step(ckpt_dir) != int(state.step):  # 0-epoch runs (resume at end)

@@ -16,9 +16,14 @@ Semantics, relative to the synchronous loop:
     compute (the reference syncs per step via ``loss.item()``,
     ``engine_pretrain_Classifier_SVM.py:217``, which a remote accelerator
     cannot afford);
-  - checkpoint / preemption saves are unaffected: they read the live train
-    state, which blocks until the in-flight dispatch completes, so saved
-    state and loader position stay mutually consistent.
+  - checkpoint / preemption saves read the live train state, which blocks
+    until the in-flight dispatch completes, so saved state and loader
+    position stay mutually consistent. The training CLIs additionally
+    ``flush()`` the pipeline before every save (rolling ``--save_steps``
+    and preemption): the deferred NaN checks must run BEFORE a state is
+    persisted, or a NaN-corrupted state could overwrite the last good
+    rolling checkpoint. The flush is free there — the save's device
+    snapshot synchronizes on the in-flight dispatch anyway.
 
 ``depth=0`` degrades to the synchronous behavior (the ``--sync_metrics``
 escape hatch, for debugging and A/B measurement).
