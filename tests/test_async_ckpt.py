@@ -83,6 +83,32 @@ def test_sync_mode_passes_live_state_through():
     w.wait()  # no-op
 
 
+@pytest.mark.slow
+def test_pretrain_joins_final_probe_best_save_before_returning(tmp_path):
+    """The last epoch's async SVM probe lands AFTER the epoch loop's writer
+    drain and submits the best-checkpoint save then; the CLI must wait on
+    the writer AGAIN before returning. An unjoined daemon save thread dies
+    inside orbax at interpreter shutdown (observed: SIGABRT, 'terminate
+    called', after an otherwise-clean run) and its best checkpoint is not
+    durable. Asserted in-process, the moment main() returns: no live writer
+    thread, and the best checkpoint already restorable."""
+    from cli_harness import run_cli
+
+    from gm3d_tpu.ckpt.checkpoint import latest_step
+
+    out = str(tmp_path / "run")
+    run_cli(
+        "gm3d_tpu.cli.pretrain",
+        ["pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+         "--learn_feature_loss", "ema", "--epochs", "1", "--batch_size", "8",
+         "--synthetic_samples", "16", "--val_freq", "1000",
+         "--output_dir", out])
+    leaked = [t for t in threading.enumerate()
+              if t.name == "gm3d-ckpt-writer" and t.is_alive()]
+    assert not leaked, f"writer thread still running after main(): {leaked}"
+    assert latest_step(os.path.join(out, "ckpt", "best")) is not None
+
+
 def test_async_save_restores_submit_time_state(tmp_path):
     """End-to-end through orbax: save via the writer, keep 'training' the
     live state, then restore — the checkpoint must hold the submit-time
