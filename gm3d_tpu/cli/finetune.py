@@ -502,6 +502,9 @@ def main():
         # exit (and a daemon writer killed mid-orbax-save at interpreter
         # shutdown aborts the process)
         writer.wait()
+        # exception paths must not leak the installed SIGTERM handler into
+        # the next in-process run (uninstall is idempotent)
+        guard.uninstall()
 
     if args.vote:
         if vote_step is None:

@@ -349,8 +349,9 @@ def main():
         # exit (and a daemon writer killed mid-orbax-save at interpreter
         # shutdown aborts the process)
         writer.wait()
-
-    guard.uninstall()
+        # exception paths must not leak the installed SIGTERM handler into
+        # the next in-process run (uninstall is idempotent)
+        guard.uninstall()
     logger.info(f"best inst mIoU {best['instance_miou']*100:.2f} / "
                 f"class mIoU {best['class_miou']*100:.2f}")
     return best

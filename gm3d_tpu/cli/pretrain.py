@@ -445,7 +445,12 @@ def main():
     # runs stay synchronous: the probe's feature gather is a collective, and
     # collectives issued from two threads can interleave differently across
     # processes (deadlock).
-    probe_async = jax.process_count() == 1 and not args.sync_probe
+    # --classification forces sync probes too: the per-step classification
+    # batches and the probe's feature extraction would otherwise iterate the
+    # SAME svm_train DataLoader from two threads, racing its epoch counter
+    # and the per-item subsample RNG
+    probe_async = (jax.process_count() == 1 and not args.sync_probe
+                   and probe_step is None)
     pending_probe = None  # {"thread", "holder", "stats", "step", "snap"}
 
     def start_probe(stats, step):
@@ -508,6 +513,7 @@ def main():
                 "w_cd": jnp.asarray(w_cd, jnp.float32),
             }
             probe_iter = iter(svm_train) if probe_step is not None else None
+            pending_pmetrics = None
             pending = []
             from gm3d_tpu.data.prefetch import device_prefetch
 
@@ -613,7 +619,13 @@ def main():
                     probe_state, pmetrics = probe_step(
                         probe_state, state.variables(), jnp.asarray(cls_pts),
                         jnp.asarray(cls_labels), key)
-                    meter.update(**{k: float(v) for k, v in pmetrics.items()})
+                    # read one step behind, like the train metrics: a
+                    # synchronous float() here would block on the in-flight
+                    # dispatch and defeat the DeferredMetrics pipeline
+                    if pending_pmetrics is not None:
+                        meter.update(**{k: float(v)
+                                        for k, v in pending_pmetrics.items()})
+                    pending_pmetrics = pmetrics
             # flush a partial multi-dispatch group as single steps
             for pts, key in pending:
                 if args.model_family == "gm3d":
@@ -626,6 +638,10 @@ def main():
                 dm.push(metrics, 1)
             # drain the pipeline: meters must be complete before the epoch stats
             dm.flush()
+            if pending_pmetrics is not None:
+                meter.update(**{k: float(v)
+                                for k, v in pending_pmetrics.items()})
+                pending_pmetrics = None
 
             def preempt_save_epoch_end():
                 # every step of this epoch is trained; a signal here skips the
@@ -686,6 +702,16 @@ def main():
         # exit (and a daemon writer killed mid-orbax-save at interpreter
         # shutdown aborts the process)
         writer.wait()
+        # same for the async SVM probe: a daemon thread still running jit
+        # dispatches at interpreter shutdown SIGABRTs. On the normal path the
+        # join is a no-op (finish_pending_probe below re-joins and records);
+        # on error/preemption paths the probe's result is deliberately
+        # dropped (resume recomputes it)
+        if pending_probe is not None:
+            pending_probe["thread"].join()
+        # exception paths must not leak the installed SIGTERM handler into
+        # the next in-process run (uninstall is idempotent)
+        guard.uninstall()
 
     finish_pending_probe()  # the last epoch's probe and log line
     # the probe may have submitted a best-checkpoint save AFTER the loop's

@@ -7,8 +7,10 @@ full-batch device calls where ``ceil(K / batch)`` would do — at batch 128
 that wastes up to 127/128 of the device. This is the standard production
 serving fix (dynamic batching a la TF-Serving / Triton, rebuilt here with
 zero dependencies): request threads enqueue clouds; one consumer thread
-collects up to ``batch`` clouds — waiting at most ``max_wait_ms`` after the
-first — runs ONE padded device call, and distributes the output slices.
+collects up to ``batch`` clouds per serving device — waiting at most
+``max_wait_ms`` after the first — runs one padded device call per collected
+batch (round-robined across devices by the runner), and distributes the
+output slices.
 
 The single consumer thread also serializes device dispatch, so concurrent
 requests never interleave their XLA calls (the reference stack has no
@@ -54,8 +56,18 @@ class DynamicBatcher:
     def __init__(self, model: ServingModel, max_wait_ms: float = 3.0):
         self.model = model
         self.max_wait = max(0.0, float(max_wait_ms)) / 1000.0
+        # collect up to one full batch PER SERVING DEVICE: a coalesced
+        # predict() of batch*num_devices clouds is exactly what the runner's
+        # chunking fans out round-robin; capping at one batch would pin the
+        # whole coalesced stream to a single chip
+        self._cap = model.batch * (len(model.devices) if model.devices else 1)
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._closed = False
+        # serializes the closed-check+enqueue against close(): without it a
+        # request that passed the check could enqueue AFTER the shutdown
+        # sentinel — the consumer would exit without serving it and the
+        # caller would block on event.wait() forever
+        self._lock = threading.Lock()
         # ops counters (exposed on /info): device dispatches vs clouds served
         self.device_calls = 0
         self.clouds_served = 0
@@ -66,12 +78,13 @@ class DynamicBatcher:
     # -- request side ------------------------------------------------------
 
     def predict(self, points: np.ndarray) -> np.ndarray:
-        if self._closed:
-            raise RuntimeError("DynamicBatcher is closed")
         points, single = check_points(points, self.model.npoints)
         items = [_Item(c) for c in points]
-        for it in items:
-            self._q.put(it)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            for it in items:
+                self._q.put(it)
         for it in items:
             it.event.wait()
         for it in items:
@@ -82,22 +95,26 @@ class DynamicBatcher:
 
     def close(self):
         """Stop the consumer thread (pending requests are still served)."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
+            # under the lock: the sentinel is guaranteed LAST in the queue
             self._closed = True
             self._q.put(None)
-            self._thread.join()
+        self._thread.join()
 
     # -- consumer side -----------------------------------------------------
 
     def _collect(self) -> list | None:
-        """Block for the first cloud, then gather more until the artifact
-        batch is full or ``max_wait`` has passed. None = shutdown."""
+        """Block for the first cloud, then gather more until the collect cap
+        (artifact batch x serving devices) is full or ``max_wait`` has
+        passed. None = shutdown."""
         first = self._q.get()
         if first is None:
             return None
         batch = [first]
         deadline = time.monotonic() + self.max_wait
-        while len(batch) < self.model.batch:
+        while len(batch) < self._cap:
             remaining = deadline - time.monotonic()
             try:
                 nxt = self._q.get(timeout=max(0.0, remaining))
@@ -110,7 +127,7 @@ class DynamicBatcher:
             if remaining <= 0:
                 # past the deadline we only drain what is ALREADY queued
                 try:
-                    while len(batch) < self.model.batch:
+                    while len(batch) < self._cap:
                         nxt = self._q.get_nowait()
                         if nxt is None:
                             self._q.put(None)
@@ -134,7 +151,9 @@ class DynamicBatcher:
                     it.error = e
                     it.event.set()
                 continue
-            self.device_calls += 1
+            # one coalesced predict() may span several device chunks once the
+            # collect cap exceeds the artifact batch (multi-device fan-out)
+            self.device_calls += -(-len(batch) // self.model.batch)
             self.clouds_served += len(batch)
             for it, o in zip(batch, out):
                 it.result = o

@@ -19,6 +19,7 @@ parallelism, the right shape for inference (no cross-chip collectives).
 
 from __future__ import annotations
 
+import itertools
 from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
@@ -58,6 +59,11 @@ class ServingModel:
         self.batch, self.npoints, _ = self.manifest["input_shape"]
         self.devices = list(devices) if devices else None
         self._in_dtype = np.dtype(self.manifest["input_dtype"])
+        # persistent round-robin cursor: per-CALL indexing would pin every
+        # small request (and every batcher-coalesced batch, which is always
+        # one chunk) to devices[0]. itertools.count.__next__ is a single
+        # C-level op — safe from concurrent request threads.
+        self._rr = itertools.count()
 
     @property
     def info(self) -> Dict[str, Any]:
@@ -71,7 +77,7 @@ class ServingModel:
         points, single = check_points(points, self.npoints)
         b = points.shape[0]
         pending = []  # (result or jit future, valid rows)
-        for i, start in enumerate(range(0, b, self.batch)):
+        for start in range(0, b, self.batch):
             chunk = points[start:start + self.batch]
             n = chunk.shape[0]
             if n < self.batch:
@@ -81,7 +87,7 @@ class ServingModel:
             if self.devices:
                 import jax
 
-                dev = self.devices[i % len(self.devices)]
+                dev = self.devices[next(self._rr) % len(self.devices)]
                 arr = jax.device_put(chunk.astype(self._in_dtype, copy=False),
                                      dev)
                 # async: jit returns a future; all chunks go in flight

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -120,12 +121,20 @@ def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
 
     ``num_devices``: fan multi-chunk requests out over this many local
     devices (-1 = all); 1 keeps the single-device path."""
+    if num_devices < -1 or num_devices == 0:
+        raise ValueError(
+            f"num_devices must be -1 (all local devices) or >= 1, "
+            f"got {num_devices}")
     devices = None
     if num_devices != 1:
         import jax
 
         local = jax.local_devices()
-        devices = local if num_devices in (-1, 0) else local[:num_devices]
+        if num_devices > len(local):
+            logging.getLogger("gm3d.serve").warning(
+                "requested %d serving devices but only %d are local; "
+                "using %d", num_devices, len(local), len(local))
+        devices = local if num_devices == -1 else local[:num_devices]
     model = ServingModel(artifact_path, devices=devices)
     backend = DynamicBatcher(model, batch_wait_ms) if dynamic_batching else model
     server = _Server((host, port), _make_handler(model, backend))

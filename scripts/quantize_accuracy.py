@@ -18,10 +18,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import gm3d_tpu.cli.common  # noqa: F401,E402  honors GM3D_PLATFORM=cpu BEFORE backend init (the axon TPU plugin
-# ignores JAX_PLATFORMS; without this a "CPU" run grabs the real chip and
-# collides with any TPU process already running)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _bootstrap  # noqa: F401,E402  repo-root path + GM3D_PLATFORM forcing (scripts/_bootstrap.py)
 
 
 

@@ -125,3 +125,75 @@ def test_async_save_restores_submit_time_state(tmp_path):
     restored = restore_raw(ckpt)
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.full(16, 2.0))
     assert int(np.asarray(restored["step"])) == 7
+
+
+def test_probe_thread_joined_on_mid_epoch_crash(tmp_path, monkeypatch):
+    """An exception during epoch e+1 while epoch e's async SVM probe is
+    still running must JOIN the probe thread (and restore the SIGTERM
+    handler) before main() unwinds: a daemon thread still running jit
+    dispatches at interpreter shutdown SIGABRTs after an otherwise-clean
+    traceback (CLAUDE.md pattern). Pre-fix, finish_pending_probe() ran only
+    on the normal path and guard.uninstall() was outside the finally."""
+    import signal
+
+    import gm3d_tpu.eval.svm as svm_mod
+    import gm3d_tpu.train.schedules as schedules_mod
+    from cli_harness import run_cli
+
+    # slow enough that the epoch-1 crash lands while it is still running
+    def slow_probe(*a, **k):
+        time.sleep(3.0)
+        return 0.5
+
+    monkeypatch.setattr(svm_mod, "svm_probe", slow_probe)
+
+    orig_sched = schedules_mod.ema_decay_schedule
+
+    def exploding(epoch):
+        if epoch >= 1:
+            raise RuntimeError("injected epoch-1 failure")
+        return orig_sched(epoch)
+
+    monkeypatch.setattr(schedules_mod, "ema_decay_schedule", exploding)
+    # run_cli reloads cli.pretrain, whose from-imports re-bind to the
+    # patched dependency modules above
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    out = str(tmp_path / "run")
+    with pytest.raises(RuntimeError, match="injected epoch-1 failure"):
+        run_cli(
+            "gm3d_tpu.cli.pretrain",
+            ["pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+             "--learn_feature_loss", "ema", "--epochs", "2", "--batch_size",
+             "8", "--synthetic_samples", "16", "--val_freq", "1",
+             "--output_dir", out])
+    leaked = [t for t in threading.enumerate()
+              if t.name in ("gm3d-svm-probe", "gm3d-ckpt-writer")
+              and t.is_alive()]
+    assert not leaked, f"threads still running after crash: {leaked}"
+    assert signal.getsignal(signal.SIGTERM) == prev_handler, (
+        "SIGTERM handler leaked past main()")
+
+
+def test_classification_forces_sync_probe(tmp_path, monkeypatch):
+    """--classification draws per-step batches from the SAME svm_train
+    DataLoader the probe's feature extraction iterates; running the probe
+    from a background thread would race the loader's epoch counter and
+    per-item subsample RNG. The probe must run on the main thread."""
+    import gm3d_tpu.eval.svm as svm_mod
+    from cli_harness import run_cli
+
+    calls = []
+
+    def recording_probe(*a, **k):
+        calls.append(threading.current_thread().name)
+        return 0.1
+
+    monkeypatch.setattr(svm_mod, "svm_probe", recording_probe)
+    out = str(tmp_path / "run")
+    run_cli(
+        "gm3d_tpu.cli.pretrain",
+        ["pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+         "--learn_feature_loss", "ema", "--epochs", "1", "--batch_size", "8",
+         "--synthetic_samples", "16", "--val_freq", "1", "--classification",
+         "--output_dir", out])
+    assert calls == ["MainThread"], calls

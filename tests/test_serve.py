@@ -525,3 +525,86 @@ def test_make_server_device_fanout(tmp_path):
         assert len(model.devices) == len(jax.devices())
     finally:
         server.server_close()
+
+
+def test_fanout_round_robin_persists_across_calls(tmp_path, monkeypatch):
+    """The round-robin cursor must persist across predict() calls: per-call
+    indexing pinned every small request (and every batcher-coalesced batch,
+    which is always <= one artifact batch pre-cap) to devices[0], so the
+    advertised multi-chip fan-out never engaged under the default serving
+    mode."""
+    from gm3d_tpu.serve import ServingModel
+
+    path, _ = export_tiny_artifact(tmp_path, batch=4)
+    devs = jax.devices()
+    fan = ServingModel(path, devices=devs)
+    seen = []
+    orig_put = jax.device_put
+
+    def recording_put(x, device=None, **kw):
+        seen.append(device)
+        return orig_put(x, device, **kw)
+
+    monkeypatch.setattr(jax, "device_put", recording_put)
+    pts = np.random.RandomState(2).randn(4, 96, 3).astype(np.float32)
+    for _ in range(4):  # single-chunk requests
+        fan.predict(pts)
+    assert seen == [devs[0], devs[1], devs[2], devs[3]], seen
+
+
+def test_batcher_collect_cap_spans_devices(tmp_path):
+    """With a multi-device ServingModel the batcher's collect cap is
+    batch x num_devices: one coalesced predict() then fans its chunks out
+    round-robin instead of pinning the whole stream to one chip. The
+    device_calls counter counts CHUNKS (device dispatches), not coalesced
+    groups."""
+    from gm3d_tpu.serve import ServingModel
+    from gm3d_tpu.serve.batcher import DynamicBatcher
+
+    path, _ = export_tiny_artifact(tmp_path, batch=4)
+    devs = jax.devices()[:2]
+    model = ServingModel(path, devices=devs)
+    single = ServingModel(path)
+    batcher = DynamicBatcher(model, max_wait_ms=200.0)
+    try:
+        assert batcher._cap == 4 * 2
+        pts = np.random.RandomState(3).randn(8, 96, 3).astype(np.float32)
+        out = batcher.predict(pts)  # one coalesced group of 2 chunks
+        np.testing.assert_array_equal(out, single.predict(pts))
+        assert batcher.clouds_served == 8
+        assert batcher.device_calls == 2
+    finally:
+        batcher.close()
+
+
+def test_make_server_rejects_bad_num_devices(tmp_path):
+    """0 and <-1 are config errors, not silent topology changes (0 used to
+    mean 'all' and -2 sliced devices off the END of the list)."""
+    from gm3d_tpu.serve.server import make_server
+
+    path, _ = export_tiny_artifact(tmp_path, batch=4)
+    with pytest.raises(ValueError, match="num_devices"):
+        make_server(path, num_devices=0)
+    with pytest.raises(ValueError, match="num_devices"):
+        make_server(path, num_devices=-2)
+
+
+def test_batcher_close_is_idempotent_and_concurrent_safe(tmp_path):
+    """close() from two threads must not deadlock or double-join, and
+    predict() strictly after close() raises instead of hanging (the
+    closed-check and the enqueue are serialized against close(), so no
+    request can land behind the shutdown sentinel)."""
+    from gm3d_tpu.serve import ServingModel
+    from gm3d_tpu.serve.batcher import DynamicBatcher
+
+    path, _ = export_tiny_artifact(tmp_path, batch=4)
+    batcher = DynamicBatcher(ServingModel(path), max_wait_ms=1.0)
+    threads = [threading.Thread(target=batcher.close) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in threads)
+    pts = np.zeros((1, 96, 3), np.float32)
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.predict(pts)
