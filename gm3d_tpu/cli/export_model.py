@@ -8,6 +8,11 @@
   python -m gm3d_tpu.cli.export_model --config configs/pointmae/config.yaml \
       --ckpt experiments/pt/ckpt --mode features --out feats.gm3dx
 
+  # part segmentation (seg config + checkpoint; artifact takes (points,
+  # cls_label) and returns per-point part logits)
+  python -m gm3d_tpu.cli.export_model --config configs/pointmae/seg_shapenetpart.yaml \
+      --ckpt experiments/seg/ckpt/best --mode segmentation --out seg.gm3dx
+
 ``--ckpt`` takes a checkpoint ROOT (the rolling ``.../ckpt`` dir — the
 latest step is resolved automatically) or a pinned subdir like
 ``.../ckpt/best``.
@@ -33,7 +38,7 @@ def parse_args():
     p = base_parser("export a serving artifact")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     p.add_argument("--out", required=True, help="output .gm3dx path")
-    p.add_argument("--mode", choices=["classifier", "features"],
+    p.add_argument("--mode", choices=["classifier", "features", "segmentation"],
                    default="classifier")
     p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae"],
                    default="gm3d", help="pretrain family for --mode features")
@@ -77,6 +82,9 @@ def _restore_or_init(args, model, npoints, n_input, logger):
     pts0 = jnp.asarray(np.zeros((2, n_input, 3), np.float32))
     if args.mode == "classifier":
         return model.init(jax.random.key(0), pts0[:, :npoints]), -1
+    if args.mode == "segmentation":
+        cls0 = jnp.zeros((2,), jnp.int32)
+        return model.init(jax.random.key(0), pts0[:, :npoints], cls0), -1
     if args.model_family == "gm3d":
         from gm3d_tpu.masking import gm3d_num_mask
 
@@ -98,7 +106,7 @@ def main():
     npoints = cfg.get("npoints", 1024)
     n_input = args.input_points or npoints
 
-    if args.mode == "classifier":
+    if args.mode in ("classifier", "segmentation"):
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
         model_name = cfg["model"]["NAME"]
     elif args.model_family == "gm3d":
@@ -110,6 +118,13 @@ def main():
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
         model_name = cfg["model"]["NAME"]
 
+    if args.mode == "segmentation" and n_input != npoints:
+        # seg outputs are PER-POINT: an in-graph FPS would relabel a
+        # different cloud than the caller sent (serve/export.py build_seg_fn)
+        raise ValueError(
+            f"--mode segmentation requires --input_points == npoints "
+            f"({npoints}); got {n_input}")
+
     variables, step = _restore_or_init(args, model, npoints, n_input, logger)
     if args.quantize == "int8":
         # pre-quantize so the int8 kernels serialize as baked constants
@@ -120,24 +135,39 @@ def main():
     from gm3d_tpu.serve.export import (
         build_classifier_fn,
         build_feature_fn,
+        build_seg_fn,
         export_forward,
         save_artifact,
     )
 
-    build = build_classifier_fn if args.mode == "classifier" else build_feature_fn
-    fn = build(model, variables, npoints)
-    example = jnp.zeros((args.export_batch, n_input, 3), jnp.float32)
-    platforms = (tuple(p.strip() for p in args.platforms.split(","))
-                 if args.platforms else None)
-    exported = export_forward(fn, example, platforms, quantize=args.quantize)
-    path = save_artifact(args.out, exported, {
+    manifest = {
         "mode": args.mode,
         "model": model_name,
         "npoints": npoints,
         "ckpt_step": step,
         "compute_dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "quantization": args.quantize or "none",
-    })
+    }
+    if args.mode == "classifier":
+        fn = build_classifier_fn(model, variables, npoints)
+        example = jnp.zeros((args.export_batch, n_input, 3), jnp.float32)
+    elif args.mode == "segmentation":
+        fn = build_seg_fn(model, variables)
+        example = (jnp.zeros((args.export_batch, npoints, 3), jnp.float32),
+                   jnp.zeros((args.export_batch,), jnp.int32))
+        # bake the category->parts table so the server can serve the
+        # reference's category-restricted argmax without this codebase
+        from gm3d_tpu.data.datasets import SEG_CLASSES
+
+        manifest["seg_classes"] = {k: list(v) for k, v in SEG_CLASSES.items()}
+        manifest["cls_names"] = sorted(SEG_CLASSES)
+    else:
+        fn = build_feature_fn(model, variables, npoints)
+        example = jnp.zeros((args.export_batch, n_input, 3), jnp.float32)
+    platforms = (tuple(p.strip() for p in args.platforms.split(","))
+                 if args.platforms else None)
+    exported = export_forward(fn, example, platforms, quantize=args.quantize)
+    path = save_artifact(args.out, exported, manifest)
     logger.info(f"exported {args.mode} ({model_name}) -> {path} "
                 f"platforms={list(exported.platforms)} "
                 f"quantization={args.quantize or 'none'}")

@@ -161,6 +161,7 @@ def build_seg_model(cfg, **kwargs):
         drop_path_rate=cfg.get("drop_path_rate", 0.1),
         num_classes=cfg.get("num_classes", 16),
         num_parts=cfg.get("cls_dim", 50),
+        feature_blocks=tuple(cfg.get("feature_blocks", (3, 7, 11))),
         dtype=_dtype(kwargs),
     )
 

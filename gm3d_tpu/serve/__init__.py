@@ -19,6 +19,7 @@ Surfaces:
 from gm3d_tpu.serve.export import (  # noqa: F401
     build_classifier_fn,
     build_feature_fn,
+    build_seg_fn,
     export_forward,
     load_artifact,
     save_artifact,

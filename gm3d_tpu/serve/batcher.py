@@ -27,14 +27,15 @@ import time
 
 import numpy as np
 
-from gm3d_tpu.serve.runner import ServingModel, check_points
+from gm3d_tpu.serve.runner import ServingModel, check_labels, check_points
 
 
 class _Item:
-    __slots__ = ("cloud", "event", "result", "error")
+    __slots__ = ("cloud", "label", "event", "result", "error")
 
-    def __init__(self, cloud: np.ndarray):
+    def __init__(self, cloud: np.ndarray, label=None):
         self.cloud = cloud
+        self.label = label
         self.event = threading.Event()
         self.result = None
         self.error: BaseException | None = None
@@ -77,9 +78,20 @@ class DynamicBatcher:
 
     # -- request side ------------------------------------------------------
 
-    def predict(self, points: np.ndarray) -> np.ndarray:
+    def predict(self, points: np.ndarray, cls_label=None) -> np.ndarray:
         points, single = check_points(points, self.model.npoints)
-        items = [_Item(c) for c in points]
+        if self.model.needs_labels:
+            if cls_label is None:
+                raise ValueError(
+                    "this artifact requires cls_label (per-cloud object "
+                    "category) alongside the points")
+            labels = check_labels(cls_label, points.shape[0], single,
+                                  self.model._label_dtype)
+            items = [_Item(c, l) for c, l in zip(points, labels)]
+        elif cls_label is not None:
+            raise ValueError("this artifact takes no cls_label input")
+        else:
+            items = [_Item(c) for c in points]
         with self._lock:
             if self._closed:
                 raise RuntimeError("DynamicBatcher is closed")
@@ -144,8 +156,10 @@ class DynamicBatcher:
             if batch is None:
                 return
             clouds = np.stack([it.cloud for it in batch])
+            labels = (np.stack([it.label for it in batch])
+                      if self.model.needs_labels else None)
             try:
-                out = self.model.predict(clouds)
+                out = self.model.predict(clouds, labels)
             except BaseException as e:  # propagate to every caller in the batch
                 for it in batch:
                     it.error = e

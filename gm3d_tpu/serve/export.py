@@ -66,7 +66,23 @@ def build_feature_fn(model, variables, npoints: int) -> Callable:
     return fn
 
 
-def export_forward(fn: Callable, example_input: jax.Array,
+def build_seg_fn(model, variables) -> Callable:
+    """Part-segmentation eval forward: (points (B, N, 3), cls_label (B,)
+    int32 object category) -> per-point part logits (B, N, num_parts).
+
+    Same body as ``train.segmentation.make_seg_eval_step`` (running BN
+    stats, no augmentation). No in-graph FPS: the outputs are PER-POINT, so
+    subsampling would silently relabel a different cloud than the caller
+    sent — the input must already be the model's point count."""
+
+    def fn(pts: jax.Array, cls_label: jax.Array) -> jax.Array:
+        return model.apply(variables, pts, cls_label.astype(jnp.int32),
+                           deterministic=True)
+
+    return fn
+
+
+def export_forward(fn: Callable, example_input,
                    platforms: Tuple[str, ...] | None = None,
                    quantize: str | None = None):
     """AOT-lower ``fn`` for ``platforms`` (default: the current backend).
@@ -84,7 +100,10 @@ def export_forward(fn: Callable, example_input: jax.Array,
     ``quantize="int8"`` traces under :func:`serve.quantize.quantized_dense`:
     every Dense matmul becomes dynamic-int8 w8a8 and the int8 kernels
     constant-fold into the artifact (2x MXU ceiling on v5e, ~4x smaller
-    weights)."""
+    weights).
+
+    ``example_input`` is one array or a tuple of arrays (multi-input
+    forwards like the segmentation model's (points, cls_label))."""
     if platforms is None:
         platforms = (jax.default_backend(),)
     platforms = tuple(platforms)
@@ -92,7 +111,9 @@ def export_forward(fn: Callable, example_input: jax.Array,
         raise ValueError(f"unsupported quantize mode {quantize!r} "
                          "(expected None or 'int8')")
     exp = jax_export.export(jax.jit(fn), platforms=platforms)
-    arg = jax.ShapeDtypeStruct(example_input.shape, example_input.dtype)
+    examples = (example_input if isinstance(example_input, (tuple, list))
+                else (example_input,))
+    args = tuple(jax.ShapeDtypeStruct(e.shape, e.dtype) for e in examples)
     import contextlib
 
     with contextlib.ExitStack() as stack:
@@ -104,14 +125,27 @@ def export_forward(fn: Callable, example_input: jax.Array,
             from gm3d_tpu.serve.quantize import quantized_dense
 
             stack.enter_context(quantized_dense())
-        return exp(arg)
+        return exp(*args)
 
 
 def save_artifact(path: str, exported, manifest: Dict[str, Any]) -> str:
     """Write the ``.gm3dx`` zip. Fills in the shape/dtype/platform fields
-    from the ``Exported`` itself so the manifest can't drift."""
+    from the ``Exported`` itself so the manifest can't drift.
+
+    ``input_shape``/``input_dtype`` always describe the FIRST input (the
+    points) so single-input loaders keep working; any further inputs (the
+    seg model's per-cloud ``cls_label``) are recorded additively under
+    ``extra_inputs`` — each must share the points' leading batch dim, the
+    contract :class:`ServingModel`'s pad/chunk batching relies on."""
     in_aval = exported.in_avals[0]
     out_aval = exported.out_avals[0]
+    extra = [{"shape": list(a.shape), "dtype": str(a.dtype)}
+             for a in exported.in_avals[1:]]
+    for spec in extra:
+        if not spec["shape"] or spec["shape"][0] != in_aval.shape[0]:
+            raise ValueError(
+                f"extra input {spec} must lead with the points batch dim "
+                f"{in_aval.shape[0]} (ServingModel batches along axis 0)")
     manifest = dict(manifest)
     manifest.update(
         format_version=FORMAT_VERSION,
@@ -122,6 +156,8 @@ def save_artifact(path: str, exported, manifest: Dict[str, Any]) -> str:
         platforms=list(exported.platforms),
         jax_version=jax.__version__,
     )
+    if extra:
+        manifest["extra_inputs"] = extra
     blob = bytes(exported.serialize())
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(_MANIFEST, json.dumps(manifest, indent=1))
@@ -151,15 +187,27 @@ def load_artifact(path: str) -> Tuple[Callable, Dict[str, Any]]:
             f"--platforms {backend}")
     exported = jax_export.deserialize(bytearray(blob))
     call = jax.jit(exported.call)
+    extra_specs = manifest.get("extra_inputs", [])
 
-    def fn(points) -> np.ndarray:
+    def fn(points, *extra) -> np.ndarray:
         shape = tuple(manifest["input_shape"])
         points = np.asarray(points, dtype=manifest["input_dtype"])
         if points.shape != shape:
             raise ValueError(
                 f"input shape {points.shape} != exported shape {shape}; "
                 "ServingModel.predict handles ragged batches by padding")
-        return np.asarray(call(points))
+        if len(extra) != len(extra_specs):
+            raise ValueError(
+                f"artifact takes {1 + len(extra_specs)} inputs, "
+                f"got {1 + len(extra)}")
+        args = [points]
+        for x, spec in zip(extra, extra_specs):
+            x = np.asarray(x, dtype=spec["dtype"])
+            if x.shape != tuple(spec["shape"]):
+                raise ValueError(
+                    f"extra input shape {x.shape} != exported {spec['shape']}")
+            args.append(x)
+        return np.asarray(call(*args))
 
     # async device-level entry: takes a (possibly device-committed) array of
     # the exported shape and returns the jit future WITHOUT a host read —

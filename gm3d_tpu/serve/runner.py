@@ -47,6 +47,24 @@ def check_points(points: np.ndarray, npoints: int):
     return points, single
 
 
+def check_labels(cls_label, b: int, single: bool, dtype) -> np.ndarray:
+    """Validate per-cloud labels against a request of ``b`` clouds.
+
+    A scalar label is promoted alongside a single-cloud request; otherwise
+    the shape must be ``(b,)``. Raises ``ValueError`` on mismatch (same
+    request-thread contract as :func:`check_points`)."""
+    lab = np.asarray(cls_label)
+    if single and lab.ndim == 0:
+        lab = lab[None]
+    if lab.shape != (b,):
+        raise ValueError(
+            f"expected cls_label of shape ({b},) matching the request "
+            f"batch, got {lab.shape}")
+    if not np.issubdtype(lab.dtype, np.number):
+        raise ValueError(f"cls_label must be numeric, got dtype {lab.dtype}")
+    return lab.astype(dtype, copy=False)
+
+
 class ServingModel:
     """Loads a ``.gm3dx`` artifact and serves numpy in / numpy out.
 
@@ -59,11 +77,24 @@ class ServingModel:
         self.batch, self.npoints, _ = self.manifest["input_shape"]
         self.devices = list(devices) if devices else None
         self._in_dtype = np.dtype(self.manifest["input_dtype"])
+        # at most one extra per-cloud input is supported (the seg model's
+        # cls_label); save_artifact guarantees it leads with the batch dim
+        extra = self.manifest.get("extra_inputs", [])
+        if len(extra) > 1:
+            raise ValueError(
+                f"artifact has {len(extra)} extra inputs; ServingModel "
+                "supports at most one (per-cloud cls_label)")
+        self._label_dtype = np.dtype(extra[0]["dtype"]) if extra else None
         # persistent round-robin cursor: per-CALL indexing would pin every
         # small request (and every batcher-coalesced batch, which is always
         # one chunk) to devices[0]. itertools.count.__next__ is a single
         # C-level op — safe from concurrent request threads.
         self._rr = itertools.count()
+
+    @property
+    def needs_labels(self) -> bool:
+        """True for artifacts with a per-cloud label input (segmentation)."""
+        return self._label_dtype is not None
 
     @property
     def info(self) -> Dict[str, Any]:
@@ -72,10 +103,22 @@ class ServingModel:
             info["serving_devices"] = len(self.devices)
         return info
 
-    def predict(self, points: np.ndarray) -> np.ndarray:
-        """points (B, N, 3) or (N, 3) -> outputs (B, ...) / (...)."""
+    def predict(self, points: np.ndarray, cls_label=None) -> np.ndarray:
+        """points (B, N, 3) or (N, 3) -> outputs (B, ...) / (...).
+
+        Segmentation artifacts additionally take ``cls_label`` — the
+        per-cloud object category, ``(B,)`` int (scalar with a single
+        cloud); it pads/chunks in lockstep with the points."""
         points, single = check_points(points, self.npoints)
         b = points.shape[0]
+        if self.needs_labels:
+            if cls_label is None:
+                raise ValueError(
+                    "this artifact requires cls_label (per-cloud object "
+                    "category) alongside the points")
+            labels = check_labels(cls_label, b, single, self._label_dtype)
+        elif cls_label is not None:
+            raise ValueError("this artifact takes no cls_label input")
         pending = []  # (result or jit future, valid rows)
         for start in range(0, b, self.batch):
             chunk = points[start:start + self.batch]
@@ -84,16 +127,24 @@ class ServingModel:
                 pad = np.zeros((self.batch - n,) + chunk.shape[1:],
                                np.float32)
                 chunk = np.concatenate([chunk, pad], axis=0)
+            extra = ()
+            if self.needs_labels:
+                lab = labels[start:start + self.batch]
+                if n < self.batch:
+                    lab = np.concatenate(
+                        [lab, np.zeros(self.batch - n, self._label_dtype)])
+                extra = (lab,)
             if self.devices:
                 import jax
 
                 dev = self.devices[next(self._rr) % len(self.devices)]
-                arr = jax.device_put(chunk.astype(self._in_dtype, copy=False),
-                                     dev)
+                args = [jax.device_put(
+                    chunk.astype(self._in_dtype, copy=False), dev)]
+                args += [jax.device_put(x, dev) for x in extra]
                 # async: jit returns a future; all chunks go in flight
                 # before any host read below
-                pending.append((self._fn.device_call(arr), n))
+                pending.append((self._fn.device_call(*args), n))
             else:
-                pending.append((self._fn(chunk), n))
+                pending.append((self._fn(chunk, *extra), n))
         out = np.concatenate([np.asarray(o)[:n] for o, n in pending], axis=0)
         return out[0] if single else out

@@ -15,6 +15,15 @@ Endpoints:
                      application/octet-stream); response is JSON
                      {"outputs": ..., "label": ...} (``label`` = argmax over
                      the last axis, only for classifier artifacts)
+
+Segmentation artifacts (``--mode segmentation`` exports) additionally take
+``"cls_label"`` in the JSON body — the per-cloud object category (int, or a
+list matching the batch). The response's ``label`` is the per-point part id
+via CATEGORY-RESTRICTED argmax (only the parts valid for each shape's
+category, the reference eval protocol — ``train/segmentation.py``), using
+the category→parts table baked into the manifest at export time. Per-point
+logits are large (N×num_parts per cloud), so ``outputs`` is only included
+when the body sets ``"return_logits": true``.
 """
 
 from __future__ import annotations
@@ -28,6 +37,25 @@ import numpy as np
 
 from gm3d_tpu.serve.batcher import DynamicBatcher
 from gm3d_tpu.serve.runner import ServingModel
+
+
+def _seg_labels(logits: np.ndarray, cls_label, manifest: dict) -> np.ndarray:
+    """Per-point part ids from seg logits — category-restricted argmax when
+    the manifest carries the export-time category→parts table (the
+    reference eval protocol, ``train/segmentation.py::category_restricted_
+    argmax``); plain argmax otherwise."""
+    seg_classes = manifest.get("seg_classes")
+    cls_names = manifest.get("cls_names")
+    if seg_classes is None or cls_names is None or cls_label is None:
+        return np.argmax(logits, axis=-1)
+    from gm3d_tpu.train.segmentation import category_restricted_argmax
+
+    single = logits.ndim == 2
+    if single:
+        logits = logits[None]
+    labels = np.atleast_1d(np.asarray(cls_label))
+    pred = category_restricted_argmax(logits, labels, seg_classes, cls_names)
+    return pred[0] if single else pred
 
 
 def _make_handler(model: ServingModel, backend):
@@ -63,6 +91,8 @@ def _make_handler(model: ServingModel, backend):
             if self.path != "/predict":
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
+            cls_label = None
+            return_logits = True
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 blob = self.rfile.read(length)
@@ -75,22 +105,35 @@ def _make_handler(model: ServingModel, backend):
                         raise ValueError(
                             'body must be a JSON object {"points": [...]}')
                     points = np.asarray(body["points"], np.float32)
+                    if "cls_label" in body:
+                        cls_label = np.asarray(body["cls_label"])
+                    if model.manifest.get("mode") == "segmentation":
+                        # per-point logits are huge; opt-in only
+                        return_logits = bool(body.get("return_logits", False))
             except (ValueError, KeyError, TypeError) as e:
                 # json.JSONDecodeError is a ValueError; TypeError covers
                 # ragged nested lists np.asarray rejects
                 self._send(400, {"error": str(e)})
                 return
             try:
-                out = backend.predict(points)
+                out = backend.predict(points, cls_label) \
+                    if model.needs_labels or cls_label is not None \
+                    else backend.predict(points)
             except ValueError as e:  # shape contract violations -> client error
                 self._send(400, {"error": str(e)})
                 return
             except Exception as e:  # device/runtime failure -> server error
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            payload = {"outputs": out.tolist()}
-            if model.manifest.get("mode") == "classifier":
+            payload = {}
+            if return_logits:
+                payload["outputs"] = out.tolist()
+            mode = model.manifest.get("mode")
+            if mode == "classifier":
                 payload["label"] = np.argmax(out, axis=-1).tolist()
+            elif mode == "segmentation":
+                payload["label"] = _seg_labels(
+                    out, cls_label, model.manifest).tolist()
             self._send(200, payload)
 
     return Handler
