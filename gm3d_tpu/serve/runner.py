@@ -40,6 +40,8 @@ def check_points(points: np.ndarray, npoints: int):
         points = points[None]
     if points.ndim != 3 or points.shape[2] != 3:
         raise ValueError(f"expected (B, N, 3) points, got {points.shape}")
+    if points.shape[0] == 0:
+        raise ValueError("empty request batch (B=0)")
     if points.shape[1] != npoints:
         raise ValueError(
             f"expected {npoints} points per cloud (the exported "

@@ -3,6 +3,9 @@
 Measures the exported PointTransformer classifier (the BASELINE.md finetune
 model, `configs/pointmae/finetune_modelnet.yaml`) at the serving contract:
 points (B, 1024, 3) -> logits (B, 40), weights baked into the artifact.
+``--family seg`` instead measures the part-segmentation artifact
+(PointMAESeg, two inputs: points (B, 2048, 3) + cls_label (B,), per-point
+part logits out).
 
 Two numbers, two questions:
 
@@ -42,7 +45,7 @@ import _bootstrap  # noqa: F401,E402  repo-root path + GM3D_PLATFORM forcing (sc
 
 
 
-def random_variables(model, example, seed: int = 0):
+def random_variables(model, example_args, seed: int = 0):
     """Variables tree with eval_shape-derived shapes, host-side random fill.
 
     params ~ N(0, 0.02) (random constants so XLA cannot fold the GEMMs);
@@ -50,7 +53,7 @@ def random_variables(model, example, seed: int = 0):
     """
     import jax
 
-    shapes = jax.eval_shape(model.init, jax.random.key(0), example)
+    shapes = jax.eval_shape(model.init, jax.random.key(0), *example_args)
     rng = np.random.RandomState(seed)
 
     def fill(path, sd):
@@ -66,8 +69,15 @@ def random_variables(model, example, seed: int = 0):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=["classifier", "seg"],
+                    default="classifier",
+                    help="classifier = PointTransformer (finetune_modelnet); "
+                         "seg = PointMAESeg part segmentation (two-input "
+                         "artifact: points + cls_label, per-point logits)")
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--npoints", type=int, default=1024)
+    ap.add_argument("--npoints", type=int, default=None,
+                    help="points per cloud (default: 1024 classifier / "
+                         "2048 seg, the reference eval shapes)")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     ap.add_argument("--calls", type=int, default=8,
@@ -94,25 +104,39 @@ def main():
         pass
 
     from gm3d_tpu.config import build_model_from_cfg, cfg_from_yaml_file
-    from gm3d_tpu.serve.export import build_classifier_fn, export_forward, save_artifact
+    from gm3d_tpu.serve.export import (
+        build_classifier_fn,
+        build_seg_fn,
+        export_forward,
+        save_artifact,
+    )
     from gm3d_tpu.serve.runner import ServingModel
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    cfg = cfg_from_yaml_file("configs/pointmae/finetune_modelnet.yaml")
+    seg = args.family == "seg"
+    cfg_path = ("configs/pointmae/seg_shapenetpart.yaml" if seg
+                else "configs/pointmae/finetune_modelnet.yaml")
+    npoints = args.npoints or (2048 if seg else 1024)
+    cfg = cfg_from_yaml_file(cfg_path)
     model = build_model_from_cfg(cfg["model"], dtype=dtype)
 
-    example = jnp.zeros((args.batch, args.npoints, 3), jnp.float32)
-    variables = random_variables(model, example)
+    pts_ex = jnp.zeros((args.batch, npoints, 3), jnp.float32)
+    cls_ex = jnp.zeros((args.batch,), jnp.int32)
+    example = (pts_ex, cls_ex) if seg else pts_ex
+    example_args = (pts_ex, cls_ex) if seg else (pts_ex,)
+    variables = random_variables(model, example_args)
     if args.quantize == "int8":
         from gm3d_tpu.serve.quantize import quantize_variables
 
         variables = quantize_variables(variables)
-    fn = build_classifier_fn(model, variables, args.npoints)
+    fn = (build_seg_fn(model, variables) if seg
+          else build_classifier_fn(model, variables, npoints))
     exported = export_forward(fn, example, quantize=args.quantize)
 
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "bench.gm3dx")
-        save_artifact(path, exported, {"mode": "classifier", "model": "bench"})
+        save_artifact(path, exported, {
+            "mode": "segmentation" if seg else "classifier", "model": "bench"})
         artifact_mb = os.path.getsize(path) / 1e6
 
         # --- device throughput: K chained calls of the DESERIALIZED module
@@ -123,6 +147,10 @@ def main():
         with zipfile.ZipFile(path) as zf:
             loaded = jax_export.deserialize(bytearray(zf.read("module.jaxexp")))
 
+        cls_dev = jnp.asarray(
+            (np.arange(args.batch) % model.num_classes).astype(np.int32)) \
+            if seg else None
+
         @jax.jit
         def chained(pts):
             # each call's input depends on the previous call's output —
@@ -130,14 +158,15 @@ def main():
             # an 8-call chain timing at exactly spec peak)
             acc = jnp.float32(0)
             for _ in range(args.calls):
-                logits = loaded.call(pts)
+                logits = (loaded.call(pts, cls_dev) if seg
+                          else loaded.call(pts))
                 s = jnp.sum(logits).astype(jnp.float32)
                 acc = acc + s
                 pts = pts + (s * jnp.float32(1e-12)).astype(pts.dtype)
             return acc
 
         pts = jnp.asarray(
-            np.random.RandomState(1).randn(args.batch, args.npoints, 3)
+            np.random.RandomState(1).randn(args.batch, npoints, 3)
             .astype(np.float32))
         # FLOPs per forward from XLA's cost analysis of the SAME chained
         # executable the timing uses (a separate compile would cost 20-500 s
@@ -165,12 +194,16 @@ def main():
         # transfers; tunnel-bound in this environment)
         sm = ServingModel(path)
         host_pts = np.asarray(pts)
-        _ = sm.predict(host_pts)  # warm
+        host_cls = np.asarray(cls_dev) if seg else None
+        predict = ((lambda p: sm.predict(p, host_cls[:len(p)] if p.ndim == 3
+                                         else host_cls[0]))
+                   if seg else sm.predict)
+        _ = predict(host_pts)  # warm
         e2e_windows = []
         for _ in range(args.windows):
             t0 = time.perf_counter()
             for _ in range(2):
-                _ = sm.predict(host_pts)
+                _ = predict(host_pts)
             dt = time.perf_counter() - t0
             e2e_windows.append(args.batch * 2 / dt)
         e2e_cps = max(e2e_windows)
@@ -187,11 +220,15 @@ def main():
 
             n_req = args.concurrent_requests
             reqs = [host_pts[i % args.batch] for i in range(n_req)]
+            req_labels = [int(i % model.num_classes) for i in range(n_req)] \
+                if seg else None
 
             def run_concurrent(backend):
+                call = ((lambda i: backend.predict(reqs[i], req_labels[i]))
+                        if seg else (lambda i: backend.predict(reqs[i])))
                 with ThreadPoolExecutor(max_workers=args.concurrent) as ex:
                     t0 = time.perf_counter()
-                    list(ex.map(backend.predict, reqs))
+                    list(ex.map(call, range(n_req)))
                     return n_req / (time.perf_counter() - t0)
 
             unbatched_rps = run_concurrent(sm)
@@ -216,7 +253,8 @@ def main():
         "e2e_clouds_per_sec": round(e2e_cps, 1),
         "e2e_windows": [round(w, 1) for w in e2e_windows],
         "batch": args.batch,
-        "npoints": args.npoints,
+        "npoints": npoints,
+        "family": args.family,
         "dtype": "bfloat16" if args.bf16 else "float32",
         "quantization": args.quantize or "none",
         "tflops": round(device_cps / args.batch * flops_per_call / 1e12, 2)

@@ -125,6 +125,8 @@ def test_seg_serving_model_pads_and_chunks(tmp_path):
         sm.predict(pts, cls[:3])  # wrong label count
     with pytest.raises(ValueError, match="numeric"):
         sm.predict(pts[0], np.array("a"))
+    with pytest.raises(ValueError, match="empty request"):
+        sm.predict(np.zeros((0, NPOINTS, 3), np.float32), np.zeros(0))
 
 
 def test_classifier_artifact_rejects_labels(tmp_path):
