@@ -36,12 +36,16 @@ def parse_args():
                         "reference's published vote protocol is the best of "
                         "299 repeated 10-vote evals "
                         "(tools/runner_finetune.py:391-397)")
-    p.add_argument("--probe", choices=["acc", "svm", "knn", "linprob"], default="acc",
+    p.add_argument("--probe", choices=["acc", "svm", "knn", "linprob", "seg"],
+                   default="acc",
                    help="acc = finetuned-classifier accuracy (default; config "
                         "is a finetune YAML). svm / knn / linprob = frozen-"
                         "feature probes on a PRETRAIN config+checkpoint "
                         "(reference main_pretrain.py:633-717 SVM, "
-                        "main_knn.py:154-198, main_linprob.py:111)")
+                        "main_knn.py:154-198, main_linprob.py:111). seg = "
+                        "part-seg test-set mIoU from a seg config+checkpoint "
+                        "(the in-training eval protocol, cli/finetune_seg.py, "
+                        "as a test-only run)")
     p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae"],
                    default="gm3d",
                    help="pretrain model family for --probe svm/knn/linprob")
@@ -115,10 +119,79 @@ def run_feature_probe(args, cfg, logger):
     return acc
 
 
+def run_seg_eval(args, cfg, logger):
+    """Test-only part-segmentation mIoU from a saved seg checkpoint —
+    exactly the per-epoch eval protocol of ``cli/finetune_seg.py``
+    (category-restricted argmax + Point-MAE mIoU), without training."""
+    from gm3d_tpu.cli.common import setup_mesh
+    from gm3d_tpu.cli.finetune_seg import CLS_NAMES, SyntheticParts
+    from gm3d_tpu.data.datasets import SEG_CLASSES, DataLoader, build_dataset_from_cfg
+    from gm3d_tpu.eval.metrics import part_miou
+    from gm3d_tpu.parallel import replicate_tree
+    from gm3d_tpu.parallel.mesh import shard_eval_batch
+    from gm3d_tpu.train.segmentation import category_restricted_argmax, make_seg_eval_step
+    from gm3d_tpu.utils.pipeline import DeferredMetrics
+
+    dtype = compute_dtype(args)
+    model = build_model_from_cfg(cfg["model"], dtype=dtype)
+    npoints = cfg.get("npoints", 2048)
+    if args.synthetic:
+        val_ds = SyntheticParts(max(args.synthetic_samples, 32), npoints, seed=2)
+    else:
+        val_ds = build_dataset_from_cfg(cfg["dataset"]["val"])
+    val_loader = DataLoader(val_ds, cfg["total_bs"], shuffle=False,
+                            drop_last=False,
+                            num_workers=getattr(args, "num_workers", 0))
+    mesh, _ = setup_mesh(args, cfg["total_bs"], logger)
+
+    if args.ckpt:
+        from gm3d_tpu.ckpt import restore_raw
+
+        raw = restore_raw(args.ckpt)
+        if raw is None:
+            raise FileNotFoundError(f"no checkpoint at {args.ckpt}")
+        variables = {"params": raw["params"]}
+        if raw.get("batch_stats") is not None:
+            variables["batch_stats"] = raw["batch_stats"]
+        logger.info(f"restored seg ckpt step {int(raw['step'])}")
+    else:
+        logger.warning("no --ckpt: evaluating RANDOM weights (smoke run)")
+        pts0, cls0, _ = next(iter(val_loader))
+        variables = model.init(jax.random.key(args.seed),
+                               jnp.asarray(pts0[:2]), jnp.asarray(cls0[:2]))
+
+    variables = replicate_tree(mesh, variables)
+    eval_step = make_seg_eval_step(model,
+                                   batch_floor=resolve_batch_floor(args, logger))
+    preds, targets, clss = [], [], []
+
+    def drain(logits_dev, cls_np, seg_np):
+        preds.append(category_restricted_argmax(
+            np.asarray(logits_dev), cls_np, SEG_CLASSES, CLS_NAMES))
+        targets.append(seg_np)
+        clss.append(cls_np)
+
+    # bounded in-flight window, same rationale as the in-training eval:
+    # seg logits are (B, N, 50) — don't hold the whole test set on device
+    flight = DeferredMetrics(drain, depth=4)
+    for pts, cls_label, seg in val_loader:
+        flight.push(eval_step(variables, shard_eval_batch(mesh, jnp.asarray(pts)),
+                              shard_eval_batch(mesh, jnp.asarray(cls_label))),
+                    np.asarray(cls_label), np.asarray(seg))
+    flight.flush()
+    miou = part_miou(np.concatenate(preds), np.concatenate(targets),
+                     np.concatenate(clss), SEG_CLASSES, CLS_NAMES)
+    logger.info(f"[TEST] instance mIoU = {miou['instance_miou']*100:.4f}  "
+                f"class mIoU = {miou['class_miou']*100:.4f}")
+    return miou
+
+
 def main():
     args = parse_args()
     cfg = load_config(args)
     logger = get_logger("gm3d.eval")
+    if args.probe == "seg":
+        return run_seg_eval(args, cfg, logger)
     if args.probe != "acc":
         return run_feature_probe(args, cfg, logger)
     dtype = compute_dtype(args)

@@ -61,6 +61,20 @@ def test_evaluate_cli_acc_path(tmp_path):
     assert 0.0 <= acc <= 100.0 and 0.0 <= vote <= 100.0
 
 
+def test_evaluate_cli_seg_probe(tmp_path):
+    """--probe seg: test-only part-seg mIoU from a seg config (random-weights
+    smoke path) — the protocol of cli/finetune_seg.py's in-training eval
+    (category-restricted argmax + Point-MAE mIoU) without training."""
+    miou = run_cli("gm3d_tpu.cli.evaluate", [
+        "ev", "--config", "configs/pointmae/seg_shapenetpart.yaml",
+        "--synthetic", "--synthetic_samples", "32",
+        "--probe", "seg", "--output_dir", str(tmp_path / "exp"),
+    ])
+    assert set(miou) >= {"instance_miou", "class_miou", "per_class"}
+    assert 0.0 <= miou["instance_miou"] <= 1.0
+    assert 0.0 <= miou["class_miou"] <= 1.0
+
+
 def test_evaluate_cli_bad_ckpt_raises(tmp_path):
     """A bad --ckpt must raise, never silently evaluate random init (same
     contract as the finetune CLIs' --pretrained)."""
