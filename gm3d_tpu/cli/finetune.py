@@ -220,6 +220,12 @@ def main():
     cfg = load_config(args)
     logger = get_logger("gm3d.finetune", os.path.join(args.output_dir, "finetune.log"))
     jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    from gm3d_tpu.utils.logging import ScalarWriter
+
+    # reference TB surface: engine train scalars 'loss'/'lr'
+    # (engine_finetune.py:177-178, per-epoch granularity here) and the val
+    # writer's 'Metric/ACC' (main_finetune.py:538)
+    tb = ScalarWriter(os.path.join(args.output_dir, "tfboard"))
     # SIGTERM (spot/preemptible VMs) -> checkpoint at the next step boundary
     guard = PreemptionGuard(logger).install()
     dtype = compute_dtype(args)
@@ -494,6 +500,17 @@ def main():
             logger.info(f"epoch {epoch}: " + " ".join(
                 f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
             jsonl.write(stats)
+            tb.add_scalar("loss", stats.get("loss", 0.0), epoch)
+            # max_lr of the epoch = schedule at its last optimizer UPDATE
+            # (the schedule axis under --accum_iter; host-side, pure fn, no
+            # device read)
+            tb.add_scalar("lr", float(sched(
+                max(host_step // max(args.accum_iter, 1) - 1, 0))), epoch)
+            if "val_acc" in stats:
+                tb.add_scalar("Metric/ACC", stats["val_acc"], epoch)
+            if "val_vote_acc" in stats:
+                tb.add_scalar("Metric/ACC_vote", stats["val_vote_acc"], epoch)
+            tb.flush()
     finally:
         # drain on ANY exit from the loop (injected test crash, NaN sys.exit,
         # real bug): the in-flight save is always of a NaN-checked state

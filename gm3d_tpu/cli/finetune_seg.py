@@ -77,6 +77,12 @@ def main():
     cfg = load_config(args)
     logger = get_logger("gm3d.seg", os.path.join(args.output_dir, "seg.log"))
     jsonl = JsonlLogger(os.path.join(args.output_dir, "log.txt"))
+    from gm3d_tpu.utils.logging import ScalarWriter
+
+    # reference TB surface (engine_finetune_segmentation.py:173-174 'loss'/
+    # 'lr'; the val writer's Metric/ACC is the classification copy — the real
+    # seg metric is mIoU, tagged accordingly)
+    tb = ScalarWriter(os.path.join(args.output_dir, "tfboard"))
     # SIGTERM (spot/preemptible VMs) -> checkpoint at the next step boundary
     guard = PreemptionGuard(logger).install()
     dtype = compute_dtype(args)
@@ -341,6 +347,12 @@ def main():
             logger.info(f"epoch {epoch}: " + " ".join(
                 f"{k}={v:.5g}" for k, v in stats.items() if isinstance(v, (int, float))))
             jsonl.write(stats)
+            tb.add_scalar("loss", stats.get("loss", 0.0), epoch)
+            tb.add_scalar("lr", float(sched(max(host_step - 1, 0))), epoch)
+            if "instance_miou" in stats:
+                tb.add_scalar("Metric/mIoU_I", stats["instance_miou"], epoch)
+                tb.add_scalar("Metric/mIoU_C", stats["class_miou"], epoch)
+            tb.flush()
     finally:
         # drain on ANY exit from the loop (injected test crash, NaN sys.exit,
         # real bug): the in-flight save is always of a NaN-checked state

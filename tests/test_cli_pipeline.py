@@ -57,3 +57,9 @@ def test_teacher_gm3d_finetune_pipeline(tmp_path):
     m = re.search(r"pretrain->finetune transfer: (\d+) leaves", ft_log)
     assert m, "transfer log line missing"
     assert int(m.group(1)) > 100
+    # TensorBoard surface (reference main_finetune.py:538 Metric/ACC;
+    # engine_finetune.py:177-178 loss/lr): event files must exist for both
+    # the pretrain and finetune runs
+    for d in (gm3d, ft):
+        tfdir = os.path.join(d, "tfboard")
+        assert os.path.isdir(tfdir) and os.listdir(tfdir), d
