@@ -223,6 +223,35 @@ def test_export_cli_features_m2ae(tmp_path):
     assert np.isfinite(feats).all()
 
 
+def test_export_cli_classifier_m2ae(tmp_path):
+    """--mode classifier with an M2AE finetune config: the hierarchical
+    classifier head exports and serves like the PointTransformer one (the
+    serving surface covers every inference family)."""
+    from gm3d_tpu.serve import ServingModel
+
+    cfg = {
+        "model": {
+            "NAME": "Point_M2AE_ModelNet40", "cls_dim": 5,
+            "num_groups": [32, 16, 8], "group_sizes": [8, 4, 4],
+            "encoder_depths": [1, 1, 1], "encoder_dims": [24, 48, 96],
+            "local_radius": [0.32, 0.64, 1.28],
+            "num_heads": 2, "drop_path_rate": 0.0,
+        },
+        "npoints": 64, "total_bs": 4, "max_epoch": 1,
+    }
+    cfg_path = tmp_path / "tiny_m2ae_cls.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = str(tmp_path / "m2ae_cls.gm3dx")
+    run_cli("gm3d_tpu.cli.export_model", [
+        "ex", "--config", str(cfg_path), "--out", out,
+        "--export_batch", "2", "--output_dir", str(tmp_path / "exp"),
+    ])
+    sm = ServingModel(out)
+    logits = sm.predict(np.random.RandomState(8).randn(3, 64, 3).astype(np.float32))
+    assert logits.shape == (3, 5)
+    assert np.isfinite(logits).all()
+
+
 def test_export_cli_features_gm3d(tmp_path):
     """--model_family gm3d featurizer export: the full-size GM3DStudent
     (the flagship pretrain model; its encode_features is the SVM probe's
