@@ -245,8 +245,16 @@ def fps_indices_pallas_batched(
 
 
 def fps_indices(xyz: jax.Array, n_samples: int) -> jax.Array:
-    """Furthest-point-sample indices. xyz: (B, N, 3) -> (B, n_samples) int32."""
-    if jax.default_backend() == "tpu" and not _FORCE_PORTABLE:
+    """Furthest-point-sample indices. xyz: (B, N, 3) -> (B, n_samples) int32.
+
+    Clouds of <= one lane tile (N <= 128) take the XLA loop even on TPU:
+    Mosaic fails to legalize the kernel's per-row argmax when the padded
+    point axis is a single 128-lane tile (probed on the real v5e toolchain,
+    2026-08: n<=128 fails, n>=200 compiles and matches the oracle — any
+    batch). All production shapes (1024-8192 points) take the kernel; tiny
+    clouds are where the loop is cheap anyway."""
+    if (jax.default_backend() == "tpu" and not _FORCE_PORTABLE
+            and xyz.shape[1] > _LANE):
         return fps_indices_pallas_batched(xyz, n_samples)
     return fps_indices_jax(xyz, n_samples)
 

@@ -73,6 +73,33 @@ class TestFPS:
         want = np.stack([numpy_fps_indices(c, 24) for c in pts])
         np.testing.assert_array_equal(got, want)
 
+    def test_tiny_clouds_avoid_pallas_on_tpu(self, monkeypatch):
+        """N <= 128 (one padded lane tile) must take the XLA loop even on a
+        TPU backend: the real v5e Mosaic toolchain fails to legalize the
+        batched kernel's per-row argmax at a single lane tile (probed
+        2026-08: n<=128 fails, n>=200 compiles). Simulated by making the
+        Pallas branch explode if taken."""
+        import importlib
+
+        fps_mod = importlib.import_module("gm3d_tpu.ops.fps")
+        rng = np.random.default_rng(4)
+
+        def boom(*a, **k):
+            raise AssertionError("Pallas FPS reached for a tiny cloud")
+
+        monkeypatch.setattr(fps_mod, "fps_indices_pallas_batched", boom)
+        monkeypatch.setattr(fps_mod.jax, "default_backend", lambda: "tpu")
+        tiny = rng.standard_normal((2, 64, 3)).astype(np.float32)
+        with jax.disable_jit():
+            got = np.asarray(fps_mod.fps_indices(jnp.asarray(tiny), 16))
+        want = np.stack([numpy_fps_indices(c, 16) for c in tiny])
+        np.testing.assert_array_equal(got, want)
+        # above one lane tile the kernel branch IS taken
+        big = rng.standard_normal((2, 200, 3)).astype(np.float32)
+        with pytest.raises(AssertionError, match="Pallas FPS"):
+            with jax.disable_jit():
+                fps_mod.fps_indices(jnp.asarray(big), 16)
+
 
 class TestKNN:
     def test_matches_numpy(self, clouds):
