@@ -166,6 +166,27 @@ def build_seg_model(cfg, **kwargs):
     )
 
 
+@MODELS.register_module("Point_M2AE_SEG")
+def build_m2ae_seg_model(cfg, **kwargs):
+    """ShapeNetPart seg on the M2AE hierarchical encoder. The reference
+    publishes the numbers (``README.md:79``) but ships no seg config/code for
+    this family; schema mirrors the classifier configs' encoder section."""
+    from gm3d_tpu.models import PointM2AESeg
+
+    return PointM2AESeg(
+        num_groups=tuple(cfg["num_groups"]),
+        group_sizes=tuple(cfg["group_sizes"]),
+        encoder_depths=tuple(cfg["encoder_depths"]),
+        encoder_dims=tuple(cfg["encoder_dims"]),
+        local_radius=tuple(cfg["local_radius"]),
+        num_heads=cfg["num_heads"],
+        drop_path_rate=cfg["drop_path_rate"],
+        num_classes=cfg.get("num_classes", 16),
+        num_parts=cfg.get("cls_dim", 50),
+        dtype=_dtype(kwargs),
+    )
+
+
 def build_model_from_cfg(cfg, **kwargs):
     """``tools/builder.py:33-35`` model_builder equivalent."""
     return MODELS.build(cfg, **kwargs)

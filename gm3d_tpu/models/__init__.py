@@ -18,7 +18,7 @@ from gm3d_tpu.models.pointmae import MaskTransformer, PointMAE
 from gm3d_tpu.models.gm3d import GM3DStudent
 from gm3d_tpu.models.point_transformer import PointTransformer, Classifier
 from gm3d_tpu.models.m2ae import PointM2AE, PointM2AEClassifier
-from gm3d_tpu.models.segmentation import PointMAESeg, propagate_features
+from gm3d_tpu.models.segmentation import PointM2AESeg, PointMAESeg, propagate_features
 
 __all__ = [
     "Mlp",
@@ -36,5 +36,6 @@ __all__ = [
     "PointM2AE",
     "PointM2AEClassifier",
     "PointMAESeg",
+    "PointM2AESeg",
     "propagate_features",
 ]

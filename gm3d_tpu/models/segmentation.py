@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gm3d_tpu.models.blocks import Block, Dtype, PatchEncoder, PosEmbedMLP, TorchBatchNorm, _dpr
+from gm3d_tpu.models.m2ae import M2AEEncoder
 from gm3d_tpu.ops.group import group_points
 from gm3d_tpu.ops.knn import knn_indices
 
@@ -108,6 +109,101 @@ class PointMAESeg(nn.Module):
             axis=-1,
         )
         h = self.head_fc1(per_point)
+        h = self.head_bn1(h, use_running_average=deterministic)
+        h = nn.relu(h)
+        h = self.dropout(h, deterministic=deterministic)
+        h = self.head_fc2(h)
+        h = self.head_bn2(h, use_running_average=deterministic)
+        h = nn.relu(h)
+        return self.head_out(h)
+
+
+class PointM2AESeg(nn.Module):
+    """Part segmentation on the Point-M2AE hierarchical encoder (registry
+    name ``Point_M2AE_SEG``).
+
+    The reference publishes Point-M2AE+GM3D ShapeNetPart numbers
+    (``README.md:79``, mIoU_C 84.91 / mIoU_I 86.52) but — like its seg model
+    for the Point-MAE family — ships neither config nor code for it
+    (``Point-M2AE_SA3D/`` holds only classifier configs and logs). Rebuilt
+    from the public Point-M2AE segmentation protocol: the unmasked 3-scale
+    encoder, per-scale inverse-distance feature propagation back onto every
+    point (PointNet++ FP), multi-scale pooled global features, and the same
+    class-conditioned per-point head as :class:`PointMAESeg`.
+
+    Same ``(pts, cls_label)`` signature / ``num_parts`` contract as
+    :class:`PointMAESeg`, so the seg engine, evaluate probe, export, and
+    serving paths all apply unchanged. The pretrain checkpoint's ``encoder``
+    subtree lines up leaf-for-leaf (both models name it ``encoder``), so
+    ``ckpt.transfer.overlay_pretrained`` needs no surgery.
+    """
+
+    num_groups: Sequence[int] = (512, 256, 64)
+    group_sizes: Sequence[int] = (16, 8, 8)
+    encoder_depths: Sequence[int] = (5, 5, 5)
+    encoder_dims: Sequence[int] = (96, 192, 384)
+    local_radius: Sequence[float] = (0.32, 0.64, 1.28)
+    num_heads: int = 6
+    drop_path_rate: float = 0.1
+    num_classes: int = 16  # object categories
+    num_parts: int = 50  # part labels
+    dropout_rate: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = M2AEEncoder(
+            self.num_groups,
+            self.group_sizes,
+            self.encoder_depths,
+            self.encoder_dims,
+            self.local_radius,
+            self.num_heads,
+            self.drop_path_rate,
+            dtype=self.dtype,
+        )
+        # one norm per scale before pooling/propagation (the classifier head
+        # does the same; models/m2ae.py:369-374)
+        self.scale_norms = [
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{s}")
+            for s in range(len(self.num_groups))
+        ]
+        self.label_embed = nn.Dense(64, dtype=self.dtype)
+        self.prop_proj = nn.Dense(512, dtype=self.dtype)
+        self.head_fc1 = nn.Dense(512, dtype=self.dtype)
+        self.head_bn1 = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
+        self.head_fc2 = nn.Dense(256, dtype=self.dtype)
+        self.head_bn2 = TorchBatchNorm(momentum=0.9, dtype=self.dtype)
+        self.head_out = nn.Dense(self.num_parts, dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, pts, cls_label, deterministic: bool = True):
+        """pts: (B, N, 3); cls_label: (B,) int object category.
+        Returns per-point part logits (B, N, num_parts)."""
+        tokens_all, centers, _ = self.encoder(pts, None, deterministic)
+
+        # per-scale FP onto every point + multi-scale global pooling
+        propagated, pooled = [], []
+        for s, tokens in enumerate(tokens_all):
+            x = self.scale_norms[s](tokens)
+            propagated.append(propagate_features(pts, centers[s], x))
+            pooled.extend([jnp.max(x, axis=1), jnp.mean(x, axis=1)])
+        per_point = self.prop_proj(jnp.concatenate(propagated, axis=-1))
+        global_feat = jnp.concatenate(pooled, axis=-1)
+
+        cls_onehot = jax.nn.one_hot(cls_label, self.num_classes, dtype=self.dtype)
+        cls_emb = self.label_embed(cls_onehot)  # (B, 64)
+
+        batch, num_points = pts.shape[0], pts.shape[1]
+        h = jnp.concatenate(
+            [
+                per_point,
+                jnp.broadcast_to(global_feat[:, None], (batch, num_points, global_feat.shape[-1])),
+                jnp.broadcast_to(cls_emb[:, None], (batch, num_points, cls_emb.shape[-1])),
+                pts.astype(self.dtype),
+            ],
+            axis=-1,
+        )
+        h = self.head_fc1(h)
         h = self.head_bn1(h, use_running_average=deterministic)
         h = nn.relu(h)
         h = self.dropout(h, deterministic=deterministic)

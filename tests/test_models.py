@@ -197,3 +197,43 @@ class TestPointM2AE:
         v2 = m2.init(jax.random.key(0), pts, coarse_vis)
         assert "block1" in v2["params"]["dec_up0"]
         assert "block1" not in v1["params"]["dec_up0"]
+
+    def test_seg_forward(self, pts):
+        """Per-point part logits from the hierarchical encoder; the head input
+        concatenates per-scale propagated features, multi-scale global
+        pooling, the class embedding, and raw coords."""
+        from gm3d_tpu.models import PointM2AESeg
+
+        enc_kw = {k: v for k, v in self.kw.items() if not k.startswith("decoder")}
+        model = PointM2AESeg(**enc_kw)
+        cls = jnp.asarray([0, 5], jnp.int32)
+        variables = model.init(jax.random.key(0), pts, cls)
+        logits = model.apply(variables, pts, cls, deterministic=True)
+        assert logits.shape == (B, N, 50)
+        assert np.isfinite(np.asarray(logits)).all()
+        # global pooling covers every scale (mean+max per scale)
+        prop_in = variables["params"]["prop_proj"]["kernel"].shape[0]
+        assert prop_in == sum(self.kw["encoder_dims"])
+
+    def test_seg_transfer_from_pretrain(self, pts):
+        """The M2AE pretrain checkpoint's ``encoder`` subtree overlays onto
+        the seg model with no surgery (both trees root it at ``encoder``)."""
+        from gm3d_tpu.ckpt.transfer import overlay_pretrained
+        from gm3d_tpu.models import PointM2AESeg
+
+        enc_kw = {k: v for k, v in self.kw.items() if not k.startswith("decoder")}
+        seg = PointM2AESeg(**enc_kw)
+        cls = jnp.zeros((B,), jnp.int32)
+        sv = seg.init(jax.random.key(0), pts, cls)
+        pre = PointM2AE(**self.kw)
+        coarse_vis = random_mask(3, key=1)[:, :16] == False  # noqa: E712
+        pv = pre.init(jax.random.key(1), pts, coarse_vis)
+        params, _, n = overlay_pretrained(
+            sv["params"], sv.get("batch_stats"), pv["params"], pv.get("batch_stats")
+        )
+        enc_leaves = len(jax.tree.leaves(pv["params"]["encoder"]))
+        assert n >= enc_leaves  # every encoder leaf transferred
+        np.testing.assert_array_equal(
+            np.asarray(params["encoder"]["stage0"]["block0"]["attn"]["qkv"]["kernel"]),
+            np.asarray(pv["params"]["encoder"]["stage0"]["block0"]["attn"]["qkv"]["kernel"]),
+        )

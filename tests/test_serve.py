@@ -284,7 +284,9 @@ def test_cross_platform_export_uses_portable_fps(tmp_path, monkeypatch):
 
     model, variables = make_tiny_classifier(npoints=64)
     fn = build_classifier_fn(model, variables, 64)
-    example = jnp.zeros((2, 96, 3), jnp.float32)
+    # > one lane tile (128): smaller clouds take the XLA loop on TPU anyway
+    # (ops/fps.py::fps_indices), which would make this test vacuous
+    example = jnp.zeros((2, 200, 3), jnp.float32)
 
     def boom(*a, **k):
         raise AssertionError("Pallas FPS kernel reached during portable export")

@@ -90,6 +90,39 @@ def test_seg_export_roundtrip(tmp_path):
         loaded(pts, np.zeros((3,), np.int32))
 
 
+def test_m2ae_seg_export_roundtrip(tmp_path):
+    """The M2AE-backbone seg model (Point_M2AE_SEG) exports through the same
+    two-input path: deserialized artifact == live forward."""
+    from gm3d_tpu.config import build_model_from_cfg
+    from gm3d_tpu.serve import build_seg_fn, export_forward, load_artifact, save_artifact
+
+    model = build_model_from_cfg({
+        "NAME": "Point_M2AE_SEG",
+        "num_groups": [16, 8, 4], "group_sizes": [8, 4, 4],
+        "encoder_depths": [1, 1, 1], "encoder_dims": [16, 32, 48],
+        "local_radius": [0.32, 0.64, 1.28], "num_heads": 2,
+        "drop_path_rate": 0.0, "num_classes": 4, "cls_dim": 10,
+    })
+    pts0 = jnp.zeros((2, NPOINTS, 3), jnp.float32)
+    cls0 = jnp.zeros((2,), jnp.int32)
+    variables = model.init(jax.random.key(0), pts0, cls0)
+    fn = build_seg_fn(model, variables)
+    exported = export_forward(fn, (
+        jnp.zeros((4, NPOINTS, 3), jnp.float32), jnp.zeros((4,), jnp.int32)))
+    path = str(tmp_path / "m2ae_seg.gm3dx")
+    save_artifact(path, exported, {"mode": "segmentation",
+                                   "model": "tiny_m2ae_seg",
+                                   "npoints": NPOINTS, "ckpt_step": -1})
+    loaded, manifest = load_artifact(path)
+    rng = np.random.RandomState(5)
+    pts = rng.randn(4, NPOINTS, 3).astype(np.float32)
+    cls = np.array([0, 1, 2, 3], np.int32)
+    np.testing.assert_allclose(
+        loaded(pts, cls), np.asarray(fn(jnp.asarray(pts), jnp.asarray(cls))),
+        rtol=1e-5, atol=1e-6)
+    assert manifest["output_shape"] == [4, NPOINTS, 10]
+
+
 def test_seg_serving_model_pads_and_chunks(tmp_path):
     """Labels pad/chunk in lockstep with points; label-contract violations
     raise ValueError on the request thread."""
