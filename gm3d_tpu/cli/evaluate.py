@@ -126,11 +126,9 @@ def run_seg_eval(args, cfg, logger):
     from gm3d_tpu.cli.common import setup_mesh
     from gm3d_tpu.cli.finetune_seg import CLS_NAMES, SyntheticParts
     from gm3d_tpu.data.datasets import SEG_CLASSES, DataLoader, build_dataset_from_cfg
-    from gm3d_tpu.eval.metrics import part_miou
     from gm3d_tpu.parallel import replicate_tree
     from gm3d_tpu.parallel.mesh import shard_eval_batch
-    from gm3d_tpu.train.segmentation import category_restricted_argmax, make_seg_eval_step
-    from gm3d_tpu.utils.pipeline import DeferredMetrics
+    from gm3d_tpu.train.segmentation import make_seg_eval_step, run_seg_val
 
     dtype = compute_dtype(args)
     model = build_model_from_cfg(cfg["model"], dtype=dtype)
@@ -163,24 +161,10 @@ def run_seg_eval(args, cfg, logger):
     variables = replicate_tree(mesh, variables)
     eval_step = make_seg_eval_step(model,
                                    batch_floor=resolve_batch_floor(args, logger))
-    preds, targets, clss = [], [], []
-
-    def drain(logits_dev, cls_np, seg_np):
-        preds.append(category_restricted_argmax(
-            np.asarray(logits_dev), cls_np, SEG_CLASSES, CLS_NAMES))
-        targets.append(seg_np)
-        clss.append(cls_np)
-
-    # bounded in-flight window, same rationale as the in-training eval:
-    # seg logits are (B, N, 50) — don't hold the whole test set on device
-    flight = DeferredMetrics(drain, depth=4)
-    for pts, cls_label, seg in val_loader:
-        flight.push(eval_step(variables, shard_eval_batch(mesh, jnp.asarray(pts)),
-                              shard_eval_batch(mesh, jnp.asarray(cls_label))),
-                    np.asarray(cls_label), np.asarray(seg))
-    flight.flush()
-    miou = part_miou(np.concatenate(preds), np.concatenate(targets),
-                     np.concatenate(clss), SEG_CLASSES, CLS_NAMES)
+    # shard_eval_batch takes host arrays directly (it np.asarray's its
+    # input); a jnp.asarray here would round-trip through the device first
+    miou = run_seg_val(eval_step, variables, val_loader, SEG_CLASSES,
+                       CLS_NAMES, put=lambda x: shard_eval_batch(mesh, x))
     logger.info(f"[TEST] instance mIoU = {miou['instance_miou']*100:.4f}  "
                 f"class mIoU = {miou['class_miou']*100:.4f}")
     return miou

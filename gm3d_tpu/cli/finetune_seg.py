@@ -19,14 +19,13 @@ from gm3d_tpu.ckpt import save_checkpoint
 from gm3d_tpu.cli.common import base_parser, compute_dtype, load_config, resolve_batch_floor
 from gm3d_tpu.config import build_model_from_cfg
 from gm3d_tpu.data.datasets import SEG_CLASSES, DataLoader, build_dataset_from_cfg
-from gm3d_tpu.eval.metrics import part_miou
 from gm3d_tpu.train.optim import build_finetune_optimizer
 from gm3d_tpu.train.schedules import cosine_warmup_schedule
 from gm3d_tpu.train.segmentation import (
-    category_restricted_argmax,
     make_seg_eval_step,
     make_seg_multi_step,
     make_seg_train_step,
+    run_seg_val,
 )
 from gm3d_tpu.train.state import create_train_state
 from gm3d_tpu.utils import JsonlLogger, MetricLogger, get_logger
@@ -303,26 +302,9 @@ def main():
             stats.update(epoch=epoch, time=round(time.time() - t0, 2))
 
             if (epoch + 1) % args.val_freq == 0 or epoch == epochs - 1:
-                # pipeline the eval dispatches (utils/pipeline.py rationale), but
-                # bound the in-flight window: seg logits are (B, N, 50) — the
-                # full ShapeNetPart val set held on device would be >1 GB
-                preds, targets, clss = [], [], []
-
-                def drain_eval(logits_dev, cls_np, seg_np):
-                    preds.append(category_restricted_argmax(
-                        np.asarray(logits_dev), cls_np, SEG_CLASSES, CLS_NAMES))
-                    targets.append(seg_np)
-                    clss.append(cls_np)
-
-                flight = DeferredMetrics(drain_eval,
-                                         depth=0 if args.sync_metrics else 4)
-                for pts, cls_label, seg in val_loader:
-                    flight.push(eval_step(state.variables(), jnp.asarray(pts),
-                                          jnp.asarray(cls_label)),
-                                np.asarray(cls_label), np.asarray(seg))
-                flight.flush()
-                miou = part_miou(np.concatenate(preds), np.concatenate(targets),
-                                 np.concatenate(clss), SEG_CLASSES, CLS_NAMES)
+                miou = run_seg_val(eval_step, state.variables(), val_loader,
+                                   SEG_CLASSES, CLS_NAMES,
+                                   depth=0 if args.sync_metrics else 4)
                 stats["instance_miou"] = miou["instance_miou"] * 100
                 stats["class_miou"] = miou["class_miou"] * 100
                 if miou["instance_miou"] > best["instance_miou"]:

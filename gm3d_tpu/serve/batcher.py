@@ -86,7 +86,8 @@ class DynamicBatcher:
                     "this artifact requires cls_label (per-cloud object "
                     "category) alongside the points")
             labels = check_labels(cls_label, points.shape[0], single,
-                                  self.model._label_dtype)
+                                  self.model._label_dtype,
+                                  self.model._num_categories)
             items = [_Item(c, l) for c, l in zip(points, labels)]
         elif cls_label is not None:
             raise ValueError("this artifact takes no cls_label input")

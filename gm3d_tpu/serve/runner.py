@@ -49,12 +49,17 @@ def check_points(points: np.ndarray, npoints: int):
     return points, single
 
 
-def check_labels(cls_label, b: int, single: bool, dtype) -> np.ndarray:
+def check_labels(cls_label, b: int, single: bool, dtype,
+                 num_classes: "int | None" = None) -> np.ndarray:
     """Validate per-cloud labels against a request of ``b`` clouds.
 
     A scalar label is promoted alongside a single-cloud request; otherwise
-    the shape must be ``(b,)``. Raises ``ValueError`` on mismatch (same
-    request-thread contract as :func:`check_points`)."""
+    the shape must be ``(b,)``. With ``num_classes`` the values must lie in
+    ``[0, num_classes)`` — an out-of-range index would one-hot to all-zeros
+    inside the model (silently wrong logits) and a negative one would pick
+    the WRONG category's part table in the server's category-restricted
+    argmax (Python indexing wraps). Raises ``ValueError`` on any violation
+    (same request-thread contract as :func:`check_points`)."""
     lab = np.asarray(cls_label)
     if single and lab.ndim == 0:
         lab = lab[None]
@@ -64,6 +69,12 @@ def check_labels(cls_label, b: int, single: bool, dtype) -> np.ndarray:
             f"batch, got {lab.shape}")
     if not np.issubdtype(lab.dtype, np.number):
         raise ValueError(f"cls_label must be numeric, got dtype {lab.dtype}")
+    if num_classes is not None and lab.size:
+        lo, hi = lab.min(), lab.max()
+        if lo < 0 or hi >= num_classes:
+            raise ValueError(
+                f"cls_label values must be in [0, {num_classes}) — the "
+                f"artifact's object-category count — got range [{lo}, {hi}]")
     return lab.astype(dtype, copy=False)
 
 
@@ -87,6 +98,10 @@ class ServingModel:
                 f"artifact has {len(extra)} extra inputs; ServingModel "
                 "supports at most one (per-cloud cls_label)")
         self._label_dtype = np.dtype(extra[0]["dtype"]) if extra else None
+        # category count for label range-validation (seg exports carry the
+        # category list in the manifest; absent -> range unchecked)
+        names = self.manifest.get("cls_names")
+        self._num_categories = len(names) if names else None
         # persistent round-robin cursor: per-CALL indexing would pin every
         # small request (and every batcher-coalesced batch, which is always
         # one chunk) to devices[0]. itertools.count.__next__ is a single
@@ -118,7 +133,8 @@ class ServingModel:
                 raise ValueError(
                     "this artifact requires cls_label (per-cloud object "
                     "category) alongside the points")
-            labels = check_labels(cls_label, b, single, self._label_dtype)
+            labels = check_labels(cls_label, b, single, self._label_dtype,
+                                  self._num_categories)
         elif cls_label is not None:
             raise ValueError("this artifact takes no cls_label input")
         pending = []  # (result or jit future, valid rows)

@@ -2,7 +2,17 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _xp(step):
+    """numpy for host scalars, jnp under trace — the CLIs also evaluate the
+    schedule host-side (the per-epoch TensorBoard ``lr`` scalar); a jnp
+    evaluation there would dispatch device kernels through the tunnel and
+    block on a forced host read (CLAUDE.md: don't add host round-trips)."""
+    return jnp if isinstance(step, jax.Array) else np
 
 
 def cosine_warmup_schedule(
@@ -17,13 +27,14 @@ def cosine_warmup_schedule(
     ``data_iter_step / len(loader) + epoch``)."""
 
     def schedule(step):
+        xp = _xp(step)
         epoch = step / steps_per_epoch
-        warm = base_lr * epoch / jnp.maximum(warmup_epochs, 1e-8)
-        denom = jnp.maximum(total_epochs - warmup_epochs, 1e-8)
+        warm = base_lr * epoch / max(warmup_epochs, 1e-8)
+        denom = max(total_epochs - warmup_epochs, 1e-8)
         cos = min_lr + (base_lr - min_lr) * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * (epoch - warmup_epochs) / denom)
+            1.0 + xp.cos(xp.pi * (epoch - warmup_epochs) / denom)
         )
-        return jnp.where(epoch < warmup_epochs, warm, cos)
+        return xp.where(epoch < warmup_epochs, warm, cos)
 
     return schedule
 
@@ -48,15 +59,16 @@ def legacy_cosine_epoch_schedule(
     This is how the published teacher (``pretrain_PMAE.pth``) was trained."""
 
     def schedule(step):
-        epoch = jnp.floor(step / steps_per_epoch)
-        t = jnp.maximum(epoch - 1.0, 0.0)
-        warm = warmup_lr_init + (base_lr - warmup_lr_init) * t / jnp.maximum(
+        xp = _xp(step)
+        epoch = xp.floor(step / steps_per_epoch)
+        t = xp.maximum(epoch - 1.0, 0.0)
+        warm = warmup_lr_init + (base_lr - warmup_lr_init) * t / max(
             warmup_epochs, 1e-8
         )
         cos = lr_min + (base_lr - lr_min) * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * t / total_epochs)
+            1.0 + xp.cos(xp.pi * t / total_epochs)
         )
-        return jnp.where(t < warmup_epochs, warm, cos)
+        return xp.where(t < warmup_epochs, warm, cos)
 
     return schedule
 

@@ -107,6 +107,39 @@ def make_seg_eval_step(model, batch_floor: int = 0):
     return step
 
 
+def run_seg_val(eval_step, variables, loader, seg_classes, cls_names,
+                put=jnp.asarray, depth: int = 4):
+    """One full pass of the seg eval protocol — category-restricted argmax
+    per batch, Point-MAE part mIoU over the set (returns the
+    :func:`~gm3d_tpu.eval.metrics.part_miou` dict). Shared by the
+    in-training val pass (``cli/finetune_seg.py``) and the test-only probe
+    (``cli/evaluate.py --probe seg``) so the protocol cannot drift between
+    them.
+
+    ``put`` places each host batch on device (CLIs pass
+    ``shard_eval_batch`` partials on a mesh). Dispatches are pipelined with
+    a bounded in-flight window (``depth``; 0 = synchronous): seg logits are
+    (B, N, num_parts) — the whole val set held on device would be >1 GB."""
+    from gm3d_tpu.eval.metrics import part_miou
+    from gm3d_tpu.utils.pipeline import DeferredMetrics
+
+    preds, targets, clss = [], [], []
+
+    def drain(logits_dev, cls_np, seg_np):
+        preds.append(category_restricted_argmax(
+            np.asarray(logits_dev), cls_np, seg_classes, cls_names))
+        targets.append(seg_np)
+        clss.append(cls_np)
+
+    flight = DeferredMetrics(drain, depth=depth)
+    for pts, cls_label, seg in loader:
+        flight.push(eval_step(variables, put(pts), put(cls_label)),
+                    np.asarray(cls_label), np.asarray(seg))
+    flight.flush()
+    return part_miou(np.concatenate(preds), np.concatenate(targets),
+                     np.concatenate(clss), seg_classes, cls_names)
+
+
 def category_restricted_argmax(
     logits: np.ndarray, cls_labels: np.ndarray, seg_classes, cls_names
 ) -> np.ndarray:

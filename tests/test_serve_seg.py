@@ -281,6 +281,36 @@ def test_http_seg_endpoint(tmp_path):
         server.server_close()
 
 
+def test_seg_label_range_validation(tmp_path):
+    """cls_label outside [0, num_categories) is a request error (400), both
+    direct and via HTTP: an out-of-range index would one-hot to all-zeros in
+    the model and then crash (or, negative, silently pick the WRONG
+    category's part table) in the server's restricted argmax."""
+    from gm3d_tpu.serve import ServingModel
+    from gm3d_tpu.serve.server import make_server
+
+    path, _ = export_tiny_seg(tmp_path, batch=2)
+    sm = ServingModel(path)
+    pts = np.random.RandomState(5).randn(2, NPOINTS, 3).astype(np.float32)
+    for bad in ([99, 0], [0, -1]):
+        with pytest.raises(ValueError, match=r"\[0, 4\)"):
+            sm.predict(pts, np.array(bad, np.int32))
+
+    server = make_server(path, port=0, batch_wait_ms=1.0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"points": pts.tolist(),
+                           "cls_label": [99, 0]}).encode()
+        code, err = _http(f"http://{host}:{port}/predict", body,
+                          {"Content-Type": "application/json"})
+        assert code == 400 and "cls_label" in err["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_seg_export_cli(tmp_path):
     """cli/export_model.py --mode segmentation end to end (random-init warn
     path): manifest carries the ShapeNetPart category tables and ServingModel

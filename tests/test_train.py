@@ -42,6 +42,23 @@ class TestSchedules:
         assert float(sched(300 * 100)) < 1e-9
         assert float(sched(5 * 100)) == pytest.approx(5e-4)
 
+    def test_host_eval_stays_on_host(self):
+        """The CLIs evaluate the schedule host-side for the per-epoch TB lr
+        scalar: a Python-int step must produce a host scalar (no device
+        dispatch through the tunnel) that matches the traced value."""
+        from gm3d_tpu.train.schedules import legacy_cosine_epoch_schedule
+
+        for sched in (cosine_warmup_schedule(1e-3, 1e-6, 10, 300, 100),
+                      legacy_cosine_epoch_schedule(1e-3, 300, 10, 100)):
+            for step in (0, 555, 29_999):
+                host = sched(step)
+                assert not isinstance(host, jax.Array), type(host)
+                traced = jax.jit(sched)(jnp.asarray(step))
+                # abs term: deep in the cosine tail fp32 rounds 1+cos(~pi)
+                # to 0 where the host fp64 value keeps ~1e-12
+                assert float(host) == pytest.approx(float(traced),
+                                                    rel=1e-5, abs=1e-8)
+
     def test_ema_ramp(self):
         assert ema_decay_schedule(0) == 0.999
         assert ema_decay_schedule(50) == pytest.approx(0.99945)
