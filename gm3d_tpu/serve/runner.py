@@ -69,6 +69,10 @@ def check_labels(cls_label, b: int, single: bool, dtype,
             f"batch, got {lab.shape}")
     if not np.issubdtype(lab.dtype, np.number):
         raise ValueError(f"cls_label must be numeric, got dtype {lab.dtype}")
+    if lab.size and not (np.all(np.isfinite(lab)) and np.all(lab == np.floor(lab))):
+        # fractional labels would silently truncate in the int cast below and
+        # NaN compares False against both range bounds — reject both up front
+        raise ValueError("cls_label values must be finite integers")
     if num_classes is not None and lab.size:
         lo, hi = lab.min(), lab.max()
         if lo < 0 or hi >= num_classes:

@@ -48,7 +48,10 @@ def main():
     from gm3d_tpu.train.optim import build_finetune_optimizer
     from gm3d_tpu.train.state import create_train_state
 
-    cfg = cfg_from_yaml_file("configs/pointmae/config_finetune_scan_hardest.yaml")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = cfg_from_yaml_file(
+        os.path.join(repo_root, "configs/pointmae/config_finetune_scan_hardest.yaml")
+    )
     model = build_model_from_cfg(cfg["model"], dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)

@@ -162,6 +162,22 @@ def test_seg_serving_model_pads_and_chunks(tmp_path):
         sm.predict(np.zeros((0, NPOINTS, 3), np.float32), np.zeros(0))
 
 
+def test_check_labels_rejects_fractional_and_nan():
+    """Fractional labels would silently truncate in the int cast and NaN
+    compares False against both range bounds — both must 400 like an
+    out-of-range index does (advisor round-3 finding)."""
+    from gm3d_tpu.serve.runner import check_labels
+
+    ok = check_labels(np.array([0, 3]), 2, False, np.int32, num_classes=4)
+    assert ok.dtype == np.int32
+    with pytest.raises(ValueError, match="finite integers"):
+        check_labels(np.array([0.0, 3.7]), 2, False, np.int32, num_classes=16)
+    with pytest.raises(ValueError, match="finite integers"):
+        check_labels(np.array([np.nan, 1.0]), 2, False, np.int32, num_classes=16)
+    with pytest.raises(ValueError, match="finite integers"):
+        check_labels(np.array([np.inf, 1.0]), 2, False, np.int32)
+
+
 def test_classifier_artifact_rejects_labels(tmp_path):
     """A label on a single-input artifact is a client error, not a silent
     drop."""
