@@ -211,6 +211,11 @@ def main():
                 imported = import_torch_checkpoint(sd, POINT_MAE_MAP)
                 unmatched = imported.pop("_unmatched")
                 logger.info(f"teacher import: {len(unmatched)} unmatched keys")
+                if unmatched:
+                    from gm3d_tpu.ckpt.transfer import group_paths
+
+                    for line in group_paths(list(unmatched)):
+                        logger.warning(f"  unmatched torch key: {line}")
                 tvars = imported
             elif args.teacher_ckpt:
                 from gm3d_tpu.ckpt import restore_raw

@@ -115,6 +115,7 @@ def build_point_m2ae(cfg, **kwargs):
         mask_ratio=cfg.get("mask_ratio", 0.8),
         num_heads=cfg["num_heads"],
         drop_path_rate=cfg["drop_path_rate"],
+        svm_scales=cfg.get("svm_scales", "all"),
         dtype=_dtype(kwargs),
     )
 

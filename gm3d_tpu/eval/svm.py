@@ -20,7 +20,13 @@ from gm3d_tpu.ops.fps import fps
 
 @functools.lru_cache(maxsize=8)
 def make_feature_fn(model, npoints: int = 1024, batch_floor: int = 0) -> Callable:
-    """Jitted noaug encoder forward: points -> (B, G, D) features.
+    """Jitted noaug probe forward: points -> (B, D) POOLED features.
+
+    Pooling is the reference ``feature.mean(1) + feature.max(1)``
+    (``main_pretrain.py:713-715``) unless the model defines a family-specific
+    ``pooled_features`` method (Point-M2AE pools per scale and concatenates —
+    its scales have different widths, so a single token array can't express
+    the protocol; docs/DESIGN.md §8).
 
     Memoized on (model, npoints, batch_floor) — flax modules are frozen
     dataclasses, so repeated probes (every validation epoch) reuse ONE jitted
@@ -31,13 +37,19 @@ def make_feature_fn(model, npoints: int = 1024, batch_floor: int = 0) -> Callabl
     so exact; train.finetune.floor_reps)."""
     from gm3d_tpu.train.finetune import floor_reps
 
+    pooled = getattr(model, "pooled_features", None)
+
     @jax.jit
     def feature_fn(variables, pts):
         x = fps(pts, npoints) if pts.shape[1] > npoints else pts
         reps = floor_reps(x.shape[0], batch_floor)
         if reps > 1:
             x = jnp.tile(x, (reps, 1, 1))
-        feats = model.apply(variables, x, method=model.encode_features)
+        if pooled is not None:
+            feats = model.apply(variables, x, method=pooled)
+        else:
+            tok = model.apply(variables, x, method=model.encode_features)
+            feats = jnp.mean(tok, axis=1) + jnp.max(tok, axis=1)
         return feats[: pts.shape[0]]
 
     return feature_fn
@@ -46,15 +58,14 @@ def make_feature_fn(model, npoints: int = 1024, batch_floor: int = 0) -> Callabl
 def extract_features(
     feature_fn: Callable, variables, loader: Iterable
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Run the feature fn over a labelled loader, pool mean+max on device.
+    """Run the pooled feature fn over a labelled loader.
 
     Host reads are deferred until every batch is enqueued, so the device
     streams the whole probe set without idling one dispatch round-trip per
     batch (pooled features are (B, D) — tiny to hold on device)."""
     feats, labels = [], []
     for pts, lbl in loader:
-        f = feature_fn(variables, jnp.asarray(pts))
-        feats.append(jnp.mean(f, axis=1) + jnp.max(f, axis=1))
+        feats.append(feature_fn(variables, jnp.asarray(pts)))
         labels.append(np.asarray(lbl))
     return (np.concatenate([np.asarray(f, np.float32) for f in feats]),
             np.concatenate(labels))

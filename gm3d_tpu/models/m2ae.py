@@ -197,6 +197,12 @@ class PointM2AE(nn.Module):
     mask_ratio: float = 0.8
     num_heads: int = 6
     drop_path_rate: float = 0.1
+    # SVM/probe feature protocol: "all" pools every scale (mean+max per scale,
+    # concatenated — consistent with the fine-tune heads, which pool every
+    # scale), "last" pools only the coarsest tokens. Configurable because the
+    # reference ships no M2AE code to pin the published 93.15 SVM protocol
+    # against (docs/DESIGN.md §8).
+    svm_scales: str = "all"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -262,10 +268,24 @@ class PointM2AE(nn.Module):
         self.lp_fc2 = nn.Dense(self.decoder_dims[0], dtype=self.dtype)
 
     def encode_features(self, pts, deterministic: bool = True):
-        """Unmasked multi-scale features for SVM / probing: returns the
-        coarsest-scale token sequence (B, G_last, C_last)."""
+        """Unmasked coarsest-scale token sequence (B, G_last, C_last) — the
+        token-level feature surface (supervised Classifier probe, serving
+        featurizer artifacts). The SVM probe uses :meth:`pooled_features`."""
         tokens_all, _, _ = self.encoder(pts, None, deterministic)
         return tokens_all[-1]
+
+    def pooled_features(self, pts, deterministic: bool = True):
+        """Family-specific SVM-probe pooling (``svm_scales``): per-scale
+        ``mean(1) + max(1)`` (the reference pooling, ``main_pretrain.py:713``)
+        concatenated across all scales, or the coarsest scale only.
+
+        Returns (B, sum_s C_s) for "all", (B, C_last) for "last".
+        """
+        tokens_all, _, _ = self.encoder(pts, None, deterministic)
+        if self.svm_scales == "last":
+            tokens_all = tokens_all[-1:]
+        parts = [jnp.mean(t, axis=1) + jnp.max(t, axis=1) for t in tokens_all]
+        return jnp.concatenate(parts, axis=-1)
 
     def __call__(self, pts, coarse_vis, deterministic: bool = True):
         """Masked hierarchical reconstruction.

@@ -13,7 +13,7 @@ from gm3d_tpu.ckpt import (
     save_checkpoint,
 )
 from gm3d_tpu.ckpt.torch_import import POINT_MAE_MAP, POINT_TRANSFORMER_MAP
-from gm3d_tpu.models import PointMAE, PointTransformer
+from gm3d_tpu.models import GM3DStudent, PointMAE, PointTransformer
 from gm3d_tpu.train.optim import build_adamw
 from gm3d_tpu.train.state import create_train_state
 
@@ -302,6 +302,93 @@ class TestPretrainFinetuneTransfer:
             np.asarray(params["block0"]["attn"]["qkv"]["kernel"]),
             np.asarray(pre_vars["params"]["MAE_encoder"]["blocks"]["block0"]["attn"]["qkv"]["kernel"]),
         )
+
+
+class TestTransferReport:
+    """Named checkpoint-surgery reports (reference ``utils/checkpoint.py:16-132``
+    grouped missing/unexpected key lists, used by
+    ``models/Point_MAE.py:528-538``): a partial overlay after a layout drift
+    must NAME the drifted keys — a bare count passes the ``n>0`` check and
+    surfaces only as a mysterious accuracy gap."""
+
+    def test_drifted_layout_names_keys(self):
+        from gm3d_tpu.ckpt.transfer import TransferReport, overlay_pretrained
+
+        dst = {
+            "encoder": {"conv1": {"kernel": jnp.zeros((3, 8))},
+                        "conv2": {"kernel": jnp.zeros((8, 16))}},
+            "blocks": {f"block{i}": {"attn": {"kernel": jnp.zeros((4, 4))}}
+                       for i in range(3)},
+            "head": {"kernel": jnp.zeros((16, 5))},
+        }
+        src = {
+            "encoder": {"conv1": {"kernel": jnp.ones((3, 8))},
+                        "conv2": {"kernel": jnp.ones((8, 32))}},  # drifted width
+            # blocks renamed away entirely (layout drift) -> all missing
+            "layers": {f"layer{i}": {"attn": {"kernel": jnp.ones((4, 4))}}
+                       for i in range(3)},
+            "legacy_head": {"kernel": jnp.ones((16, 5))},  # renamed away
+        }
+        rep = TransferReport()
+        _, _, n = overlay_pretrained(dst, None, src, strip_mae_encoder=False,
+                                     report=rep)
+        assert n == 1  # only conv1 lands; conv2 drifted, blocks/head missing
+        assert rep.matched_fraction < 1.0
+        assert [p for p, *_ in rep.shape_mismatch] == ["params/encoder/conv2/kernel"]
+        assert "params/head/kernel" in rep.missing
+        assert "params/encoder/conv2/kernel" in rep.missing  # mismatch stays fresh
+        assert "params/legacy_head/kernel" in rep.unexpected
+        text = "\n".join(rep.lines())
+        assert "params/blocks/block*/attn/kernel x3" in text  # digit-grouped missing
+        assert "params/layers/layer*/attn/kernel x3" in text  # grouped unexpected
+        assert "ckpt(8, 32) vs model(8, 16)" in text
+        assert "legacy_head" in text
+
+    def test_subtree_only_in_src_is_unexpected(self):
+        from gm3d_tpu.ckpt.transfer import TransferReport, overlay_pretrained
+
+        dst = {"a": {"w": jnp.zeros((2,))}}
+        src = {"a": {"w": jnp.ones((2,))},
+               "decoder": {"block0": {"w": jnp.ones((2,))},
+                           "block1": {"w": jnp.ones((2,))}}}
+        rep = TransferReport()
+        _, _, n = overlay_pretrained(dst, None, src, strip_mae_encoder=False,
+                                     report=rep)
+        assert n == 1 and rep.matched_fraction == 1.0
+        assert sorted(rep.unexpected) == [
+            "params/decoder/block0/w", "params/decoder/block1/w"]
+
+    def test_finetune_load_logs_named_report(self, tmp_path, caplog):
+        """The real pretrain->finetune path must WARN with the fresh-head key
+        names (detectron2-style), while still emitting the established
+        'transfer: N leaves' line the CLIs and e2e tests assert on."""
+        import logging
+
+        from gm3d_tpu.ckpt import load_pretrained_into
+
+        dims = dict(trans_dim=48, depth=2, num_heads=2, group_size=8,
+                    num_group=16, encoder_dims=48)
+        model = GM3DStudent(decoder_depth=1, decoder_num_heads=2, **dims)
+        pts = jnp.zeros((2, 64, 3))
+        mask = jnp.zeros((2, 16), bool).at[:, :9].set(True)
+        variables = model.init(jax.random.key(1), pts, mask, 9)
+        tx = build_adamw(1e-3)
+        state = create_train_state(variables, tx, with_ema=True)
+        ckpt_dir = str(tmp_path / "pre")
+        save_checkpoint(ckpt_dir, state, step=1)
+
+        ft = PointTransformer(cls_dim=5, **dims)
+        ft_vars = ft.init(jax.random.key(2), pts)
+        logger = logging.getLogger("test.transfer.report")
+        with caplog.at_level(logging.INFO, logger=logger.name):
+            load_pretrained_into(ft_vars["params"], ft_vars.get("batch_stats"),
+                                 ckpt_dir, logger=logger)
+        text = "\n".join(r.getMessage() for r in caplog.records)
+        assert "leaves overlaid from" in text  # established contract line
+        assert "missing (left at fresh init" in text
+        assert "cls_head_finetune" in text  # fresh head NAMED
+        warns = [r for r in caplog.records if r.levelno == logging.WARNING]
+        assert warns, "partial overlay must warn, not info"
 
 
 class TestSharedOptimizerCheckpoint:

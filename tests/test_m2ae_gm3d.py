@@ -1,12 +1,23 @@
-"""Point-M2AE + GM3D geometric masking tests."""
+"""Point-M2AE + GM3D geometric masking tests.
 
+Includes the masked-information-leakage proof for the TPU-first masking
+design (``models/m2ae.py`` module docstring): the encoder keeps FULL
+static-shape token sets and enforces masking purely via attention masks +
+learned placeholders, so the whole model output must be invariant to the
+CONTENT of masked slots, and visible-token outputs must be invariant to the
+PLACEHOLDER value. A leak here would silently trivialise the pretext task
+(reference spec ``Point-M2AE_SA3D/cfgs/config_Point_M2AE.yaml:57-104``)."""
+
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gm3d_tpu.models import PointM2AE
+from gm3d_tpu.models.m2ae import propagate_masks
 from gm3d_tpu.train.optim import build_adamw
-from gm3d_tpu.train.pretrain import make_m2ae_gm3d_train_step
+from gm3d_tpu.train.pretrain import _m2ae_losses, make_m2ae_gm3d_train_step
 from gm3d_tpu.train.state import create_train_state
 
 KW = dict(
@@ -37,6 +48,119 @@ class TestM2AEGM3D:
         assert out["loss_pred"].shape == (B, 8)
         assert out["fine_to_coarse"].shape == (B, 32)
 
+    def test_masked_slot_content_cannot_leak(self):
+        """Adversarially perturb token content at masked slots exactly where
+        it is produced (patch-embed / token-merge outputs, pre-placeholder):
+        the ENTIRE model output must be bit-identical. The geometry (FPS/KNN
+        hierarchy) is shared, so any difference would prove masked-region
+        content reaching visible features or the decoder."""
+        model = PointM2AE(**KW)
+        pts = clouds(3)
+        coarse_vis = jnp.asarray(
+            np.random.default_rng(5).random((B, 8)) > 0.6
+        ).at[:, 0].set(True)  # keep >=1 visible coarse group per row
+        variables = model.init(jax.random.key(0), pts, coarse_vis)
+
+        bound = model.bind(variables)
+        centers, _ = bound.encoder.hierarchy(pts)
+        vis_masks = propagate_masks(coarse_vis, centers)
+
+        def interceptor(next_fun, args, kwargs, context):
+            out = next_fun(*args, **kwargs)
+            if context.method_name != "__call__":
+                return out
+            name = context.module.name
+            if name == "patch_embed":
+                out = out + jnp.where(vis_masks[0][..., None], 0.0, 999.0)
+            elif name and name.startswith("merge"):
+                s = int(name[len("merge"):])
+                out = out + jnp.where(vis_masks[s][..., None], 0.0, 999.0)
+            return out
+
+        base = model.apply(variables, pts, coarse_vis)
+        with nn.intercept_methods(interceptor):
+            pert = model.apply(variables, pts, coarse_vis)
+        for k in ("rebuild", "loss_pred", "gt", "fine_vis"):
+            np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(pert[k]),
+                                          err_msg=f"masked-slot content leaked into {k!r}")
+        # sanity: the interceptor really fired — an UNMASKED forward through it
+        # must differ (perturbation only at masked slots, so use a mask where
+        # some slot is masked and compare a masked-region-dependent output of
+        # the encoder instead)
+        with nn.intercept_methods(interceptor):
+            tokens_pert = model.apply(
+                variables, pts, tuple(vis_masks),
+                method=lambda mdl, p, v: mdl.encoder(p, v)[0],
+            )
+        tokens_base = model.apply(
+            variables, pts, tuple(vis_masks),
+            method=lambda mdl, p, v: mdl.encoder(p, v)[0],
+        )
+        for s in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(tokens_base[s]), np.asarray(tokens_pert[s]))
+
+    def test_placeholder_value_cannot_leak_into_visible_tokens(self):
+        """Replace the learned mask placeholders with junk: visible-token
+        encoder outputs at every scale must be bit-identical (the attention
+        mask + merge-validity exclusion are the only thing standing between
+        the placeholder and visible features), while masked-slot outputs must
+        visibly change (proof the junk propagated and the test has teeth)."""
+        import flax.core
+
+        model = PointM2AE(**KW)
+        pts = clouds(4)
+        coarse_vis = jnp.ones((B, 8), bool).at[:, 2:7].set(False)
+        variables = model.init(jax.random.key(1), pts, coarse_vis)
+
+        bound = model.bind(variables)
+        centers, _ = bound.encoder.hierarchy(pts)
+        vis_masks = propagate_masks(coarse_vis, centers)
+
+        def enc_tokens(vars_):
+            return model.apply(
+                vars_, pts, tuple(vis_masks),
+                method=lambda mdl, p, v: mdl.encoder(p, v)[0],
+            )
+
+        junk = flax.core.unfreeze(variables)
+        for s in range(3):
+            junk["params"]["encoder"][f"mask_feat{s}"] = (
+                junk["params"]["encoder"][f"mask_feat{s}"] + 1e4
+            )
+
+        tok1, tok2 = enc_tokens(variables), enc_tokens(junk)
+        for s in range(3):
+            vis = np.asarray(vis_masks[s])
+            a, b = np.asarray(tok1[s]), np.asarray(tok2[s])
+            np.testing.assert_array_equal(
+                a[vis], b[vis],
+                err_msg=f"placeholder value leaked into visible tokens at scale {s}")
+            assert not np.array_equal(a[~vis], b[~vis]), (
+                f"junk placeholder did not propagate at scale {s} — test is vacuous")
+
+    def test_pooled_features_scales(self):
+        """SVM feature protocol (docs/DESIGN.md §8): default pools mean+max
+        per scale and concatenates ALL scales; ``svm_scales='last'`` restricts
+        to the coarsest. The shared probe feature fn must route through it."""
+        model_all = PointM2AE(**KW)
+        model_last = PointM2AE(**KW, svm_scales="last")
+        pts = clouds(6)
+        vis = jnp.ones((B, 8), bool).at[:, :6].set(False)
+        variables = model_all.init(jax.random.key(2), pts, vis)
+
+        f_all = model_all.apply(variables, pts, method=model_all.pooled_features)
+        f_last = model_last.apply(variables, pts, method=model_last.pooled_features)
+        assert f_all.shape == (B, 24 + 48 + 96)
+        assert f_last.shape == (B, 96)
+        np.testing.assert_array_equal(np.asarray(f_all[:, -96:]), np.asarray(f_last))
+
+        from gm3d_tpu.eval.svm import make_feature_fn
+
+        ff = make_feature_fn(model_all, npoints=N)
+        np.testing.assert_allclose(
+            np.asarray(ff(variables, pts)), np.asarray(f_all), rtol=1e-6, atol=1e-6)
+
     def test_gm3d_step_loss_decreases(self):
         model = PointM2AE(**KW)
         pts = clouds(1)
@@ -57,3 +181,61 @@ class TestM2AEGM3D:
                 first = float(metrics["loss_chfr"])
         assert float(metrics["loss_chfr"]) < first
         assert "loss_learn" in metrics
+
+
+def _spearman(a, b):
+    ra = np.argsort(np.argsort(a)) - (len(a) - 1) / 2.0
+    rb = np.argsort(np.argsort(b)) - (len(b) - 1) / 2.0
+    return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum() + 1e-12))
+
+
+@pytest.mark.slow
+def test_m2ae_loss_predictor_learns_ranking():
+    """The M2AE+GM3D overlay's loss predictor must learn to RANK
+    per-coarse-group reconstruction difficulty — the hierarchical mirror of
+    ``test_semantics.py::test_loss_predictor_learns_ranking``. The relative
+    learning loss optimises exactly this ordering
+    (``train/pretrain.py::make_m2ae_gm3d_train_step``); clouds carry one
+    deliberately complex octant so difficulty is real, not noise."""
+    kw = dict(
+        num_groups=(64, 32, 16),
+        group_sizes=(8, 4, 4),
+        encoder_depths=(1, 1, 1),
+        encoder_dims=(24, 48, 96),
+        local_radius=(0.32, 0.64, 1.28),
+        decoder_dims=(96, 48),
+        decoder_depths=(1, 1),
+        num_heads=2,
+    )
+    batch, npts, coarse, num_mask = 8, 256, 16, 10
+
+    def hard_clouds(seed):
+        rng = np.random.default_rng(seed)
+        pts = rng.standard_normal((batch, npts, 3)).astype(np.float32) * 0.3
+        hard = (pts[:, :, 0] > 0) & (pts[:, :, 1] > 0)
+        pts += hard[..., None] * rng.standard_normal((batch, npts, 3)).astype(np.float32) * 0.5
+        return jnp.asarray(pts)
+
+    model = PointM2AE(**kw)
+    pts = hard_clouds(0)
+    vis0 = jnp.ones((batch, coarse), bool).at[:, :num_mask].set(False)
+    variables = model.init(jax.random.key(0), pts, vis0)
+    tx = build_adamw(2e-3)
+    state = create_train_state(variables, tx, with_ema=True)
+    step = make_m2ae_gm3d_train_step(model, tx, mask_ratio=num_mask / coarse)
+    scalars = {"keep_ratio": jnp.asarray(0.5), "ema_decay": jnp.asarray(0.95)}
+    for i in range(150):
+        state, _ = step(state, hard_clouds(i % 4), jax.random.key(i), scalars)
+
+    fresh = hard_clouds(99)
+    rng = np.random.default_rng(7)
+    m = np.zeros((batch, coarse), bool)
+    for b in range(batch):
+        m[b, rng.choice(coarse, num_mask, replace=False)] = True
+    coarse_vis = jnp.asarray(~m)
+    outs = model.apply(state.variables(), fresh, coarse_vis)
+    _, matrix = _m2ae_losses(model, outs)
+    lp, mt = np.asarray(outs["loss_pred"]), np.asarray(matrix)
+    corrs = [_spearman(lp[b][m[b]], mt[b][m[b]]) for b in range(batch)]
+    mean_corr = float(np.mean(corrs))
+    assert mean_corr > 0.1, f"M2AE loss predictor failed to learn ranking: {mean_corr:.3f}"
