@@ -110,6 +110,42 @@ for _dec in ("MAE_decoder", "MAE_decoder_loss_pred"):
 # last-wins for export: the student's encoder norm is ``norm_p``
 GM3D_STUDENT_MAP["MAE_encoder.norm_p"] = GM3D_STUDENT_MAP.pop("MAE_encoder.norm_p")
 
+# Older GM3D student variant (``models_mae_learn_loss.py:30-846``, driven by
+# ``main_pretrain_multi_gpu.py``/``engine_pretrain.py``): encoder-INLINE
+# design — the point-cloud encoder lives flat at the module root
+# (``encoder`` / ``pos_embed`` / ``blocks`` / ``norm_p``) instead of under a
+# ``MAE_encoder`` submodule, the encoder's ``pos_embed`` doubles as the
+# decoder pos embed (no ``decoder_pos_embed``), and there is no
+# ``mask_token_loss_pred`` (both decoders share ``mask_token``). Maps onto
+# ``GM3DStudent(mode='usual', shared_pos_embed=True)`` +
+# ``shared_learnable_tokens``.
+GM3D_MULTIGPU_MAP = {
+    k: ("MAE_encoder/" + v, kind) for k, (v, kind) in _COMMON_ENCODER.items()
+}
+GM3D_MULTIGPU_MAP.update(
+    {
+        "increase_dim_2.0": ("head_fc1", "conv"),
+        "increase_dim_2.1": ("head_bn", "bn"),
+        "increase_dim_2.3": ("head_fc2", "conv"),
+        "increase_dim_just_network_without_feature.0": ("coord_head", "conv"),
+    }
+)
+for _dec in ("MAE_decoder", "MAE_decoder_loss_pred"):
+    GM3D_MULTIGPU_MAP.update(
+        {
+            f"{_dec}.blocks.{{i}}.norm1": (f"{_dec}/block{{i}}/norm1", "ln"),
+            f"{_dec}.blocks.{{i}}.norm2": (f"{_dec}/block{{i}}/norm2", "ln"),
+            f"{_dec}.blocks.{{i}}.attn.qkv": (f"{_dec}/block{{i}}/attn/qkv", "linear"),
+            f"{_dec}.blocks.{{i}}.attn.proj": (f"{_dec}/block{{i}}/attn/proj", "linear"),
+            f"{_dec}.blocks.{{i}}.mlp.fc1": (f"{_dec}/block{{i}}/mlp/fc1", "linear"),
+            f"{_dec}.blocks.{{i}}.mlp.fc2": (f"{_dec}/block{{i}}/mlp/fc2", "linear"),
+            f"{_dec}.norm": (f"{_dec}/norm", "ln"),
+        }
+    )
+# export direction: the older model's used encoder norm is ``norm_p`` (its
+# bare ``self.norm`` was commented out, ``models_mae_learn_loss.py:67``)
+GM3D_MULTIGPU_MAP["norm_p"] = GM3D_MULTIGPU_MAP.pop("norm_p")
+
 
 def strip_prefixes(key: str) -> str:
     """``module.`` / ``base_model.`` strip (NOT ``MAE_encoder.`` — that one is

@@ -84,6 +84,14 @@ def parse_args():
     p.add_argument("--no_learning_loss", action="store_true")
     p.add_argument("--relative", action="store_true", default=True)
     p.add_argument("--shared_learnable_tokens", action="store_true")
+    p.add_argument("--student_variant", choices=["svm", "legacy"], default="svm",
+                   help="'legacy' = the OLDER student variant "
+                        "(models_mae_learn_loss.py:30-846, the model "
+                        "main_pretrain_multi_gpu.py/engine_pretrain.py drive): "
+                        "shared encoder/decoder pos embed, single shared mask "
+                        "token, Chamfer-only loss, uncapped (e+1)/E*0.5 keep "
+                        "ramp. Trajectory-pinned by "
+                        "test_trajectory_parity.py[multi_gpu]")
     p.add_argument("--after_200_epoch", action="store_true")
     p.add_argument("--after_epoch", type=int, default=15)
     p.add_argument("--loss_multiply_by", type=float, nargs=2, default=[13.889, 1000.0])
@@ -192,11 +200,19 @@ def main():
     tx = build_adamw(sched, wd, grad_clip=grad_clip, accum_steps=args.accum_iter)
 
     # ---- build model family
+    legacy_variant = getattr(args, "student_variant", "svm") == "legacy"
     if args.model_family == "gm3d":
+        if legacy_variant:
+            # the multi-GPU main's defaults: Chamfer-only engine, one shared
+            # mask token for both decoders (main_pretrain_multi_gpu.py:166-413)
+            if args.learn_feature_loss != "none":
+                logger.info("--student_variant legacy forces --learn_feature_loss none")
+                args.learn_feature_loss = "none"
+            args.shared_learnable_tokens = True
         mode = args.mode if args.learn_feature_loss == "dino" else (
             "usual" if args.learn_feature_loss == "none" else args.mode
         )
-        student = GM3DStudent(mode=mode, dtype=dtype)
+        student = GM3DStudent(mode=mode, shared_pos_embed=legacy_variant, dtype=dtype)
         from gm3d_tpu.masking import gm3d_num_mask
 
         num_mask = gm3d_num_mask(student.num_group, args.mask_ratio)
@@ -263,11 +279,17 @@ def main():
         else:
             from gm3d_tpu.train.optim import build_gm3d_shared_optimizer
 
+            if mode == "feature":
+                frozen = ("coord_head",)
+            elif legacy_variant:
+                # the older torch model HAS no mask_token_loss_pred; ours
+                # must neither train nor weight-decay it
+                frozen = ("mask_token_loss_pred",)
+            else:
+                frozen = ()
             tx = build_gm3d_shared_optimizer(
                 svars["params"], sched, wd, accum_steps=args.accum_iter,
-                # feature mode: the coord head is grad-None in the reference
-                # and receives NO updates (see build_gm3d_shared_optimizer)
-                frozen_modules=("coord_head",) if mode == "feature" else (),
+                frozen_modules=frozen,
             )
         state = create_train_state(svars, tx, with_ema=True)
         step_fn = make_gm3d_train_step(
@@ -501,10 +523,13 @@ def main():
             meter = MetricLogger()
             t0 = time.time()
             ema_decay = ema_decay_schedule(epoch)
-            # usual-mode student always uses the capped min(..., 0.5) ramp
-            # (models_mae_learn_loss_Classifier_SVM.py generate_mask)
-            capped_ramp = args.after_200_epoch or args.learn_feature_loss == "none"
-            kr = keep_ratio_schedule(epoch, epochs, capped_ramp)
+            # usual-mode student uses the capped min(..., 0.5) ramp
+            # (models_mae_learn_loss_Classifier_SVM.py generate_mask); the
+            # legacy variant uses the uncapped slope-0.5 ramp
+            capped_ramp = args.after_200_epoch or (
+                args.learn_feature_loss == "none" and not legacy_variant)
+            kr = keep_ratio_schedule(epoch, epochs, capped_ramp,
+                                     legacy=legacy_variant)
             if args.learn_feature_loss == "none":
                 # usual-mode engine: FIXED mix 13.889*MSE + 1*CD from epoch 0
                 # (engine_pretrain.py:149-153, `if epoch < -1` dead branch)

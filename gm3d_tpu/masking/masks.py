@@ -40,9 +40,14 @@ def gm3d_num_mask(num_groups: int, mask_ratio: float) -> int:
     return num_groups - int(num_groups * (1.0 - mask_ratio))
 
 
-def keep_ratio_schedule(epoch: float, total_epochs: int, after_200_epoch: bool = False) -> float:
+def keep_ratio_schedule(epoch: float, total_epochs: int, after_200_epoch: bool = False,
+                        legacy: bool = False) -> float:
     """Fraction of the masked slots chosen by predicted loss, ramped over
-    training (``...feature_besed.py:1073-1082``)."""
+    training (``...feature_besed.py:1073-1082``). ``legacy`` selects the OLDER
+    student variant's uncapped slope-0.5 ramp
+    (``models_mae_learn_loss.py:756``: ``(epoch+1)/total_epoch * 0.5``)."""
+    if legacy:
+        return float(epoch + 1) / total_epochs * 0.5
     if after_200_epoch:
         return min(float(epoch + 1) / (total_epochs / 2) * 0.5, 0.5)
     return float(epoch + 1) / total_epochs * 0.8

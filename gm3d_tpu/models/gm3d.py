@@ -46,6 +46,17 @@ class GM3DStudent(nn.Module):
     drop_path_rate: float = 0.1
     encoder_dims: int = 384
     mode: str = "feature"  # 'feature' | 'usual'
+    # The OLDER student variant (``models_mae_learn_loss.py:30-846``, the
+    # model ``main_pretrain_multi_gpu.py``/``engine_pretrain.py`` drive) has
+    # NO separate decoder pos-embed MLP: the encoder's ``pos_embed`` is
+    # reused for the decoder positions (``:655-656`` uses ``self.pos_embed``
+    # on both vis and mask centers), so decoder gradients flow into the
+    # shared MLP. Together with ``shared_learnable_tokens`` (that variant
+    # also has no ``mask_token_loss_pred``, ``:657`` feeds the loss-pred
+    # decoder ``x_full.clone()``) and ``mode='usual'`` this reproduces the
+    # older variant exactly — trajectory-pinned in
+    # ``tests/test_trajectory_parity.py::...[multi_gpu]``.
+    shared_pos_embed: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -145,9 +156,11 @@ class GM3DStudent(nn.Module):
 
         vis_idx, mask_idx = mask_split_indices(mask, num_mask)
         x_vis_lp = jax.lax.stop_gradient(x_vis) if detach_loss_pred_branch else x_vis
-        pos_vis = self.decoder_pos_embed(take_groups(grouped.center, vis_idx))
+        dec_pos = (self.MAE_encoder.pos_embed if self.shared_pos_embed
+                   else self.decoder_pos_embed)
+        pos_vis = dec_pos(take_groups(grouped.center, vis_idx))
         if num_mask:
-            pos_mask = self.decoder_pos_embed(take_groups(grouped.center, mask_idx))
+            pos_mask = dec_pos(take_groups(grouped.center, mask_idx))
             pos_full = jnp.concatenate([pos_vis, pos_mask], axis=1)
             mask_tok = jnp.broadcast_to(
                 self.mask_token.astype(self.dtype), (batch, num_mask, self.trans_dim)

@@ -1,0 +1,505 @@
+#!/usr/bin/env python
+"""Unattended BASELINE.md reproduce-all driver.
+
+One command executes every published reference row end-to-end the moment the
+datasets mount: preflight (per-dataset presence checks with precise error
+text) -> teacher pretrain -> GM3D pretrain (SVM gate) -> all classification
+finetunes (+ the best-of-N vote protocol) -> part segmentation -> few-shot ->
+the full Point-M2AE family, with per-row expected-accuracy assertions and
+restart-safe resumption (each training stage's CLI continues from its rolling
+checkpoint via ``--resume``; stages that already met their target are skipped
+through a completion marker).
+
+The datasets genuinely do not exist in this image (verified by filesystem
+search, round 3) — this driver is the execution insurance: it encodes the
+full orchestration (reference ``README.md:87-140`` "Get Started" commands +
+the SVM quality gate ``main_pretrain.py:633-717``) so that real-data parity
+is ONE command on any machine where the data mounts, not a manual runbook.
+
+Usage:
+  python scripts/reproduce_baseline.py --out /tmp/repro           # everything
+  python scripts/reproduce_baseline.py --dry_run                  # print plan
+  python scripts/reproduce_baseline.py --stages gm3d_pretrain,ft_mn40
+  python scripts/reproduce_baseline.py --data_root /mnt/data      # data home
+
+Orchestration order and failure surfacing are pinned by
+``tests/test_reproduce_driver.py`` (synthetic stand-ins; no datasets needed).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import _bootstrap  # noqa: F401  repo-root sys.path + GM3D_PLATFORM forcing
+
+import argparse
+import dataclasses
+import json
+import os
+import re
+import subprocess
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------------------
+# dataset requirements (paths relative to --data_root; layouts match the
+# reference's DATASET.md conventions, encoded in gm3d_tpu/data/datasets.py)
+
+@dataclasses.dataclass(frozen=True)
+class DatasetReq:
+    key: str
+    paths: Tuple[str, ...]
+    hint: str
+
+
+DATASET_REQS: Dict[str, DatasetReq] = {
+    d.key: d
+    for d in [
+        DatasetReq(
+            "shapenet55",
+            ("ShapeNet55-34/ShapeNet-55/train.txt",
+             "ShapeNet55-34/ShapeNet-55/test.txt",
+             "ShapeNet55-34/shapenet_pc"),
+            "ShapeNet-55 pretraining set: file lists under "
+            "ShapeNet55-34/ShapeNet-55/{train,test}.txt and .npy clouds under "
+            "ShapeNet55-34/shapenet_pc/ (Point-MAE DATASET.md layout).",
+        ),
+        DatasetReq(
+            "modelnet40",
+            ("ModelNet/modelnet40_normal_resampled/modelnet40_shape_names.txt",
+             "ModelNet/modelnet40_normal_resampled/modelnet40_train.txt",
+             "ModelNet/modelnet40_normal_resampled/modelnet40_test.txt"),
+            "ModelNet40 (normal_resampled txt format) under "
+            "ModelNet/modelnet40_normal_resampled/. First run additionally "
+            "builds an 8192-pt FPS cache (.dat) beside the txt files.",
+        ),
+        DatasetReq(
+            "scanobjectnn_main",
+            ("ScanObjectNN/main_split/training_objectdataset_augmentedrot_scale75.h5",
+             "ScanObjectNN/main_split/test_objectdataset_augmentedrot_scale75.h5",
+             "ScanObjectNN/main_split/training_objectdataset.h5",
+             "ScanObjectNN/main_split/test_objectdataset.h5"),
+            "ScanObjectNN main_split h5 files (PB-T50-RS 'hardest' + OBJ-BG).",
+        ),
+        DatasetReq(
+            "scanobjectnn_nobg",
+            ("ScanObjectNN/main_split_nobg/training_objectdataset.h5",
+             "ScanObjectNN/main_split_nobg/test_objectdataset.h5"),
+            "ScanObjectNN main_split_nobg h5 files (OBJ-ONLY).",
+        ),
+        DatasetReq(
+            "modelnet_fewshot",
+            ("ModelNetFewshot/5way_10shot/0.pkl",),
+            "Pre-generated few-shot folds under ModelNetFewshot/"
+            "{way}way_{shot}shot/{fold}.pkl. The driver GENERATES these "
+            "automatically from ModelNet40 when absent (stage 'fewshot_gen', "
+            "gm3d_tpu/data/fewshot_gen.py — the reference's "
+            "generate_few_shot_data.py protocol), so only ModelNet40 itself "
+            "is a hard requirement.",
+        ),
+        DatasetReq(
+            "shapenetpart",
+            ("shapenetcore_partanno_segmentation_benchmark_v0_normal/synsetoffset2category.txt",
+             "shapenetcore_partanno_segmentation_benchmark_v0_normal/train_test_split/shuffled_train_file_list.json"),
+            "ShapeNetPart (normal-annotated) under "
+            "shapenetcore_partanno_segmentation_benchmark_v0_normal/.",
+        ),
+    ]
+}
+
+
+# --------------------------------------------------------------------------
+# stage plan
+
+@dataclasses.dataclass
+class Stage:
+    name: str
+    row: str                       # which BASELINE.md row this proves
+    argv: List[str]                # module CLI argv (without interpreter)
+    requires: Tuple[str, ...]      # DATASET_REQS keys
+    deps: Tuple[str, ...] = ()     # stages whose output must exist first
+    # metric extraction: field -> ("jsonl_max"|"jsonl_last"|"regex", spec)
+    metrics: Dict[str, Tuple[str, str]] = dataclasses.field(default_factory=dict)
+    expect: Dict[str, float] = dataclasses.field(default_factory=dict)  # percent
+    resume: bool = True            # pass --resume when the stage dir exists
+    pyfn: Optional[Callable[[argparse.Namespace], None]] = None  # in-process
+
+
+def _gen_fewshot_folds(args: argparse.Namespace) -> None:
+    """Generate the ModelNetFewshot folds from ModelNet40 when absent."""
+    out = os.path.join(args.data_root, "ModelNetFewshot")
+    if os.path.exists(os.path.join(out, "10way_20shot", "9.pkl")):
+        return
+    from gm3d_tpu.config import cfg_from_yaml_file
+    from gm3d_tpu.data.datasets import build_dataset_from_cfg
+    from gm3d_tpu.data.fewshot_gen import generate_few_shot_folds
+
+    cfg = cfg_from_yaml_file(os.path.join(REPO, "configs/pointmae/finetune_modelnet.yaml"))
+    import numpy as np
+
+    def load(subset):
+        c = dict(cfg["dataset"]["train" if subset == "train" else "val"])
+        c = json.loads(json.dumps(c))  # deep copy
+        c["others"]["subset"] = subset
+        ds = build_dataset_from_cfg(c)
+        pts = np.stack([ds[i][2][0] for i in range(len(ds))])
+        lbl = np.asarray([ds[i][2][1] for i in range(len(ds))])
+        return pts, lbl
+
+    tr_p, tr_l = load("train")
+    te_p, te_l = load("test")
+    generate_few_shot_folds(tr_p, tr_l, te_p, te_l, out)
+
+
+def build_plan(out: str) -> List[Stage]:
+    """The full BASELINE.md reproduction DAG, in execution order."""
+
+    def cli(mod, *extra):
+        return ["-m", f"gm3d_tpu.cli.{mod}"] + list(extra)
+
+    def ckpt(stage):
+        return os.path.join(out, stage, "ckpt")
+
+    def odir(stage):
+        return os.path.join(out, stage)
+
+    P, M = "configs/pointmae", "configs/m2ae"
+    stages = [
+        # ---- Point-MAE family -------------------------------------------
+        Stage("teacher",
+              "prerequisite: the frozen distillation teacher (pretrain_PMAE recipe)",
+              cli("pretrain", "--config", f"{P}/config_m.yaml",
+                  "--model_family", "pointmae", "--output_dir", odir("teacher")),
+              requires=("shapenet55", "modelnet40"),
+              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc")}),
+        Stage("gm3d_pretrain",
+              "ModelNet40 linear SVM 92.30 (Point-MAE+GM3D)",
+              cli("pretrain", "--config", f"{P}/config.yaml",
+                  "--teacher_ckpt", ckpt("teacher"), "--output_dir",
+                  odir("gm3d_pretrain")),
+              requires=("shapenet55", "modelnet40"), deps=("teacher",),
+              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc")},
+              expect={"val_svm_acc": 92.30}),
+        Stage("ft_mn40",
+              "ModelNet40 fine-tune 93.55 (Point-MAE+GM3D)",
+              cli("finetune", "--config", f"{P}/finetune_modelnet.yaml",
+                  "--pretrained", ckpt("gm3d_pretrain"),
+                  "--output_dir", odir("ft_mn40")),
+              requires=("modelnet40",), deps=("gm3d_pretrain",),
+              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              expect={"val_acc": 93.55}),
+        Stage("vote_mn40",
+              "ModelNet40 vote 94.16 (best-of-299, tools/runner_finetune.py:391-397)",
+              cli("evaluate", "--config", f"{P}/finetune_modelnet.yaml",
+                  "--ckpt", ckpt("ft_mn40"), "--vote", "--vote_repeats", "299",
+                  "--output_dir", odir("vote_mn40")),
+              requires=("modelnet40",), deps=("ft_mn40",), resume=False,
+              metrics={"vote_acc": ("regex", r"\[TEST_VOTE\] acc = ([0-9.]+)")},
+              expect={"vote_acc": 94.16}),
+        Stage("ft_scan_hardest",
+              "ScanObjectNN PB-T50-RS 88.89 (Point-MAE+GM3D)",
+              cli("finetune", "--config", f"{P}/config_finetune_scan_hardest.yaml",
+                  "--pretrained", ckpt("gm3d_pretrain"),
+                  "--output_dir", odir("ft_scan_hardest")),
+              requires=("scanobjectnn_main",), deps=("gm3d_pretrain",),
+              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              expect={"val_acc": 88.89}),
+        Stage("ft_scan_objbg",
+              "ScanObjectNN OBJ-BG 93.45 (Point-MAE+GM3D)",
+              cli("finetune", "--config", f"{P}/config_finetune_scan_objbg.yaml",
+                  "--pretrained", ckpt("gm3d_pretrain"),
+                  "--output_dir", odir("ft_scan_objbg")),
+              requires=("scanobjectnn_main",), deps=("gm3d_pretrain",),
+              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              expect={"val_acc": 93.45}),
+        Stage("ft_scan_objonly",
+              "ScanObjectNN OBJ-ONLY 90.36 (Point-MAE+GM3D)",
+              cli("finetune", "--config", f"{P}/config_finetune_scan_objonly.yaml",
+                  "--pretrained", ckpt("gm3d_pretrain"),
+                  "--output_dir", odir("ft_scan_objonly")),
+              requires=("scanobjectnn_nobg",), deps=("gm3d_pretrain",),
+              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              expect={"val_acc": 90.36}),
+        Stage("seg",
+              "ShapeNetPart seg mIoU_C 84.49 / mIoU_I 86.04 (Point-MAE+GM3D)",
+              cli("finetune_seg", "--config", f"{P}/seg_shapenetpart.yaml",
+                  "--pretrained", ckpt("gm3d_pretrain"),
+                  "--output_dir", odir("seg")),
+              requires=("shapenetpart",), deps=("gm3d_pretrain",),
+              metrics={"class_miou": ("jsonl_max", "class_miou"),
+                       "instance_miou": ("jsonl_max", "instance_miou")},
+              expect={"class_miou": 84.49, "instance_miou": 86.04}),
+        Stage("fewshot_gen",
+              "prerequisite: generate ModelNetFewshot folds when absent",
+              [], requires=("modelnet40",), pyfn=_gen_fewshot_folds),
+    ]
+    fewshot_targets = {(5, 10): 97.0, (5, 20): 98.3, (10, 10): 93.1, (10, 20): 95.2}
+    for (way, shot), target in fewshot_targets.items():
+        stages.append(Stage(
+            f"fewshot_{way}w{shot}s",
+            f"ModelNet40 few-shot {way}-way {shot}-shot {target} (Point-MAE+GM3D)",
+            cli("fewshot", "--config", f"{P}/fewshot.yaml",
+                "--way", str(way), "--shot", str(shot), "--folds", "10",
+                "--pretrained", ckpt("gm3d_pretrain"),
+                "--output_dir", odir(f"fewshot_{way}w{shot}s")),
+            requires=("modelnet_fewshot",), deps=("gm3d_pretrain", "fewshot_gen"),
+            resume=False,
+            metrics={"mean_acc": ("jsonl_last", "mean")},
+            expect={"mean_acc": target}))
+    stages += [
+        # ---- Point-M2AE family ------------------------------------------
+        Stage("m2ae_pretrain",
+              "ModelNet40 linear SVM 93.15 (Point-M2AE+GM3D)",
+              cli("pretrain", "--config", f"{M}/config_Point_M2AE.yaml",
+                  "--model_family", "m2ae_gm3d",
+                  "--output_dir", odir("m2ae_pretrain")),
+              requires=("shapenet55", "modelnet40"),
+              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc")},
+              expect={"val_svm_acc": 93.15}),
+        Stage("m2ae_ft_mn40",
+              "ModelNet40 fine-tune 92.90 (Point-M2AE+GM3D)",
+              cli("finetune", "--config", f"{M}/finetune_modelnet_PointM2AE.yaml",
+                  "--pretrained", ckpt("m2ae_pretrain"),
+                  "--output_dir", odir("m2ae_ft_mn40")),
+              requires=("modelnet40",), deps=("m2ae_pretrain",),
+              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              expect={"val_acc": 92.90}),
+        Stage("m2ae_vote_mn40",
+              "ModelNet40 vote 93.03 (Point-M2AE+GM3D)",
+              cli("evaluate", "--config", f"{M}/finetune_modelnet_PointM2AE.yaml",
+                  "--ckpt", ckpt("m2ae_ft_mn40"), "--vote",
+                  "--vote_repeats", "299",
+                  "--output_dir", odir("m2ae_vote_mn40")),
+              requires=("modelnet40",), deps=("m2ae_ft_mn40",), resume=False,
+              metrics={"vote_acc": ("regex", r"\[TEST_VOTE\] acc = ([0-9.]+)")},
+              expect={"vote_acc": 93.03}),
+        Stage("m2ae_ft_scan_hardest",
+              "ScanObjectNN PB-T50-RS 87.75 (Point-M2AE+GM3D)",
+              cli("finetune", "--config",
+                  f"{M}/config_finetune_scan_hardest_PointM2AE.yaml",
+                  "--pretrained", ckpt("m2ae_pretrain"),
+                  "--output_dir", odir("m2ae_ft_scan_hardest")),
+              requires=("scanobjectnn_main",), deps=("m2ae_pretrain",),
+              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              expect={"val_acc": 87.75}),
+        Stage("m2ae_ft_scan_objbg",
+              "ScanObjectNN OBJ-BG 94.14 (Point-M2AE+GM3D)",
+              cli("finetune", "--config",
+                  f"{M}/config_finetune_scan_objbg_PointM2AE.yaml",
+                  "--pretrained", ckpt("m2ae_pretrain"),
+                  "--output_dir", odir("m2ae_ft_scan_objbg")),
+              requires=("scanobjectnn_main",), deps=("m2ae_pretrain",),
+              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              expect={"val_acc": 94.14}),
+        Stage("m2ae_ft_scan_objonly",
+              "ScanObjectNN OBJ-ONLY 91.04 (Point-M2AE+GM3D)",
+              cli("finetune", "--config",
+                  f"{M}/config_finetune_scan_objonly_PointM2AE.yaml",
+                  "--pretrained", ckpt("m2ae_pretrain"),
+                  "--output_dir", odir("m2ae_ft_scan_objonly")),
+              requires=("scanobjectnn_nobg",), deps=("m2ae_pretrain",),
+              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              expect={"val_acc": 91.04}),
+        Stage("m2ae_seg",
+              "ShapeNetPart seg mIoU_C 84.91 / mIoU_I 86.52 (Point-M2AE+GM3D)",
+              cli("finetune_seg", "--config", f"{M}/seg_shapenetpart_PointM2AE.yaml",
+                  "--pretrained", ckpt("m2ae_pretrain"),
+                  "--output_dir", odir("m2ae_seg")),
+              requires=("shapenetpart",), deps=("m2ae_pretrain",),
+              metrics={"class_miou": ("jsonl_max", "class_miou"),
+                       "instance_miou": ("jsonl_max", "instance_miou")},
+              expect={"class_miou": 84.91, "instance_miou": 86.52}),
+    ]
+    return stages
+
+
+# --------------------------------------------------------------------------
+# execution
+
+class StageError(RuntimeError):
+    pass
+
+
+def preflight(stages: Sequence[Stage], data_root: str) -> None:
+    """Check every required dataset with PRECISE per-dataset error text.
+
+    The fewshot folds are exempt when ModelNet40 is present (the driver
+    generates them)."""
+    missing: List[str] = []
+    generatable = {"modelnet_fewshot"}
+    needed = {key for s in stages for key in s.requires}
+    for key in sorted(needed):
+        req = DATASET_REQS[key]
+        absent = [p for p in req.paths
+                  if not os.path.exists(os.path.join(data_root, p))]
+        if not absent:
+            continue
+        if key in generatable and not [
+            p for p in DATASET_REQS["modelnet40"].paths
+            if not os.path.exists(os.path.join(data_root, p))
+        ]:
+            continue  # will be generated from ModelNet40
+        missing.append(
+            f"dataset '{key}' missing under {data_root}:\n"
+            + "".join(f"    absent: {os.path.join(data_root, p)}\n" for p in absent)
+            + f"    {req.hint}"
+        )
+    if missing:
+        raise StageError(
+            "preflight failed — the following datasets must mount first "
+            "(paths are the reference DATASET.md layout):\n" + "\n".join(missing)
+        )
+
+
+def extract_metric(kind: str, spec: str, stage_dir: str, stdout_path: str) -> float:
+    """Pull one metric out of a finished stage; values normalise to PERCENT."""
+
+    def to_pct(v: float) -> float:
+        return v * 100.0 if v <= 1.0 else v
+
+    if kind in ("jsonl_max", "jsonl_last"):
+        path = os.path.join(stage_dir, "log.txt")
+        vals = []
+        with open(path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if spec in row:
+                    vals.append(float(row[spec]))
+        if not vals:
+            raise StageError(f"metric {spec!r} never appeared in {path}")
+        return to_pct(max(vals) if kind == "jsonl_max" else vals[-1])
+    if kind == "regex":
+        with open(stdout_path) as f:
+            hits = re.findall(spec, f.read())
+        if not hits:
+            raise StageError(f"pattern {spec!r} not found in {stdout_path}")
+        return to_pct(float(hits[-1]))
+    raise StageError(f"unknown metric kind {kind!r}")
+
+
+def exec_stage(stage: Stage, args: argparse.Namespace) -> None:
+    """Default runner: launch the CLI as a subprocess from the repo root."""
+    if stage.pyfn is not None:
+        stage.pyfn(args)
+        return
+    stage_dir = os.path.join(args.out, stage.name)
+    os.makedirs(stage_dir, exist_ok=True)
+    argv = [sys.executable] + list(stage.argv)
+    if stage.resume and os.path.exists(os.path.join(stage_dir, "ckpt")):
+        argv.append("--resume")
+    log_path = os.path.join(stage_dir, "driver_stdout.log")
+    with open(log_path, "a") as log:
+        proc = subprocess.run(argv, cwd=REPO, stdout=log,
+                              stderr=subprocess.STDOUT)
+    if proc.returncode != 0:
+        raise StageError(
+            f"stage {stage.name!r} exited {proc.returncode} — see {log_path}")
+
+
+def run(stages: Sequence[Stage], args: argparse.Namespace,
+        runner: Callable[[Stage, argparse.Namespace], None] = exec_stage,
+        report: Callable[[str], None] = print) -> Dict[str, Dict[str, float]]:
+    """Execute the plan in order; returns {stage: {metric: value}}.
+
+    ``runner`` is injectable for the orchestration tests."""
+    results: Dict[str, Dict[str, float]] = {}
+    failures: List[str] = []
+    for stage in stages:
+        stage_dir = os.path.join(args.out, stage.name)
+        marker = os.path.join(stage_dir, ".reproduce_done.json")
+        if os.path.exists(marker) and not args.force:
+            with open(marker) as f:
+                results[stage.name] = json.load(f)
+            report(f"[skip] {stage.name}: already done {results[stage.name]}")
+            continue
+        for dep in stage.deps:
+            if dep not in results and not os.path.exists(
+                os.path.join(args.out, dep, ".reproduce_done.json")
+            ):
+                raise StageError(
+                    f"stage {stage.name!r} needs {dep!r} first (run it, or "
+                    f"pass --stages including it)")
+        report(f"[run ] {stage.name}: {stage.row}")
+        runner(stage, args)
+        got: Dict[str, float] = {}
+        for field, (kind, spec) in stage.metrics.items():
+            got[field] = extract_metric(
+                kind, spec, stage_dir,
+                os.path.join(stage_dir, "driver_stdout.log"))
+        results[stage.name] = got
+        row_fail = []
+        for field, target in stage.expect.items():
+            if got[field] < target - args.tolerance:
+                row_fail.append(
+                    f"{stage.name}.{field} = {got[field]:.2f} < target "
+                    f"{target:.2f} - tol {args.tolerance:.2f}")
+        if row_fail:
+            failures.extend(row_fail)
+            report(f"[FAIL] {stage.name}: " + "; ".join(row_fail))
+        else:
+            os.makedirs(stage_dir, exist_ok=True)
+            with open(marker, "w") as f:
+                json.dump(got, f)
+            report(f"[ ok ] {stage.name}: {got}")
+    if failures:
+        raise StageError("BASELINE rows below target:\n" + "\n".join(failures))
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--out", default="./reproduce_baseline")
+    p.add_argument("--data_root", default=os.path.join(REPO, "data"))
+    p.add_argument("--stages", default=None,
+                   help="comma-separated subset (default: all, in order)")
+    p.add_argument("--tolerance", type=float, default=0.5,
+                   help="accepted shortfall in accuracy points per row "
+                        "(published numbers are best-of-run on different "
+                        "hardware/seeds)")
+    p.add_argument("--dry_run", action="store_true",
+                   help="print the plan (stage order, commands, targets) and exit")
+    p.add_argument("--force", action="store_true",
+                   help="re-run stages that already have a completion marker")
+    p.add_argument("--skip_preflight", action="store_true")
+    args = p.parse_args(argv)
+    args.out = os.path.abspath(args.out)
+
+    stages = build_plan(args.out)
+    if args.stages:
+        want = args.stages.split(",")
+        unknown = set(want) - {s.name for s in stages}
+        if unknown:
+            p.error(f"unknown stages: {sorted(unknown)}; valid: "
+                    f"{[s.name for s in stages]}")
+        stages = [s for s in stages if s.name in want]
+
+    if args.dry_run:
+        for s in stages:
+            exp = " ".join(f"{k}>={v}" for k, v in s.expect.items()) or "-"
+            cmd = "python " + " ".join(s.argv) if s.argv else f"<pyfn {s.pyfn.__name__}>"
+            print(f"{s.name:24s} requires={','.join(s.requires) or '-':40s} "
+                  f"expect[{exp}]\n    {cmd}")
+        return 0
+
+    # configs reference ./data relative to the repo root; link a foreign
+    # data_root in place so the same YAMLs work unchanged
+    default_root = os.path.join(REPO, "data")
+    if os.path.abspath(args.data_root) != default_root and not os.path.exists(default_root):
+        os.symlink(os.path.abspath(args.data_root), default_root)
+
+    if not args.skip_preflight:
+        preflight(stages, args.data_root)
+    os.makedirs(args.out, exist_ok=True)
+    results = run(stages, args)
+    print(json.dumps({"ok": True, "results": results}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,6 +1,13 @@
-"""Shared training routine for the multi-host test: identical code runs in the
-single-process 8-device pytest process and in each of the 2 gloo workers, so
-the loss trajectories are directly comparable."""
+"""Shared training routines for the multi-host tests: identical code runs in
+the single-process 8-device pytest process and in each of the 2 gloo workers,
+so the loss trajectories / BN statistics / probe features are directly
+comparable.
+
+Round 4 extends the original pretrain routine with the other training
+families (finetune incl. BatchNorm running-stat agreement, segmentation) and
+the real SVM-probe feature-extraction path feeding the cross-process gather
+(``utils/dist_utils.py:50-54`` / ``main_pretrain.py:685-689`` equivalent) —
+previously only pretrain ran across a real process boundary."""
 
 from __future__ import annotations
 

@@ -475,6 +475,23 @@ def load_usual_student_module():
     return _import_from_reference("models_mae_learn_loss_Classifier_SVM")
 
 
+def load_older_student_module():
+    """The OLDER GM3D student variant (``models_mae_learn_loss.py:30-846``) —
+    the model ``main_pretrain_multi_gpu.py:166-413`` actually builds:
+    encoder-inline design, shared encoder/decoder pos embed, single shared
+    mask token for both decoders."""
+    return _import_from_reference("models_mae_learn_loss")
+
+
+def load_older_engine_module():
+    """``engine_pretrain.py`` (``train_one_epoch`` :38-271) — the multi-GPU
+    main's engine: Chamfer-only loss path by default
+    (``learn_feature_loss='none'``), hardcoded 13.889*MSE(=0) + 1*CD mix at
+    every epoch (the ``epoch < -1`` branch is dead, :144-153); the scaler's
+    default clip-5 applies (:196 omits ``clip_grad``; ``util/misc.py:256``)."""
+    return _import_from_reference("engine_pretrain")
+
+
 def load_teacher_module():
     """``models.Point_MAE`` (frozen distillation teacher / legacy pretrain)."""
     return _import_from_reference("models.Point_MAE")

@@ -42,6 +42,7 @@ import jax.numpy as jnp  # noqa: E402
 import reference_shims  # noqa: E402
 
 from gm3d_tpu.ckpt.torch_import import (  # noqa: E402
+    GM3D_MULTIGPU_MAP,
     GM3D_STUDENT_MAP,
     POINT_MAE_MAP,
     export_torch_checkpoint,
@@ -130,42 +131,75 @@ def _make_batches(seed, steps_per_epoch=STEPS_PER_EPOCH):
 def _build_torch_models(mode="feature"):
     if mode == "feature":
         ref_mod = reference_shims.load_student_module()
+    elif mode == "multi_gpu":
+        # the OLDER variant (models_mae_learn_loss.py:30-846): encoder-inline,
+        # shared encoder/decoder pos embed, single shared mask token
+        ref_mod = reference_shims.load_older_student_module()
     else:  # the usual-mode twin (coordinate pix_pred, depth-4 lp decoder)
         ref_mod = reference_shims.load_usual_student_module()
-    teacher_mod = reference_shims.load_teacher_module()
 
-    model = GM3DStudent(mode=mode, drop_path_rate=0.0)
+    if mode == "multi_gpu":
+        model = GM3DStudent(mode="usual", shared_pos_embed=True, drop_path_rate=0.0)
+    else:
+        model = GM3DStudent(mode=mode, drop_path_rate=0.0)
     pts0 = jnp.zeros((B, N, 3), jnp.float32)
     mask0 = jnp.zeros((B, G), bool).at[:, :NUM_MASK].set(True)
     svars = model.init(jax.random.PRNGKey(0), pts0, mask0, NUM_MASK)
     svars = {k: _randomize(v, "traj/" + k) for k, v in svars.items()}
 
-    teacher = PointMAE(drop_path_rate=0.0)
-    tvars = teacher.init(jax.random.PRNGKey(1), pts0, mask0, 0)
-    tvars = {k: _randomize(v, "trajT/" + k) for k, v in tvars.items()}
-
     torch.manual_seed(0)
     ref_student = ref_mod.MaskedAutoencoderViT()
-    sd = export_torch_checkpoint(svars, GM3D_STUDENT_MAP)
-    res = ref_student.load_state_dict(
-        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
-        strict=False,
-    )
-    assert set(res.missing_keys) <= {"norm_p.weight", "norm_p.bias"}
-    assert res.unexpected_keys == []
+    if mode == "multi_gpu":
+        sd = export_torch_checkpoint(svars, GM3D_MULTIGPU_MAP)
+        # the older torch model has no separate loss-pred mask token; our
+        # (frozen, never-used) param must simply not ship
+        sd.pop("mask_token_loss_pred")
+        res = ref_student.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            strict=False,
+        )
+        assert res.unexpected_keys == []
+        # every missing key is an image-domain leftover or an unused extra
+        # head — i.e. params with no gradient path in the point forward
+        dead_prefixes = (
+            "patch_embed.", "decoder_embed.", "decoder_pos_embed",
+            "decoder_blocks.", "decoder_norm.", "decoder_pred.",
+            "decoder_blocks_losspred.", "decoder_norm_losspred.",
+            "decoder_pred_losspred.", "increase_dim.", "increase_dim_original.",
+            "predict_chamfer_and_MSE.",
+        )
+        assert all(k.startswith(dead_prefixes) for k in res.missing_keys), \
+            [k for k in res.missing_keys if not k.startswith(dead_prefixes)]
+    else:
+        sd = export_torch_checkpoint(svars, GM3D_STUDENT_MAP)
+        res = ref_student.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            strict=False,
+        )
+        assert set(res.missing_keys) <= {"norm_p.weight", "norm_p.bias"}
+        assert res.unexpected_keys == []
 
-    ref_teacher = teacher_mod.Point_MAE(reference_shims.make_teacher_config()).eval()
-    sd_t = export_torch_checkpoint(tvars, POINT_MAE_MAP)
-    res = ref_teacher.load_state_dict(
-        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_t.items()},
-        strict=False,
-    )
-    assert res.missing_keys == [] and res.unexpected_keys == []
-    for p in ref_teacher.parameters():
-        p.requires_grad_(False)
+    if mode == "multi_gpu":
+        # engine_pretrain's default path has no teacher (learn_feature_loss
+        # 'none', main_pretrain_multi_gpu.py default)
+        teacher, tvars, ref_teacher = None, None, None
+    else:
+        teacher_mod = reference_shims.load_teacher_module()
+        teacher = PointMAE(drop_path_rate=0.0)
+        tvars = teacher.init(jax.random.PRNGKey(1), pts0, mask0, 0)
+        tvars = {k: _randomize(v, "trajT/" + k) for k, v in tvars.items()}
+        ref_teacher = teacher_mod.Point_MAE(reference_shims.make_teacher_config()).eval()
+        sd_t = export_torch_checkpoint(tvars, POINT_MAE_MAP)
+        res = ref_teacher.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_t.items()},
+            strict=False,
+        )
+        assert res.missing_keys == [] and res.unexpected_keys == []
+        for p in ref_teacher.parameters():
+            p.requires_grad_(False)
+        _zero_droppath(ref_teacher)
 
     _zero_droppath(ref_student)
-    _zero_droppath(ref_teacher)
     return ref_student, ref_teacher, model, teacher, svars, tvars
 
 
@@ -210,6 +244,7 @@ def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epo
                    accum=1):
     separated = variant == "separated"
     shared_tokens = variant == "shared_tokens"
+    multi_gpu = variant == "multi_gpu"
     import timm.utils as timm_utils  # the shim
     from timm.optim import optim_factory
 
@@ -266,7 +301,7 @@ def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epo
         epochs=EPOCHS,
         # usual mode: Chamfer-only path, no teacher (engine else-branch,
         # engine...:476-483 forward_loss(pred, neighborhood, mask))
-        learn_feature_loss="none" if variant == "usual" else "dino",
+        learn_feature_loss="none" if variant in ("usual", "multi_gpu") else "dino",
         relative=True,
         mask_ratio=MASK_RATIO,
         lr=LR,
@@ -276,10 +311,20 @@ def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epo
     )
     cls_loader = [(0, 0, (torch.zeros(2, 8, 3), torch.zeros(2)))] * len(batches[0])
 
+    snap_map = GM3D_MULTIGPU_MAP if multi_gpu else GM3D_STUDENT_MAP
     stats, snapshots = [], []
     for epoch in range(EPOCHS):
         loader = [torch.from_numpy(b) for b in batches[epoch]]
-        if not separated:
+        if multi_gpu:
+            # engine_pretrain.py:38 — leaner signature (no cls loader, no
+            # loss_multiply_by/after_epoch args: the 13.889*MSE + 1*CD mix is
+            # hardcoded, :144-153)
+            st = engine.train_one_epoch(
+                ref_student, loader, optimizer, "cpu", epoch, loss_scaler,
+                log_writer=None, args=args, model_ema=model_ema,
+                model_teacher=None, scheduler=None, optimizer_learn_loss=None,
+            )
+        elif not separated:
             st = engine.train_one_epoch(
                 ref_student, None, loader, cls_loader, None, optimizer, None,
                 "cpu", epoch, loss_scaler, log_writer=None, args=args,
@@ -302,8 +347,8 @@ def _run_reference(engine, ref_student, ref_teacher, batches, variant, after_epo
             )
         stats.append(st)
         snapshots.append({
-            "student": _torch_state_to_tree(ref_student, GM3D_STUDENT_MAP),
-            "ema": _torch_state_to_tree(model_ema.ema, GM3D_STUDENT_MAP),
+            "student": _torch_state_to_tree(ref_student, snap_map),
+            "ema": _torch_state_to_tree(model_ema.ema, snap_map),
         })
     return model_ema, stats, step_losses, snapshots
 
@@ -319,6 +364,14 @@ def _run_ours(model, teacher, svars, tvars, batches, variant, after_epoch,
         tx = build_gm3d_separated_optimizer(
             svars["params"], sched, WD, loss_pred_learning_rate=LR
         )
+    elif variant == "multi_gpu":
+        # engine_pretrain: coord head trained (usual-mode Chamfer path); the
+        # scaler's DEFAULT clip-5 applies (engine calls it without clip_grad,
+        # util/misc.py:256 defaults 5.); mask_token_loss_pred does not exist
+        # in the older torch model, so it must not train (nor weight-decay)
+        tx = build_gm3d_shared_optimizer(
+            svars["params"], sched, WD,
+            frozen_modules=("mask_token_loss_pred",))
     elif variant == "usual":
         # usual mode trains the coord head (Chamfer flows through it)
         tx = build_gm3d_shared_optimizer(svars["params"], sched, WD,
@@ -328,17 +381,21 @@ def _run_ours(model, teacher, svars, tvars, batches, variant, after_epoch,
         tx = build_gm3d_shared_optimizer(svars["params"], sched, WD,
                                          accum_steps=accum)
     state = create_train_state(svars, tx, with_ema=True)
+    no_teacher = variant in ("usual", "multi_gpu")
     step = make_gm3d_train_step(
-        model, None if variant == "usual" else teacher, tx, MASK_RATIO,
-        shared_learnable_tokens=variant == "shared_tokens",
+        model, None if no_teacher else teacher, tx, MASK_RATIO,
+        shared_learnable_tokens=variant in ("shared_tokens", "multi_gpu"),
         relative=True, augment=False,
-        distill_mode="none" if variant == "usual" else "dino",
+        distill_mode="none" if no_teacher else "dino",
         shared_opt=not separated, use_fused_embed=False, accum_steps=accum,
     )
+    # engine_pretrain hardcodes 13.889*MSE(=0) + 1*CD at EVERY epoch
+    # (the ``epoch < -1`` branch is dead, engine_pretrain.py:144-153)
+    multipliers = (13.889, 1.0) if variant == "multi_gpu" else MULTIPLIERS
     losses_recon, losses_learn, losses_total, snapshots = [], [], [], []
     rng = jax.random.PRNGKey(42)
     for epoch in range(EPOCHS):
-        w_mse, w_cd = loss_weights(epoch, after_epoch, MULTIPLIERS)
+        w_mse, w_cd = loss_weights(epoch, after_epoch, multipliers)
         scalars = {
             "keep_ratio": jnp.asarray(1.0, jnp.float32),  # pure top-k mask
             "ema_decay": jnp.asarray(ema_decay_schedule(epoch), jnp.float32),
@@ -411,10 +468,23 @@ def _torch_state_to_tree(torch_module, mapping):
     return mapped
 
 
-@pytest.mark.parametrize("variant", ["shared", "separated", "usual", "shared_tokens"])
+@pytest.mark.parametrize(
+    "variant", ["shared", "separated", "usual", "shared_tokens", "multi_gpu"])
 def test_training_trajectory_matches_reference(variant):
     """12 optimizer steps (4 epochs x 3) through the REAL reference engine vs
     our one-jit train step.
+
+    ``multi_gpu`` pins the LAST reference training stack with extant code:
+    ``engine_pretrain.py:38-271`` driving the OLDER student variant
+    (``models_mae_learn_loss.py:30-846``) — the pair
+    ``main_pretrain_multi_gpu.py:166-413`` runs. Its deltas vs the twin are
+    all reproduced: shared encoder/decoder pos embed
+    (``GM3DStudent.shared_pos_embed``), single shared mask token
+    (``shared_learnable_tokens``; no ``mask_token_loss_pred`` — frozen here),
+    usual-mode coordinate reconstruction, and hardcoded 13.889*MSE(=0)+1*CD
+    weights at every epoch (the scaler's default clip-5 still applies:
+    ``engine_pretrain.py:196`` omits ``clip_grad``, ``util/misc.py:256``
+    defaults it to 5).
 
     fp32 rounding amplifies chaotically through the Adam + x1000-loss-weight
     feedback loop (measured ~x10/step growth from 1e-7 at step 0), so the
@@ -438,13 +508,22 @@ def test_training_trajectory_matches_reference(variant):
     (``engine...:376``), per-subset clip-5, and the "MLP IN Model" loss
     (student-coord Chamfer inside the grad path, ``engine...:462-469``).
     """
-    engine = reference_shims.load_engine_module()
+    if variant == "multi_gpu":
+        engine = reference_shims.load_older_engine_module()
+    else:
+        engine = reference_shims.load_engine_module()
     separated = variant == "separated"
+    mode = variant if variant in ("usual", "multi_gpu") else "feature"
     ref_student, ref_teacher, model, teacher, svars, tvars = _build_torch_models(
-        mode="usual" if variant == "usual" else "feature"
+        mode=mode
     )
     batches = _make_batches(7)
-    after_epoch = AFTER_EPOCH if not separated else EPOCHS + 10
+    if separated:
+        after_epoch = EPOCHS + 10
+    elif variant == "multi_gpu":
+        after_epoch = 0  # hardcoded weights active from epoch 0
+    else:
+        after_epoch = AFTER_EPOCH
 
     model_ema, stats, t_steps, t_snaps = _run_reference(
         engine, ref_student, ref_teacher, batches, variant, after_epoch
