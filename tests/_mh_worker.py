@@ -25,7 +25,7 @@ jax.distributed.initialize(
 
 import numpy as np  # noqa: E402
 
-from mh_common import run_training  # noqa: E402  (tests dir on sys.path)
+from mh_common import probe_features, run_finetune, run_seg, run_training  # noqa: E402
 
 from gm3d_tpu.parallel.multihost import gather_features, is_main_process  # noqa: E402
 
@@ -35,6 +35,17 @@ losses = run_training()
 feats = np.full((4, 8), float(pid + 1), np.float32)
 labels = np.full((4,), pid, np.int64)
 gf, gl = gather_features(feats, labels)
+
+# the other training families across the same process boundary (round 4)
+ft_losses, ft_bn = run_finetune()
+seg_losses, seg_bn = run_seg()
+
+# the REAL probe feature path: this process extracts features for ITS shard
+# of the global labelled set, then the cross-process gather reassembles the
+# full set (main_pretrain.py:685-689 / dist_utils.gather_tensor semantics)
+rows = slice(pid * 4, (pid + 1) * 4)
+local_feats, local_labels = probe_features(rows)
+probe_f, probe_l = gather_features(local_feats, local_labels)
 
 print(
     "RESULT "
@@ -48,6 +59,12 @@ print(
             "gather_rows": int(gf.shape[0]),
             "gather_sum": float(gf.sum()),
             "labels": np.asarray(gl).tolist(),
+            "ft_losses": ft_losses,
+            "ft_bn": ft_bn,
+            "seg_losses": seg_losses,
+            "seg_bn": seg_bn,
+            "probe_feats": np.asarray(probe_f, np.float64).tolist(),
+            "probe_labels": np.asarray(probe_l).tolist(),
         }
     ),
     flush=True,
