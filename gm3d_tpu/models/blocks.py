@@ -140,6 +140,60 @@ class Mlp(nn.Module):
         return x
 
 
+# Trace-time switch for the fused-attention Pallas route (round 4,
+# ops/fused_attention.py — measured 1.22-1.23x vs XLA at the GM3D shapes,
+# docs/BENCHMARKS.md): entered around GRAD-FREE applies only (EMA forward,
+# frozen-teacher encode/replay) because the kernel has no VJP — a gradient
+# through it fails loudly at trace time, never silently. Same trace-time
+# global pattern as ``bn_replica_tiling``.
+_FUSED_ATTENTION: bool = False
+
+
+@contextlib.contextmanager
+def fused_attention_scope(enabled: bool = True):
+    """Route mask-free attention through the fused Pallas kernel inside this
+    scope (TPU only; grad-free applies only — the kernel is forward-only)."""
+    global _FUSED_ATTENTION
+    prev = _FUSED_ATTENTION
+    _FUSED_ATTENTION = bool(enabled)
+    try:
+        yield
+    finally:
+        _FUSED_ATTENTION = prev
+
+
+def _fused_available() -> bool:
+    """Patchable in tests; real condition is the TPU backend."""
+    return jax.default_backend() == "tpu"
+
+
+def _fused_block_batch(batch: int, seq: int):
+    """Largest clouds-per-grid-step that divides the batch and keeps the
+    folded score matrix in VMEM; None disables the route."""
+    for bt in (8, 4, 2, 1):
+        if batch % bt == 0 and bt * seq <= 1024:
+            return bt
+    return None
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only twin of ``nn.Dense``: declares the SAME {kernel, bias}
+    tree at the same scope path, so the fused-attention route can read the
+    weights without emitting the unfused matmul. Inits are identical to
+    ``_dense`` (trunc-normal 0.02 kernel, zero bias), so a model initialised
+    through either route has the same parameters."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", KINIT, (in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (``models/Point_MAE.py:101-125``).
 
@@ -156,6 +210,23 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True, attn_mask=None):
         batch, seq, _ = x.shape
+        bt = _fused_block_batch(batch, seq)
+        if (_FUSED_ATTENTION and attn_mask is None and deterministic
+                and bt is not None and self.dim % self.num_heads == 0
+                and _fused_available()):
+            from gm3d_tpu.ops.fused_attention import fused_attention
+
+            wqkv, bqkv = _DenseParams(self.dim * 3, self.qkv_bias, name="qkv")(self.dim)
+            wproj, bproj = _DenseParams(self.dim, True, name="proj")(self.dim)
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * self.dim,), wqkv.dtype)
+            # cast weights to the compute dtype first, matching nn.Dense's
+            # bf16 weight rounding; the kernel accumulates in fp32 either way
+            return fused_attention(
+                x, wqkv.astype(self.dtype), bqkv.astype(self.dtype),
+                wproj.astype(self.dtype), bproj.astype(self.dtype),
+                self.num_heads, bt,
+            )
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
         qkv = _dense(self.dim * 3, self.dtype, "qkv", use_bias=self.qkv_bias)(x)

@@ -98,6 +98,7 @@ def gm3d_forward_distill(
     grouped=None,
     detach_loss_pred: bool = False,
     teacher_tokens=None,
+    fused_teacher_attention: bool = False,
 ):
     """Student forward + frozen-teacher complete-to-partial replay.
 
@@ -106,6 +107,10 @@ def gm3d_forward_distill(
       teacher encodes the FULL cloud; its decoder replays (a) its own
       features at all centers -> point_target and (b) the student's predicted
       masked features at the masked centers -> point_reconstructed (no-grad).
+
+    ``fused_teacher_attention`` routes the teacher's (entirely grad-free)
+    attention through the fused Pallas kernel — TPU train-step fast path
+    (``models/blocks.py:fused_attention_scope``).
     """
     if mutable:
         outs, updates = student.apply(
@@ -134,23 +139,26 @@ def gm3d_forward_distill(
     teacher_grouped = grouped if (
         teacher.num_group == student.num_group and teacher.group_size == student.group_size
     ) else None
-    teacher_feats = teacher.apply(
-        teacher_vars, samples, method=teacher.encode_features, grouped=teacher_grouped,
-        tokens=teacher_tokens if teacher_grouped is not None else None,
-    )  # (B, G, D)
-    centers = outs["center"]
-    point_target = teacher.apply(
-        teacher_vars, teacher_feats, centers, method=teacher.decode_replay
-    )  # (B, G, S, 3)
+    from gm3d_tpu.models.blocks import fused_attention_scope
 
-    pred_masked = outs["pix_pred"][:, -num_mask:] if num_mask else outs["pix_pred"]
-    centers_masked = take_groups(centers, outs["mask_idx"])
-    point_reco = teacher.apply(
-        teacher_vars,
-        jax.lax.stop_gradient(pred_masked),
-        centers_masked,
-        method=teacher.decode_replay,
-    )  # (B, M, S, 3)
+    with fused_attention_scope(fused_teacher_attention):
+        teacher_feats = teacher.apply(
+            teacher_vars, samples, method=teacher.encode_features, grouped=teacher_grouped,
+            tokens=teacher_tokens if teacher_grouped is not None else None,
+        )  # (B, G, D)
+        centers = outs["center"]
+        point_target = teacher.apply(
+            teacher_vars, teacher_feats, centers, method=teacher.decode_replay
+        )  # (B, G, S, 3)
+
+        pred_masked = outs["pix_pred"][:, -num_mask:] if num_mask else outs["pix_pred"]
+        centers_masked = take_groups(centers, outs["mask_idx"])
+        point_reco = teacher.apply(
+            teacher_vars,
+            jax.lax.stop_gradient(pred_masked),
+            centers_masked,
+            method=teacher.decode_replay,
+        )  # (B, M, S, 3)
 
     return outs, updates, teacher_feats, point_target, point_reco, pred_masked
 
@@ -170,6 +178,7 @@ def make_gm3d_train_step(
     trim_ema: bool = True,
     remat_student: bool = False,
     quantize_ema: bool = False,
+    use_fused_attention: bool = True,
 ):
     """The GM3D core path (SURVEY.md §3.1) as one jit:
 
@@ -282,8 +291,16 @@ def make_gm3d_train_step(
         # loss_pred_only: the EMA pass exists to feed generate_mask (and, in
         # 'ema' mode, the encoder feature targets) — its recon decoder +
         # coord head are dead compute, skipped explicitly
+        # fused Pallas attention for the grad-free passes (EMA forward +
+        # frozen teacher): measured 1.22x vs XLA at these shapes on the real
+        # chip (docs/BENCHMARKS.md "Fused attention"); the route only engages
+        # on the TPU backend (models/blocks.py:_fused_available), so CPU
+        # parity tests always take the XLA path
+        from gm3d_tpu.models.blocks import fused_attention_scope
+
         zeros_mask = jnp.zeros((batch, student.num_group), bool)
-        with _ema_ctx():  # trace-time: int8 EMA matmuls when quantize_ema
+        # trace-time contexts: int8 EMA matmuls when quantize_ema; fused attn
+        with _ema_ctx(), fused_attention_scope(use_fused_attention):
             outs_ema = student.apply(
                 state.ema_variables(),
                 samples,
@@ -329,6 +346,7 @@ def make_gm3d_train_step(
                         grouped=grouped,
                         detach_loss_pred=detach_lp,
                         teacher_tokens=teacher_tokens,
+                        fused_teacher_attention=use_fused_attention,
                     )
                 )
                 loss_outs = losses.gm3d_feature_loss(
@@ -355,11 +373,12 @@ def make_gm3d_train_step(
                     teacher.num_group == student.num_group
                     and teacher.group_size == student.group_size
                 ) else None
-                teacher_feats = teacher.apply(
-                    teacher_params, samples, method=teacher.encode_features,
-                    grouped=teacher_grouped,
-                    tokens=teacher_tokens if teacher_grouped is not None else None,
-                )
+                with fused_attention_scope(use_fused_attention):
+                    teacher_feats = teacher.apply(
+                        teacher_params, samples, method=teacher.encode_features,
+                        grouped=teacher_grouped,
+                        tokens=teacher_tokens if teacher_grouped is not None else None,
+                    )
                 loss_outs = losses.gm3d_separated_loss(
                     outs["pix_pred"][:, -num_mask:],
                     jax.lax.stop_gradient(teacher_feats),

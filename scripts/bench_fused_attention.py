@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Fused-attention Pallas experiment vs the XLA baseline (round-4 verdict #5).
+
+Measures the GM3D-shape attention block (L=64 tokens, D=384, 6 heads,
+B=256) both ways INSIDE one jit — K chained iterations per dispatch so the
+~36 ms tunnel dispatch overhead (CLAUDE.md) cannot dominate — ending with a
+forced scalar host read. Run on the real chip:
+
+    python scripts/bench_fused_attention.py            # TPU (default backend)
+    GM3D_PLATFORM=cpu python scripts/bench_fused_attention.py --interpret
+
+Prints one JSON line per (impl, dtype); the verdict row lands in
+docs/BENCHMARKS.md "Fused attention experiment".
+"""
+
+import _bootstrap  # noqa: F401
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gm3d_tpu.ops.fused_attention import fused_attention, reference_attention
+
+B, L, D, H = 256, 64, 384, 6
+ITERS = 64          # chained iterations inside ONE jit
+DISPATCHES = 8
+WINDOWS = 3
+
+
+def build(impl, dtype, interpret):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), dtype)
+    w = dict(
+        wqkv=jnp.asarray(rng.standard_normal((D, 3 * D)) * 0.05, dtype),
+        bqkv=jnp.asarray(rng.standard_normal((3 * D,)) * 0.05, dtype),
+        wproj=jnp.asarray(rng.standard_normal((D, D)) * 0.05, dtype),
+        bproj=jnp.asarray(rng.standard_normal((D,)) * 0.05, dtype),
+    )
+
+    if impl == "fused":
+        fn = functools.partial(fused_attention, heads=H, block_batch=8,
+                               interpret=interpret)
+    else:
+        fn = functools.partial(reference_attention, heads=H)
+
+    @jax.jit
+    def many(x0):
+        def body(carry, _):
+            y = fn(carry, **w)
+            # chain with a tiny perturbation so iterations cannot collapse
+            return (carry + 0.001 * y).astype(dtype), ()
+
+        out, _ = jax.lax.scan(body, x0, None, length=ITERS)
+        return jnp.sum(out.astype(jnp.float32))  # scalar for the host read
+
+    return many, x
+
+
+def measure(impl, dtype_name, interpret):
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    many, x = build(impl, dtype, interpret)
+    s = float(np.asarray(many(x)))  # compile + warm
+    windows = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(DISPATCHES):
+            s = float(np.asarray(many(x)))  # forced host read each dispatch
+        windows.append(time.perf_counter() - t0)
+    per_call_us = min(windows) / (DISPATCHES * ITERS) * 1e6
+    print(json.dumps({
+        "impl": impl, "dtype": dtype_name,
+        "us_per_attention_call": round(per_call_us, 1),
+        "shape": [B, L, D, H], "iters": ITERS,
+        "windows_s": [round(w, 4) for w in windows],
+        "checksum": s,
+    }))
+    return per_call_us
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--interpret", action="store_true",
+                   help="CPU interpret mode (correctness only, not perf)")
+    args = p.parse_args()
+    results = {}
+    for dtype in ("f32", "bf16"):
+        for impl in ("xla", "fused"):
+            results[(impl, dtype)] = measure(impl, dtype, args.interpret)
+    for dtype in ("f32", "bf16"):
+        ratio = results[("xla", dtype)] / results[("fused", dtype)]
+        print(json.dumps({"dtype": dtype, "fused_speedup_vs_xla": round(ratio, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -259,3 +259,61 @@ class TestEmdAuction:
         b = jnp.asarray(rng.standard_normal((2, 8, 3)), jnp.float32)
         out = np.asarray(f(a, b))
         assert out.shape == (2,) and np.isfinite(out).all()
+
+
+class TestFusedAttention:
+    """Fused attention Pallas kernel (ops/fused_attention.py, the round-4
+    timeboxed experiment): interpret-mode output must match the XLA baseline
+    bit-for-bit at the GM3D shapes — identical math, identical weight layout."""
+
+    def test_matches_reference_math(self):
+        from gm3d_tpu.ops.fused_attention import fused_attention, reference_attention
+
+        rng = np.random.default_rng(0)
+        B, L, D, H = 16, 64, 384, 6
+        x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+        wqkv = jnp.asarray(rng.standard_normal((D, 3 * D)).astype(np.float32) * 0.05)
+        bqkv = jnp.asarray(rng.standard_normal((3 * D,)).astype(np.float32) * 0.05)
+        wproj = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.05)
+        bproj = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.05)
+        ref = reference_attention(x, wqkv, bqkv, wproj, bproj, H)
+        got = fused_attention(x, wqkv, bqkv, wproj, bproj, H, block_batch=8,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_attention_module_fused_route_matches_unfused(self, monkeypatch):
+        """The in-model fused route (blocks.Attention under
+        fused_attention_scope) must read the SAME params nn.Dense created and
+        reproduce the unfused output — pinning the (3, H, hd) weight-layout
+        contract between the module and the kernel."""
+        import functools
+
+        import gm3d_tpu.models.blocks as blocks
+        import gm3d_tpu.ops.fused_attention as fa
+        from gm3d_tpu.models.blocks import Attention, fused_attention_scope
+
+        attn = Attention(dim=96, num_heads=6)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((8, 16, 96)).astype(np.float32))
+        variables = attn.init(jax.random.key(0), x)
+        base = attn.apply(variables, x)
+
+        monkeypatch.setattr(blocks, "_fused_available", lambda: True)
+        monkeypatch.setattr(fa, "fused_attention",
+                            functools.partial(fa.fused_attention, interpret=True))
+        with fused_attention_scope():
+            fused = attn.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   rtol=2e-5, atol=2e-5)
+        # scope off -> bitwise the unfused path
+        with fused_attention_scope(False):
+            off = attn.apply(variables, x)
+        np.testing.assert_array_equal(np.asarray(off), np.asarray(base))
+        # an attn_mask must force the XLA path even inside the scope (the
+        # kernel has no mask support): M2AE local-radius attention is safe
+        mask = jnp.ones((8, 16, 16), bool)
+        with fused_attention_scope():
+            masked = attn.apply(variables, x, attn_mask=mask)
+        np.testing.assert_allclose(np.asarray(masked), np.asarray(base),
+                                   rtol=1e-6)
