@@ -211,10 +211,17 @@ class Attention(nn.Module):
     def __call__(self, x, deterministic: bool = True, attn_mask=None):
         batch, seq, _ = x.shape
         bt = _fused_block_batch(batch, seq)
-        if (_FUSED_ATTENTION and attn_mask is None and deterministic
+        # the fused kernel applies no attention/proj dropout: take the route
+        # only when dropout is inert (deterministic, or — as in every shipped
+        # config — the rates are 0). The trainable wrapper carries a Pallas
+        # backward kernel, so differentiated applies (student fwd+bwd) are
+        # served too, not just the grad-free EMA/teacher passes.
+        dropout_inert = deterministic or (
+            self.attn_drop == 0.0 and self.proj_drop == 0.0)
+        if (_FUSED_ATTENTION and attn_mask is None and dropout_inert
                 and bt is not None and self.dim % self.num_heads == 0
                 and _fused_available()):
-            from gm3d_tpu.ops.fused_attention import fused_attention
+            from gm3d_tpu.ops.fused_attention import fused_attention_trainable
 
             wqkv, bqkv = _DenseParams(self.dim * 3, self.qkv_bias, name="qkv")(self.dim)
             wproj, bproj = _DenseParams(self.dim, True, name="proj")(self.dim)
@@ -222,7 +229,7 @@ class Attention(nn.Module):
                 bqkv = jnp.zeros((3 * self.dim,), wqkv.dtype)
             # cast weights to the compute dtype first, matching nn.Dense's
             # bf16 weight rounding; the kernel accumulates in fp32 either way
-            return fused_attention(
+            return fused_attention_trainable(
                 x, wqkv.astype(self.dtype), bqkv.astype(self.dtype),
                 wproj.astype(self.dtype), bproj.astype(self.dtype),
                 self.num_heads, bt,

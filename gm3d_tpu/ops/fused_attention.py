@@ -83,12 +83,7 @@ def fused_attention(x, wqkv, bqkv, wproj, bproj, heads: int = 6,
     batch, length, dim = x.shape
     assert batch % block_batch == 0, (batch, block_batch)
     hd = dim // heads
-    w4 = wqkv.reshape(dim, 3, heads, hd)
-    wq = jnp.transpose(w4[:, 0], (1, 0, 2))   # (H, D, hd)
-    wk = jnp.transpose(w4[:, 1], (1, 0, 2))
-    wv = jnp.transpose(w4[:, 2], (1, 0, 2))
-    b4 = bqkv.reshape(3, heads, hd)
-    wp = wproj.reshape(heads, hd, dim)        # rows h*hd:(h+1)*hd per head
+    wq, wk, wv, b4, wp = _split_weights(wqkv, bqkv, wproj, heads)
 
     grid = (batch // block_batch,)
     head_spec = pl.BlockSpec((heads, dim, hd), lambda i: (0, 0, 0))
@@ -109,6 +104,170 @@ def fused_attention(x, wqkv, bqkv, wproj, bproj, heads: int = 6,
         out_shape=jax.ShapeDtypeStruct((batch, length, dim), x.dtype),
         interpret=interpret,
     )(x, wq, wk, wv, b4[0], b4[1], b4[2], wp, bproj)
+
+
+def _attn_bwd_kernel(x_ref, dy_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                     bv_ref, wp_ref,
+                     dx_ref, dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref,
+                     dbv_ref, dwp_ref, dbp_ref, *, heads: int, length: int):
+    """Backward of :func:`_attn_kernel` — flash-style recompute from ``x``
+    (no big residuals), same folded block-diagonal formulation. Weight grads
+    accumulate IN FP32 across the sequential grid steps via revisited output
+    blocks (constant index maps); ``dx`` is block-local."""
+    bt, _, dim = x_ref.shape
+    hd = dim // heads
+    scale = hd ** -0.5
+    n = bt * length
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwq_ref, dwk_ref, dwv_ref, dbq_ref, dbk_ref, dbv_ref,
+                    dwp_ref, dbp_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x2 = x_ref[:].astype(jnp.float32).reshape(n, dim)
+    dy2 = dy_ref[:].astype(jnp.float32).reshape(n, dim)
+    rb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // length
+    cb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // length
+    neg = jnp.where(rb == cb, 0.0, -1e9).astype(jnp.float32)
+
+    dbp_ref[...] += jnp.sum(dy2, axis=0)
+    dx = jnp.zeros((n, dim), jnp.float32)
+    contract_rows = (((0,), (0,)), ((), ()))   # a^T b for (n, p) x (n, q)
+    contract_last = (((1,), (1,)), ((), ()))   # a b^T for (n, p) x (m, p)
+    for h in range(heads):
+        wqh = wq_ref[h].astype(jnp.float32)
+        wkh = wk_ref[h].astype(jnp.float32)
+        wvh = wv_ref[h].astype(jnp.float32)
+        q = jnp.dot(x2, wqh, preferred_element_type=jnp.float32) \
+            + bq_ref[h].astype(jnp.float32)[None, :]
+        k = jnp.dot(x2, wkh, preferred_element_type=jnp.float32) \
+            + bk_ref[h].astype(jnp.float32)[None, :]
+        v = jnp.dot(x2, wvh, preferred_element_type=jnp.float32) \
+            + bv_ref[h].astype(jnp.float32)[None, :]
+        s = jax.lax.dot_general(q, k, dimension_numbers=contract_last,
+                                preferred_element_type=jnp.float32) * scale + neg
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        # dY -> per-head decoder side
+        do = jax.lax.dot_general(dy2, wp_ref[h].astype(jnp.float32),
+                                 dimension_numbers=contract_last,
+                                 preferred_element_type=jnp.float32)  # (n, hd)
+        oh = jnp.dot(a, v, preferred_element_type=jnp.float32)
+        dwp_ref[h] += jax.lax.dot_general(oh, dy2, dimension_numbers=contract_rows,
+                                          preferred_element_type=jnp.float32)
+        da = jax.lax.dot_general(do, v, dimension_numbers=contract_last,
+                                 preferred_element_type=jnp.float32)  # (n, n)
+        ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True)) * scale
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, dimension_numbers=contract_rows,
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(a, do, dimension_numbers=contract_rows,
+                                 preferred_element_type=jnp.float32)
+
+        dwq_ref[h] += jax.lax.dot_general(x2, dq, dimension_numbers=contract_rows,
+                                          preferred_element_type=jnp.float32)
+        dwk_ref[h] += jax.lax.dot_general(x2, dk, dimension_numbers=contract_rows,
+                                          preferred_element_type=jnp.float32)
+        dwv_ref[h] += jax.lax.dot_general(x2, dv, dimension_numbers=contract_rows,
+                                          preferred_element_type=jnp.float32)
+        dbq_ref[h] += jnp.sum(dq, axis=0)
+        dbk_ref[h] += jnp.sum(dk, axis=0)
+        dbv_ref[h] += jnp.sum(dv, axis=0)
+
+        dx = dx + jax.lax.dot_general(dq, wqh, dimension_numbers=contract_last,
+                                      preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dk, wkh, dimension_numbers=contract_last,
+                                      preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dv, wvh, dimension_numbers=contract_last,
+                                      preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.reshape(bt, length, dim).astype(dx_ref.dtype)
+
+
+def _split_weights(wqkv, bqkv, wproj, heads: int):
+    dim = wqkv.shape[0]
+    hd = dim // heads
+    w4 = wqkv.reshape(dim, 3, heads, hd)
+    wq = jnp.transpose(w4[:, 0], (1, 0, 2))
+    wk = jnp.transpose(w4[:, 1], (1, 0, 2))
+    wv = jnp.transpose(w4[:, 2], (1, 0, 2))
+    b4 = bqkv.reshape(3, heads, hd)
+    wp = wproj.reshape(heads, hd, dim)
+    return wq, wk, wv, b4, wp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention_trainable(x, wqkv, bqkv, wproj, bproj, heads: int = 6,
+                              block_batch: int = 8, interpret: bool = False):
+    """:func:`fused_attention` with a custom VJP (a Pallas backward kernel),
+    so the fused route also serves DIFFERENTIATED applies — the student
+    forward+backward, not just the grad-free EMA/teacher passes."""
+    return fused_attention(x, wqkv, bqkv, wproj, bproj, heads, block_batch,
+                           interpret)
+
+
+def _fat_fwd(x, wqkv, bqkv, wproj, bproj, heads, block_batch, interpret):
+    y = fused_attention(x, wqkv, bqkv, wproj, bproj, heads, block_batch,
+                        interpret)
+    return y, (x, wqkv, bqkv, wproj)
+
+
+def _fat_bwd(heads, block_batch, interpret, res, dy):
+    x, wqkv, bqkv, wproj = res
+    batch, length, dim = x.shape
+    hd = dim // heads
+    wq, wk, wv, b4, wp = _split_weights(wqkv, bqkv, wproj, heads)
+    grid = (batch // block_batch,)
+
+    def const3(i):
+        return (0, 0, 0)
+
+    head_mat = pl.BlockSpec((heads, dim, hd), const3)
+    head_vec = pl.BlockSpec((heads, hd), lambda i: (0, 0))
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, heads=heads, length=length),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_batch, length, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_batch, length, dim), lambda i: (i, 0, 0)),
+            head_mat, head_mat, head_mat,
+            head_vec, head_vec, head_vec,
+            pl.BlockSpec((heads, hd, dim), const3),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_batch, length, dim), lambda i: (i, 0, 0)),
+            head_mat, head_mat, head_mat,
+            head_vec, head_vec, head_vec,
+            pl.BlockSpec((heads, hd, dim), const3),
+            pl.BlockSpec((dim,), lambda i: (0,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, length, dim), x.dtype),
+            jax.ShapeDtypeStruct((heads, dim, hd), f32),
+            jax.ShapeDtypeStruct((heads, dim, hd), f32),
+            jax.ShapeDtypeStruct((heads, dim, hd), f32),
+            jax.ShapeDtypeStruct((heads, hd), f32),
+            jax.ShapeDtypeStruct((heads, hd), f32),
+            jax.ShapeDtypeStruct((heads, hd), f32),
+            jax.ShapeDtypeStruct((heads, hd, dim), f32),
+            jax.ShapeDtypeStruct((dim,), f32),
+        ],
+        interpret=interpret,
+    )(x, dy, wq, wk, wv, b4[0], b4[1], b4[2], wp)
+    dx, dwq, dwk, dwv, dbq, dbk, dbv, dwp, dbp = outs
+    # reassemble into the qkv-packed layouts (inverse of _split_weights)
+    dw4 = jnp.stack([dwq, dwk, dwv])                  # (3, H, D, hd)
+    dwqkv = jnp.transpose(dw4, (2, 0, 1, 3)).reshape(dim, 3 * dim)
+    dbqkv = jnp.stack([dbq, dbk, dbv]).reshape(3 * dim)
+    dwproj = dwp.reshape(dim, dim)
+    return (dx, dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype), dbp.astype(bqkv.dtype))
+
+
+fused_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
 def reference_attention(x, wqkv, bqkv, wproj, bproj, heads: int = 6):

@@ -143,13 +143,17 @@ def make_eval_step(model, npoints: int = 1024, batch_floor: int = 0):
     batches to the compile-shape floor (exact — deterministic forward) and
     slices the logits back."""
 
+    from gm3d_tpu.models.blocks import fused_attention_scope
+
     @jax.jit
     def step(variables: dict, pts: jax.Array) -> jax.Array:
         x = fps(pts, npoints) if pts.shape[1] > npoints else pts
         reps = floor_reps(x.shape[0], batch_floor)
         if reps > 1:
             x = jnp.tile(x, (reps, 1, 1))
-        logits = model.apply(variables, x, deterministic=True)
+        # grad-free: fused Pallas attention on TPU (models/blocks.py)
+        with fused_attention_scope():
+            logits = model.apply(variables, x, deterministic=True)
         return logits[: pts.shape[0]]
 
     return step
@@ -169,13 +173,16 @@ def make_vote_eval_step(model, npoints: int = 1024, times: int = 10,
         x_all = fps(pts, point_all) if pts.shape[1] > point_all else pts
         reps = floor_reps(pts.shape[0], batch_floor)
 
+        from gm3d_tpu.models.blocks import fused_attention_scope
+
         def one(r):
             r_sub, r_aug = jax.random.split(r)
             x = subsample(r_sub, x_all, npoints)
             x = scale_and_translate(r_aug, x)
             if reps > 1:
                 x = jnp.tile(x, (reps, 1, 1))
-            return model.apply(variables, x, deterministic=True)[: pts.shape[0]]
+            with fused_attention_scope():  # grad-free vote forward
+                return model.apply(variables, x, deterministic=True)[: pts.shape[0]]
 
         logits = jax.vmap(one)(jax.random.split(rng, times))  # (times, B, C)
         return jnp.mean(logits, axis=0)

@@ -449,7 +449,12 @@ def make_gm3d_train_step(
         # remat_student: recompute the student forward during the backward
         # (trades FLOPs for activation memory; a perf-round experiment lever)
         loss_fn_ = jax.checkpoint(loss_fn) if remat_student else loss_fn
-        (total, aux), grads = jax.value_and_grad(loss_fn_, has_aux=True)(state.params)
+        # fused attention for the STUDENT forward+backward too: the
+        # custom-VJP Pallas kernel measured 1.13x (f32) / 1.19x (bf16) vs
+        # XLA fwd+bwd at these shapes (docs/BENCHMARKS.md); scope active
+        # while loss_fn traces under value_and_grad
+        with fused_attention_scope(use_fused_attention):
+            (total, aux), grads = jax.value_and_grad(loss_fn_, has_aux=True)(state.params)
         new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, new_updates)
         # EMA updates only on optimizer-update steps when accumulating

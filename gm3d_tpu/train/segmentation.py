@@ -94,6 +94,8 @@ def make_seg_multi_step(step_fn):
 
 
 def make_seg_eval_step(model, batch_floor: int = 0):
+    from gm3d_tpu.models.blocks import fused_attention_scope
+
     @jax.jit
     def step(variables, pts, cls_label):
         reps = floor_reps(pts.shape[0], batch_floor)
@@ -101,7 +103,8 @@ def make_seg_eval_step(model, batch_floor: int = 0):
         if reps > 1:
             x = jnp.tile(pts, (reps, 1, 1))
             c = jnp.tile(cls_label, (reps,) + (1,) * (cls_label.ndim - 1))
-        logits = model.apply(variables, x, c, deterministic=True)
+        with fused_attention_scope():  # grad-free: fused attention on TPU
+            logits = model.apply(variables, x, c, deterministic=True)
         return logits[: pts.shape[0]]
 
     return step

@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gm3d_tpu.ops.fused_attention import fused_attention, reference_attention
+from gm3d_tpu.ops.fused_attention import (
+    fused_attention,
+    fused_attention_trainable,
+    reference_attention,
+)
 
 B, L, D, H = 256, 64, 384, 6
 ITERS = 64          # chained iterations inside ONE jit
@@ -32,7 +36,7 @@ DISPATCHES = 8
 WINDOWS = 3
 
 
-def build(impl, dtype, interpret):
+def build(impl, dtype, interpret, grad):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, L, D)), dtype)
     w = dict(
@@ -43,27 +47,41 @@ def build(impl, dtype, interpret):
     )
 
     if impl == "fused":
-        fn = functools.partial(fused_attention, heads=H, block_batch=8,
+        base = fused_attention_trainable if grad else fused_attention
+        fn = functools.partial(base, heads=H, block_batch=8,
                                interpret=interpret)
     else:
         fn = functools.partial(reference_attention, heads=H)
 
-    @jax.jit
-    def many(x0):
-        def body(carry, _):
-            y = fn(carry, **w)
-            # chain with a tiny perturbation so iterations cannot collapse
-            return (carry + 0.001 * y).astype(dtype), ()
+    if grad:
+        # fwd + bwd per iteration: d/dx of sum(attn(x) * x) chains the state
+        @jax.jit
+        def many(x0):
+            def body(carry, _):
+                g = jax.grad(
+                    lambda xx: jnp.sum((fn(xx, **w) * xx).astype(jnp.float32))
+                )(carry)
+                return (carry + 0.001 * g).astype(dtype), ()
 
-        out, _ = jax.lax.scan(body, x0, None, length=ITERS)
-        return jnp.sum(out.astype(jnp.float32))  # scalar for the host read
+            out, _ = jax.lax.scan(body, x0, None, length=ITERS)
+            return jnp.sum(out.astype(jnp.float32))
+    else:
+        @jax.jit
+        def many(x0):
+            def body(carry, _):
+                y = fn(carry, **w)
+                # chain with a tiny perturbation so iterations cannot collapse
+                return (carry + 0.001 * y).astype(dtype), ()
+
+            out, _ = jax.lax.scan(body, x0, None, length=ITERS)
+            return jnp.sum(out.astype(jnp.float32))  # scalar for the host read
 
     return many, x
 
 
-def measure(impl, dtype_name, interpret):
+def measure(impl, dtype_name, interpret, grad):
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
-    many, x = build(impl, dtype, interpret)
+    many, x = build(impl, dtype, interpret, grad)
     s = float(np.asarray(many(x)))  # compile + warm
     windows = []
     for _ in range(WINDOWS):
@@ -73,7 +91,7 @@ def measure(impl, dtype_name, interpret):
         windows.append(time.perf_counter() - t0)
     per_call_us = min(windows) / (DISPATCHES * ITERS) * 1e6
     print(json.dumps({
-        "impl": impl, "dtype": dtype_name,
+        "impl": impl, "dtype": dtype_name, "mode": "fwd+bwd" if grad else "fwd",
         "us_per_attention_call": round(per_call_us, 1),
         "shape": [B, L, D, H], "iters": ITERS,
         "windows_s": [round(w, 4) for w in windows],
@@ -86,14 +104,19 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--interpret", action="store_true",
                    help="CPU interpret mode (correctness only, not perf)")
+    p.add_argument("--grad", action="store_true",
+                   help="measure forward+backward (custom-VJP kernel) instead "
+                        "of forward only")
     args = p.parse_args()
     results = {}
     for dtype in ("f32", "bf16"):
         for impl in ("xla", "fused"):
-            results[(impl, dtype)] = measure(impl, dtype, args.interpret)
+            results[(impl, dtype)] = measure(impl, dtype, args.interpret,
+                                             args.grad)
     for dtype in ("f32", "bf16"):
         ratio = results[("xla", dtype)] / results[("fused", dtype)]
-        print(json.dumps({"dtype": dtype, "fused_speedup_vs_xla": round(ratio, 3)}))
+        print(json.dumps({"dtype": dtype, "mode": "fwd+bwd" if args.grad else "fwd",
+                          "fused_speedup_vs_xla": round(ratio, 3)}))
 
 
 if __name__ == "__main__":

@@ -300,8 +300,9 @@ class TestFusedAttention:
         base = attn.apply(variables, x)
 
         monkeypatch.setattr(blocks, "_fused_available", lambda: True)
-        monkeypatch.setattr(fa, "fused_attention",
-                            functools.partial(fa.fused_attention, interpret=True))
+        monkeypatch.setattr(fa, "fused_attention_trainable",
+                            functools.partial(fa.fused_attention_trainable,
+                                              interpret=True))
         with fused_attention_scope():
             fused = attn.apply(variables, x)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
@@ -317,3 +318,73 @@ class TestFusedAttention:
             masked = attn.apply(variables, x, attn_mask=mask)
         np.testing.assert_allclose(np.asarray(masked), np.asarray(base),
                                    rtol=1e-6)
+
+    def test_trainable_vjp_matches_reference_grads(self):
+        """The custom-VJP backward kernel must reproduce jax.grad of the XLA
+        math for EVERY input (x, packed qkv weights/bias, proj weights/bias)
+        to fp32 precision — this is what lets the fused route serve the
+        differentiated student forward+backward."""
+        from gm3d_tpu.ops.fused_attention import (
+            fused_attention_trainable, reference_attention)
+
+        rng = np.random.default_rng(3)
+        B, L, D, H = 8, 16, 96, 6
+        args = [
+            jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((D, 3 * D)).astype(np.float32) * 0.05),
+            jnp.asarray(rng.standard_normal((3 * D,)).astype(np.float32) * 0.05),
+            jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.05),
+            jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.05),
+        ]
+        cot = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+
+        def loss_fused(*a):
+            return jnp.sum(fused_attention_trainable(
+                *a, heads=H, block_batch=4, interpret=True) * cot)
+
+        def loss_ref(*a):
+            return jnp.sum(reference_attention(*a, heads=H) * cot)
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+        for name, a, b in zip(("dx", "dwqkv", "dbqkv", "dwproj", "dbp"), g_f, g_r):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=f"{name} diverged from reference autodiff")
+
+    def test_attention_module_fused_route_grads_match(self, monkeypatch):
+        """Gradients THROUGH the in-model fused route (via _DenseParams'
+        shared param tree) must equal the unfused module's gradients."""
+        import functools
+
+        import gm3d_tpu.models.blocks as blocks
+        import gm3d_tpu.ops.fused_attention as fa
+        from gm3d_tpu.models.blocks import Attention, fused_attention_scope
+
+        attn = Attention(dim=96, num_heads=6)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((8, 16, 96)).astype(np.float32))
+        variables = attn.init(jax.random.key(0), x)
+        cot = jnp.asarray(rng.standard_normal((8, 16, 96)).astype(np.float32))
+
+        def loss(params, fused):
+            if fused:
+                with fused_attention_scope():
+                    y = attn.apply({"params": params}, x)
+            else:
+                y = attn.apply({"params": params}, x)
+            return jnp.sum(y * cot)
+
+        g_base = jax.grad(loss)(variables["params"], False)
+        monkeypatch.setattr(blocks, "_fused_available", lambda: True)
+        monkeypatch.setattr(fa, "fused_attention_trainable",
+                            functools.partial(fa.fused_attention_trainable,
+                                              interpret=True))
+        g_fused = jax.grad(loss)(variables["params"], True)
+        flat_b = jax.tree_util.tree_leaves_with_path(g_base)
+        flat_f = dict(jax.tree_util.tree_leaves_with_path(g_fused))
+        assert len(flat_b) == len(flat_f) == 3  # qkv kernel, proj kernel+bias
+        for path, leaf in flat_b:
+            np.testing.assert_allclose(
+                np.asarray(flat_f[path]), np.asarray(leaf), rtol=2e-4, atol=2e-5,
+                err_msg=f"grad mismatch at {path}")
