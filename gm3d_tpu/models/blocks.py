@@ -163,8 +163,12 @@ def fused_attention_scope(enabled: bool = True):
 
 
 def _fused_available() -> bool:
-    """Patchable in tests; real condition is the TPU backend."""
-    return jax.default_backend() == "tpu"
+    """Patchable in tests. Real condition: TPU backend AND a single device —
+    under a multi-chip GSPMD mesh the pallas_call's SPMD partitioning is
+    unvalidated (no multi-chip hardware in this environment; the virtual-CPU
+    dryrun cannot exercise Mosaic), so the route conservatively yields to the
+    XLA path there. Revisit with a real-pod partitioning test before lifting."""
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def _fused_block_batch(batch: int, seq: int):
