@@ -35,7 +35,6 @@ def make_feature_fn(model, npoints: int = 1024, batch_floor: int = 0) -> Callabl
     below the TPU compile-shape floor — e.g. a ragged last probe batch —
     with exact copies and slices the features back (deterministic forward,
     so exact; train.finetune.floor_reps)."""
-    from gm3d_tpu.models.blocks import fused_attention_scope
     from gm3d_tpu.train.finetune import floor_reps
 
     pooled = getattr(model, "pooled_features", None)
@@ -46,13 +45,11 @@ def make_feature_fn(model, npoints: int = 1024, batch_floor: int = 0) -> Callabl
         reps = floor_reps(x.shape[0], batch_floor)
         if reps > 1:
             x = jnp.tile(x, (reps, 1, 1))
-        # grad-free probe forward: fused Pallas attention on TPU
-        with fused_attention_scope():
-            if pooled is not None:
-                feats = model.apply(variables, x, method=pooled)
-            else:
-                tok = model.apply(variables, x, method=model.encode_features)
-                feats = jnp.mean(tok, axis=1) + jnp.max(tok, axis=1)
+        if pooled is not None:
+            feats = model.apply(variables, x, method=pooled)
+        else:
+            tok = model.apply(variables, x, method=model.encode_features)
+            feats = jnp.mean(tok, axis=1) + jnp.max(tok, axis=1)
         return feats[: pts.shape[0]]
 
     return feature_fn

@@ -167,8 +167,13 @@ def _fused_available() -> bool:
     under a multi-chip GSPMD mesh the pallas_call's SPMD partitioning is
     unvalidated (no multi-chip hardware in this environment; the virtual-CPU
     dryrun cannot exercise Mosaic), so the route conservatively yields to the
-    XLA path there. Revisit with a real-pod partitioning test before lifting."""
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    XLA path there. Revisit with a real-pod partitioning test before lifting.
+    ``GM3D_DISABLE_FUSED_ATTENTION=1`` is the operational kill-switch (and
+    the same-session A/B lever for benchmarks)."""
+    import os
+
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and not os.environ.get("GM3D_DISABLE_FUSED_ATTENTION"))
 
 
 def _fused_block_batch(batch: int, seq: int):

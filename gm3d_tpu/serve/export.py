@@ -121,6 +121,12 @@ def export_forward(fn: Callable, example_input,
             from gm3d_tpu.ops.fps import portable_fps
 
             stack.enter_context(portable_fps())
+        # NOTE: artifacts deliberately do NOT embed the fused Pallas
+        # attention kernel — the same-session serve A/B measured the fused
+        # classifier forward 16% SLOWER on-device (7136 vs 8541 clouds/s;
+        # docs/BENCHMARKS.md "where it does NOT pay"): outside the GM3D
+        # pretrain step, XLA's scheduling of FPS/grouping around the
+        # attention GEMMs beats the kernel.
         if quantize == "int8":
             from gm3d_tpu.serve.quantize import quantized_dense
 

@@ -100,7 +100,13 @@ def make_finetune_train_step(
             loss, acc = losses.classification_loss(logits, y, smoothing)
             return loss, (acc, updates)
 
-        (loss, (acc, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # NOT fused-attention routed: measured 25% SLOWER with the Pallas
+        # kernel in this step (2359 vs 3143 clouds/s same-session A/B,
+        # docs/BENCHMARKS.md "Fused attention — where it does NOT pay") —
+        # the kernel's micro-win loses to XLA's scheduling of the in-step
+        # FPS/grouping around the attention GEMMs here
+        (loss, (acc, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, new_updates)
         new_state = state.replace(
@@ -143,17 +149,15 @@ def make_eval_step(model, npoints: int = 1024, batch_floor: int = 0):
     batches to the compile-shape floor (exact — deterministic forward) and
     slices the logits back."""
 
-    from gm3d_tpu.models.blocks import fused_attention_scope
-
     @jax.jit
     def step(variables: dict, pts: jax.Array) -> jax.Array:
         x = fps(pts, npoints) if pts.shape[1] > npoints else pts
         reps = floor_reps(x.shape[0], batch_floor)
         if reps > 1:
             x = jnp.tile(x, (reps, 1, 1))
-        # grad-free: fused Pallas attention on TPU (models/blocks.py)
-        with fused_attention_scope():
-            logits = model.apply(variables, x, deterministic=True)
+        # XLA attention: the fused kernel measured 16% slower in this
+        # forward (serve A/B, docs/BENCHMARKS.md "where it does NOT pay")
+        logits = model.apply(variables, x, deterministic=True)
         return logits[: pts.shape[0]]
 
     return step
@@ -173,16 +177,13 @@ def make_vote_eval_step(model, npoints: int = 1024, times: int = 10,
         x_all = fps(pts, point_all) if pts.shape[1] > point_all else pts
         reps = floor_reps(pts.shape[0], batch_floor)
 
-        from gm3d_tpu.models.blocks import fused_attention_scope
-
         def one(r):
             r_sub, r_aug = jax.random.split(r)
             x = subsample(r_sub, x_all, npoints)
             x = scale_and_translate(r_aug, x)
             if reps > 1:
                 x = jnp.tile(x, (reps, 1, 1))
-            with fused_attention_scope():  # grad-free vote forward
-                return model.apply(variables, x, deterministic=True)[: pts.shape[0]]
+            return model.apply(variables, x, deterministic=True)[: pts.shape[0]]
 
         logits = jax.vmap(one)(jax.random.split(rng, times))  # (times, B, C)
         return jnp.mean(logits, axis=0)

@@ -538,6 +538,8 @@ def make_m2ae_train_step(
             loss, _ = _m2ae_losses(model, outs)
             return loss, updates
 
+        # NOT fused-attention routed: unmeasured here, and the finetune A/B
+        # showed the kernel can LOSE inside full train steps (BENCHMARKS.md)
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, new_updates)
@@ -660,8 +662,10 @@ def make_m2ae_gm3d_train_step(
         batch = samples.shape[0]
 
         # EMA forward, fully visible -> per-coarse-group predicted loss
+        # (not fused-attention routed: unmeasured for the M2AE shapes)
         all_vis = jnp.ones((batch, coarse_groups), bool)
-        outs_ema = model.apply(state.ema_variables(), samples, all_vis, deterministic=True)
+        outs_ema = model.apply(state.ema_variables(), samples, all_vis,
+                               deterministic=True)
         masked = geometric_mask(
             r_mask, outs_ema["loss_pred"], num_mask, scalars["keep_ratio"]
         )

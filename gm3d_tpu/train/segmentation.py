@@ -63,7 +63,11 @@ def make_seg_train_step(model, tx: optax.GradientTransformation, augment: bool =
             acc = jnp.mean((jnp.argmax(logits, -1) == seg_t).astype(jnp.float32))
             return loss, (acc, updates)
 
-        (loss, (acc, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # NOT fused-attention routed: the finetune-family A/B measured the
+        # kernel 25% slower in the CE train step (docs/BENCHMARKS.md) —
+        # train-path fusion is only kept where measured positive (GM3D)
+        (loss, (acc, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, new_updates)
         new_state = state.replace(
@@ -94,8 +98,6 @@ def make_seg_multi_step(step_fn):
 
 
 def make_seg_eval_step(model, batch_floor: int = 0):
-    from gm3d_tpu.models.blocks import fused_attention_scope
-
     @jax.jit
     def step(variables, pts, cls_label):
         reps = floor_reps(pts.shape[0], batch_floor)
@@ -103,8 +105,7 @@ def make_seg_eval_step(model, batch_floor: int = 0):
         if reps > 1:
             x = jnp.tile(pts, (reps, 1, 1))
             c = jnp.tile(cls_label, (reps,) + (1,) * (cls_label.ndim - 1))
-        with fused_attention_scope():  # grad-free: fused attention on TPU
-            logits = model.apply(variables, x, c, deterministic=True)
+        logits = model.apply(variables, x, c, deterministic=True)
         return logits[: pts.shape[0]]
 
     return step
