@@ -77,6 +77,21 @@ class TestPlan:
             cfg = s.argv[s.argv.index("--config") + 1]
             assert os.path.exists(os.path.join(driver.REPO, cfg)), cfg
 
+    def test_stage_argv_parses_against_real_cli_parsers(self, driver, monkeypatch):
+        """Every stage's flags must be accepted by the target CLI's actual
+        argparse — a renamed/removed flag would otherwise only surface hours
+        into a real reproduction run."""
+        import importlib
+
+        for s in driver.build_plan("/tmp/x"):
+            if not s.argv:
+                continue
+            assert s.argv[0] == "-m"
+            mod = importlib.import_module(s.argv[1])
+            monkeypatch.setattr(sys, "argv", ["prog"] + list(s.argv[2:]))
+            args = mod.parse_args()  # SystemExit(2) on any unknown flag
+            assert args.config  # required flag made it through
+
 
 class TestPreflight:
     def test_names_each_missing_dataset_precisely(self, driver, tmp_path):
