@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae"],
                    default="gm3d",
                    help="pretrain model family for --probe svm/knn/linprob")
+    p.add_argument("--svm_scales", choices=["config", "all", "last"],
+                   default="config",
+                   help="override the M2AE probe feature protocol (pool all "
+                        "scales vs coarsest only, DESIGN.md §8); 'config' "
+                        "keeps the model config's svm_scales")
     p.add_argument("--knn_k", type=int, default=20,
                    help="neighbours for --probe knn (reference default 20)")
     p.add_argument("--linprob_epochs", type=int, default=90,
@@ -74,6 +79,10 @@ def run_feature_probe(args, cfg, logger):
         model = GM3DStudent(dtype=dtype)
     else:
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
+    if args.svm_scales != "config" and hasattr(model, "svm_scales"):
+        # A/B override of the M2AE multi-scale SVM protocol (DESIGN.md §8)
+        model = model.clone(svm_scales=args.svm_scales)
+        logger.info(f"svm feature scales overridden: {args.svm_scales}")
 
     def init_variables():
         # only the no-ckpt (random-features) path needs a real init forward
