@@ -390,6 +390,9 @@ def exec_stage(stage: Stage, args: argparse.Namespace) -> None:
     stage_dir = os.path.join(args.out, stage.name)
     os.makedirs(stage_dir, exist_ok=True)
     argv = [sys.executable] + list(stage.argv)
+    # global passthrough (e.g. "--bf16", or "--synthetic --epochs 1" in the
+    # driver's own e2e test) — appended so it can override stage defaults
+    argv += getattr(args, "extra_args", "").split()
     if stage.resume and os.path.exists(os.path.join(stage_dir, "ckpt")):
         argv.append("--resume")
     log_path = os.path.join(stage_dir, "driver_stdout.log")
@@ -467,6 +470,9 @@ def main(argv=None):
     p.add_argument("--force", action="store_true",
                    help="re-run stages that already have a completion marker")
     p.add_argument("--skip_preflight", action="store_true")
+    p.add_argument("--extra_args", default="",
+                   help="extra flags appended to EVERY stage's CLI command "
+                        "(e.g. '--bf16')")
     args = p.parse_args(argv)
     args.out = os.path.abspath(args.out)
 

@@ -187,6 +187,33 @@ class TestRun:
             driver.run(stages, _args(tmp_path),
                        runner=_fake_runner([], {}), report=lambda m: None)
 
+    @pytest.mark.slow
+    def test_real_subprocess_stage_end_to_end(self, driver, tmp_path,
+                                              monkeypatch):
+        """The REAL exec_stage path: the teacher stage launched as an actual
+        subprocess (tiny synthetic shapes via --extra_args), its JSONL log
+        parsed by the real metric extraction, the completion marker written —
+        the non-fake half of the driver proven executable."""
+        monkeypatch.setenv("GM3D_PLATFORM", "cpu")  # subprocess env
+        args = argparse.Namespace(
+            out=str(tmp_path), tolerance=0.5, force=False,
+            data_root="/nonexistent",
+            extra_args="--synthetic --epochs 1 --batch_size 8 "
+                       "--synthetic_samples 16")
+        stages = [s for s in driver.build_plan(str(tmp_path))
+                  if s.name == "teacher"]
+        out = driver.run(stages, args, report=lambda m: None)  # real runner
+        assert 0.0 <= out["teacher"]["val_svm_acc"] <= 100.0
+        assert os.path.exists(
+            os.path.join(tmp_path, "teacher", ".reproduce_done.json"))
+        assert os.path.exists(
+            os.path.join(tmp_path, "teacher", "ckpt"))
+        # restart must skip without touching the subprocess again
+        rec = []
+        driver.run(stages, args, runner=_fake_runner(rec, {}),
+                   report=lambda m: None)
+        assert rec == []
+
     def test_vote_regex_metric_parses_stdout(self, driver, tmp_path):
         """The vote stages parse '[TEST_VOTE] acc = 0.xxxx' from the captured
         CLI output — exercise the real regex + percent normalisation."""
