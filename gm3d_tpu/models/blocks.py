@@ -141,18 +141,20 @@ class Mlp(nn.Module):
 
 
 # Trace-time switch for the fused-attention Pallas route (round 4,
-# ops/fused_attention.py — measured 1.22-1.23x vs XLA at the GM3D shapes,
-# docs/BENCHMARKS.md): entered around GRAD-FREE applies only (EMA forward,
-# frozen-teacher encode/replay) because the kernel has no VJP — a gradient
-# through it fails loudly at trace time, never silently. Same trace-time
-# global pattern as ``bn_replica_tiling``.
+# ops/fused_attention.py — 1.22-1.23x fwd / 1.13-1.19x fwd+bwd vs XLA at
+# the GM3D shapes; custom VJP, so differentiated applies are served too).
+# Enabled ONLY where the same-session end-to-end A/B measured a win — the
+# GM3D pretrain step; the finetune step and serving forward measured SLOWER
+# fused and stay on XLA (docs/BENCHMARKS.md "where it does NOT pay"). Same
+# trace-time global pattern as ``bn_replica_tiling``.
 _FUSED_ATTENTION: bool = False
 
 
 @contextlib.contextmanager
 def fused_attention_scope(enabled: bool = True):
-    """Route mask-free attention through the fused Pallas kernel inside this
-    scope (TPU only; grad-free applies only — the kernel is forward-only)."""
+    """Route mask-free attention through the fused Pallas kernel (with its
+    custom-VJP backward) inside this scope. Backend/single-device gated —
+    see :func:`_fused_available`; enable only on A/B-measured surfaces."""
     global _FUSED_ATTENTION
     prev = _FUSED_ATTENTION
     _FUSED_ATTENTION = bool(enabled)
