@@ -147,6 +147,83 @@ def analytic_gm3d_flops(batch: int, num_group: int = 64, vis: int = 26,
     return batch * per_cloud
 
 
+def analytic_m2ae_gm3d_flops(
+    batch: int,
+    num_groups=(512, 256, 64),
+    group_sizes=(16, 8, 8),
+    depths=(5, 5, 5),
+    dims=(96, 192, 384),
+    dec_dims=(384, 192),
+    dec_depths=(1, 1),
+    up_blocks=(1, 1),
+    npoints: int = 2048,
+) -> float:
+    """Analytic matmul FLOPs per M2AE+GM3D train step (hierarchical family,
+    ``configs/m2ae/config_Point_M2AE.yaml``; sanity bound for the XLA count).
+
+    Same counting rules as :func:`analytic_gm3d_flops`: 2*m*n*k per GEMM,
+    grad path = 2x the trained forward, EMA pass forward-only. The EMA pass
+    only feeds ``loss_pred`` (decoder stage 0 + lp head); XLA DCE removes its
+    dead upsample/reconstruction arms, so the model counts them only in the
+    student pass. FPS is a Pallas kernel (uncounted by XLA) and KNN selection
+    is VPU work — only KNN's cross-term matmul is counted; both are <1% here.
+    """
+
+    def block(tokens: int, width: int) -> float:
+        return float(
+            2 * tokens * width * 3 * width       # qkv
+            + 2 * tokens * tokens * width * 2    # scores + attn@v
+            + 2 * tokens * width * width         # out proj
+            + 2 * 2 * tokens * width * 4 * width  # mlp
+        )
+
+    def stack(tokens, width, layers):
+        return layers * block(tokens, width)
+
+    def pos(tokens, width):
+        return float(tokens * 2 * (3 * 128 + 128 * width))
+
+    def patch_embed(groups, gsize, out):
+        per_point = 2 * (3 * 128 + 128 * 256 + 512 * 512 + 512 * out)
+        return float(groups * gsize * per_point)
+
+    # encoder forward (all scales; includes the KNN cross matmuls)
+    enc = 0.0
+    prev_n = npoints
+    for s, (g, k, d, dep) in enumerate(zip(num_groups, group_sizes, dims, depths)):
+        enc += 2 * g * prev_n * 3  # knn cross term
+        if s == 0:
+            enc += patch_embed(g, k, d)
+        else:
+            enc += 2 * g * (2 * dims[s - 1]) * d  # TokenMerge proj (max||mean)
+        enc += pos(g, d) + stack(g, d, dep)
+        prev_n = g
+
+    gc = num_groups[-1]
+    dec0 = (
+        2 * gc * dims[-1] * dec_dims[0]
+        + pos(gc, dec_dims[0])
+        + stack(gc, dec_dims[0], dec_depths[0])
+    )
+    lp = 2 * gc * (dec_dims[0] * 1024 + 1024 * dec_dims[0])
+
+    # upsample arm (student only): stage 1 at the middle scale, then the
+    # final up-blocks at the finest scale + reconstruction head
+    g1, d1 = num_groups[-2], dec_dims[1]
+    upsample = (
+        2 * g1 * (dec_dims[0] + dims[-2]) * d1          # dec_proj1 on up||skip
+        + pos(g1, d1)
+        + stack(g1, d1, up_blocks[0] + dec_depths[1])   # dec_up0 + dec_stage1
+        + pos(num_groups[0], d1)
+        + stack(num_groups[0], d1, up_blocks[-1])        # finest-scale up blocks
+        + 2 * num_groups[0] * d1 * 3 * group_sizes[0]    # rec head
+    )
+
+    student_fwd = enc + dec0 + lp + upsample
+    ema_fwd = enc + dec0 + lp
+    return batch * (3.0 * student_fwd + ema_fwd)
+
+
 def _wait_for_backend(retries: int = 3, sleep_s: float = 60.0) -> None:
     """The tunneled TPU backend is intermittently UNAVAILABLE (init raises
     after a long hang). Probe it in a SUBPROCESS — JAX memoizes a failed
@@ -171,7 +248,7 @@ def _wait_for_backend(retries: int = 3, sleep_s: float = 60.0) -> None:
             time.sleep(sleep_s)
 
 
-def main():
+def _init_backend():
     import os
     import sys
 
@@ -190,7 +267,8 @@ def main():
         os.environ["GM3D_BENCH_INIT_ATTEMPT"] = str(attempt + 1)
         time.sleep(120)
         os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)], os.environ)
+                  [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                  os.environ)
 
     # persistent compile cache: first-compile over the TPU tunnel can take
     # minutes; subsequent bench runs hit the cache
@@ -200,7 +278,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    return jax
 
+
+def main():
+    jax = _init_backend()
     import jax.numpy as jnp
 
     from gm3d_tpu.models import GM3DStudent, PointMAE
@@ -326,5 +408,124 @@ def main():
     print(json.dumps(result))
 
 
+# Round-4 recorded M2AE+GM3D throughput (docs/BENCHMARKS.md "M2AE+GM3D
+# pretrain throughput"); later rounds report their speedup against it.
+M2AE_BASELINE_CLOUDS_PER_SEC = 384.0
+M2AE_BATCH = 128
+M2AE_NPOINTS = 2048
+M2AE_SCAN_STEPS = 8
+
+
+def main_m2ae():
+    """M2AE+GM3D pretrain step throughput + MFU (verdict r4 #1): the
+    hierarchical family at its reference shapes (bs 128 x 2048 pts, groups
+    [512, 256, 64] — ``configs/m2ae/config_Point_M2AE.yaml``), the REAL
+    training step (``make_m2ae_gm3d_train_step``: EMA loss-pred forward,
+    geometric coarse mask, hierarchical reconstruction, relative learning
+    loss, clip-5 AdamW, EMA update), same windows/forced-read methodology
+    as the GM3D bench."""
+    jax = _init_backend()
+    import jax.numpy as jnp
+
+    from gm3d_tpu.models import PointM2AE
+    from gm3d_tpu.train.optim import build_adamw
+    from gm3d_tpu.train.pretrain import make_m2ae_gm3d_train_step, make_multi_step
+    from gm3d_tpu.train.schedules import cosine_warmup_schedule, effective_lr
+    from gm3d_tpu.train.state import create_train_state
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = PointM2AE(dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    pts_stack = jnp.asarray(
+        rng.standard_normal(
+            (M2AE_SCAN_STEPS, M2AE_BATCH, M2AE_NPOINTS, 3)
+        ).astype(np.float32) * 0.5
+    )
+    vis0 = jnp.ones((2, model.num_groups[-1]), bool)
+    variables = model.init(jax.random.key(0), pts_stack[0, :2], vis0)
+
+    # the CLI's exact optimizer for this family: cosine AdamW wd 0.05 with
+    # the HPM engines' clip-5 (cli/pretrain.py:199)
+    sched = cosine_warmup_schedule(effective_lr(1e-3, M2AE_BATCH), 0.0, 40, 300, 100)
+    tx = build_adamw(sched, 0.05, grad_clip=5.0)
+    state = create_train_state(variables, tx, with_ema=True)
+    step = make_m2ae_gm3d_train_step(model, tx, mask_ratio=0.8, relative=True)
+    multi = make_multi_step(step, has_teacher=False, has_scalars=True)
+
+    scalars = {"keep_ratio": jnp.asarray(0.5), "ema_decay": jnp.asarray(0.999)}
+
+    def run(state, seed):
+        rngs = jax.random.split(jax.random.key(seed), M2AE_SCAN_STEPS)
+        state, metrics = multi(state, None, pts_stack, rngs, scalars)
+        return state, metrics
+
+    # FLOPs: XLA cost analysis of the compiled multi-step (scan body counted
+    # once = per-step count, same property verified for the GM3D bench). No
+    # fused-attention route exists in this step, so the count is complete up
+    # to the Pallas FPS (<1%, see analytic docstring) — slight undercount,
+    # MFU conservative. Analytic matmul model is the sanity bound.
+    analytic = analytic_m2ae_gm3d_flops(M2AE_BATCH)
+    flops_per_step, flops_source = analytic, "analytic"
+    try:
+        rngs0 = jax.random.split(jax.random.key(0), M2AE_SCAN_STEPS)
+        compiled = multi.lower(state, None, pts_stack, rngs0, scalars).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        xla_flops = float(cost["flops"]) if cost and cost.get("flops") else 0.0
+        if xla_flops and abs(xla_flops - analytic) / analytic < 0.4:
+            flops_per_step, flops_source = xla_flops, "xla_cost_analysis"
+    except Exception:
+        pass
+
+    for i in range(WARMUP_DISPATCHES):
+        state, metrics = run(state, i)
+    _ = np.asarray(metrics["loss"])
+
+    window_dts = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(TIMED_DISPATCHES):
+            state, metrics = run(state, 100 + w * 10 + i)
+        _ = np.asarray(metrics["loss"])
+        window_dts.append(time.perf_counter() - t0)
+    dt = min(window_dts)
+
+    total_clouds = M2AE_BATCH * M2AE_SCAN_STEPS * TIMED_DISPATCHES
+    clouds_per_sec = total_clouds / dt
+
+    result = {
+        "metric": "m2ae_gm3d_pretrain_clouds_per_sec_per_chip",
+        "value": round(clouds_per_sec, 1),
+        "unit": "clouds/s",
+        "vs_baseline": round(clouds_per_sec / M2AE_BASELINE_CLOUDS_PER_SEC, 3),
+        "value_windows": [round(total_clouds / w, 1) for w in window_dts],
+        "tflops": None,
+        "mfu_vs_measured_peak": None,
+        "mfu_vs_spec_peak": None,
+        "flops_per_step": flops_per_step,
+        "flops_source": flops_source,
+        "analytic_flops_per_step": analytic,
+    }
+    if flops_per_step:
+        steps_timed = M2AE_SCAN_STEPS * TIMED_DISPATCHES
+        achieved = flops_per_step * steps_timed / dt
+        result["tflops"] = round(achieved / 1e12, 3)
+        peak_measured = measure_peak_tflops(jax, jnp, dtype)
+        result["measured_peak_tflops"] = round(peak_measured, 2)
+        result["mfu_vs_measured_peak"] = round(achieved / 1e12 / peak_measured, 4)
+        spec = _spec_peak_tflops(jax.devices()[0])
+        if spec:
+            result["mfu_vs_spec_peak"] = round(achieved / 1e12 / spec, 4)
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=["gm3d", "m2ae"], default="gm3d",
+                    help="gm3d = the driver's headline bench (default); "
+                    "m2ae = the hierarchical-family bench (verdict r4 #1)")
+    cli_args = ap.parse_args()
+    main_m2ae() if cli_args.family == "m2ae" else main()

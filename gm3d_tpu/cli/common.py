@@ -99,6 +99,11 @@ def setup_mesh(args, batch: int, logger=None):
         )
     if logger and n_dev > 1:
         logger.info(f"data-parallel over {n_dev} devices ({mesh.devices.ravel()[0].platform})")
+    # register the mesh for the fused-attention shard_map route (a 1-device
+    # mesh registers too — it behaves as the plain single-device kernel call)
+    from gm3d_tpu.models.blocks import set_fused_attention_mesh
+
+    set_fused_attention_mesh(mesh if n_dev > 1 else None)
     return mesh, batch_sharding(mesh)
 
 

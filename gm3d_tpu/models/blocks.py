@@ -149,11 +149,28 @@ class Mlp(nn.Module):
 # trace-time global pattern as ``bn_replica_tiling``.
 _FUSED_ATTENTION: bool = False
 
+# The mesh the fused route partitions over when more than one device is
+# visible (set once by the CLIs via :func:`set_fused_attention_mesh`,
+# cli/common.py:setup_mesh). With a mesh, Attention wraps the proven
+# single-device kernel in ``jax.shard_map`` over the mesh's data axis: each
+# device runs the kernel on its batch shard, and shard_map's transpose
+# psums the replicated-weight cotangents — the partitioning validated by
+# tests/test_parallel.py::TestFusedAttentionShardMap on the virtual CPU
+# mesh (interpret-mode pallas; Mosaic codegen itself is proven single-chip).
+_FUSED_MESH = None
+
+
+def set_fused_attention_mesh(mesh) -> None:
+    """Register the data mesh the fused-attention route shards over (None
+    clears). A 1-device mesh is equivalent to no mesh (plain kernel call)."""
+    global _FUSED_MESH
+    _FUSED_MESH = mesh
+
 
 @contextlib.contextmanager
 def fused_attention_scope(enabled: bool = True):
     """Route mask-free attention through the fused Pallas kernel (with its
-    custom-VJP backward) inside this scope. Backend/single-device gated —
+    custom-VJP backward) inside this scope. Backend gated —
     see :func:`_fused_available`; enable only on A/B-measured surfaces."""
     global _FUSED_ATTENTION
     prev = _FUSED_ATTENTION
@@ -165,16 +182,17 @@ def fused_attention_scope(enabled: bool = True):
 
 
 def _fused_available() -> bool:
-    """Patchable in tests. Real condition: TPU backend AND a single device —
-    under a multi-chip GSPMD mesh the pallas_call's SPMD partitioning is
-    unvalidated (no multi-chip hardware in this environment; the virtual-CPU
-    dryrun cannot exercise Mosaic), so the route conservatively yields to the
-    XLA path there. Revisit with a real-pod partitioning test before lifting.
+    """Patchable in tests. Real condition: TPU backend, and — when more than
+    one device is visible — a registered mesh for the shard_map route (the
+    partitioning is validated on the virtual CPU mesh; an unregistered
+    multi-device context would leave the pallas_call's GSPMD partitioning to
+    XLA, which is unvalidated, so the route yields to XLA there).
     ``GM3D_DISABLE_FUSED_ATTENTION=1`` is the operational kill-switch (and
     the same-session A/B lever for benchmarks)."""
     import os
 
-    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+    return (jax.default_backend() == "tpu"
+            and (jax.device_count() == 1 or _FUSED_MESH is not None)
             and not os.environ.get("GM3D_DISABLE_FUSED_ATTENTION"))
 
 
@@ -221,7 +239,13 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True, attn_mask=None):
         batch, seq, _ = x.shape
-        bt = _fused_block_batch(batch, seq)
+        # per-shard gating: with a registered multi-device mesh the kernel
+        # runs on each device's batch shard, so the block size is chosen
+        # from the LOCAL batch
+        mesh = _FUSED_MESH
+        n_shards = 1 if mesh is None else max(int(mesh.devices.size), 1)
+        local_batch = batch // n_shards if batch % n_shards == 0 else None
+        bt = _fused_block_batch(local_batch, seq) if local_batch else None
         # the fused kernel applies no attention/proj dropout: take the route
         # only when dropout is inert (deterministic, or — as in every shipped
         # config — the rates are 0). The trainable wrapper carries a Pallas
@@ -240,11 +264,27 @@ class Attention(nn.Module):
                 bqkv = jnp.zeros((3 * self.dim,), wqkv.dtype)
             # cast weights to the compute dtype first, matching nn.Dense's
             # bf16 weight rounding; the kernel accumulates in fp32 either way
-            return fused_attention_trainable(
-                x, wqkv.astype(self.dtype), bqkv.astype(self.dtype),
-                wproj.astype(self.dtype), bproj.astype(self.dtype),
-                self.num_heads, bt,
-            )
+            operands = (x, wqkv.astype(self.dtype), bqkv.astype(self.dtype),
+                        wproj.astype(self.dtype), bproj.astype(self.dtype))
+            if n_shards == 1:
+                return fused_attention_trainable(*operands, self.num_heads, bt)
+            # shard_map over the data axis: batch-sharded x, replicated
+            # weights (their cotangents are psum-ed by shard_map's
+            # transpose). check_vma off: the custom-VJP kernel is not
+            # vma-annotated.
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            heads = self.num_heads
+
+            def _sharded(xs, wq, bq, wp, bp):
+                return fused_attention_trainable(xs, wq, bq, wp, bp, heads, bt)
+
+            return jax.shard_map(
+                _sharded, mesh=mesh,
+                in_specs=(P(axis), P(), P(), P(), P()),
+                out_specs=P(axis), check_vma=False,
+            )(*operands)
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
         qkv = _dense(self.dim * 3, self.dtype, "qkv", use_bias=self.qkv_bias)(x)
