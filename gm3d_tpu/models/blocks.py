@@ -198,9 +198,16 @@ def _fused_available() -> bool:
 
 def _fused_block_batch(batch: int, seq: int):
     """Largest clouds-per-grid-step that divides the batch and keeps the
-    folded score matrix in VMEM; None disables the route."""
+    folded score matrix in VMEM; None disables the route.
+
+    Cap bt*seq at 512: the BACKWARD kernel holds ~6 (n, n) fp32 arrays on
+    the VMEM stack (s/e/a/da/ds + the block-diagonal mask), so n = 1024
+    needs ~24 MB > the 16 MB scoped limit — the Mosaic compile OOMs
+    (hit at the M2AE decoder shapes, 512 tokens x 192; round-5 lever
+    sweep). n = 512 is ~6 MB and is the proven GM3D configuration
+    (bt=8 x 64 tokens)."""
     for bt in (8, 4, 2, 1):
-        if batch % bt == 0 and bt * seq <= 1024:
+        if batch % bt == 0 and bt * seq <= 512:
             return bt
     return None
 

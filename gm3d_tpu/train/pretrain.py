@@ -646,11 +646,18 @@ def make_m2ae_gm3d_train_step(
     mask_ratio: float = 0.8,
     relative: bool = True,
     augment: bool = True,
+    use_fused_attention: bool = False,
 ):
     """Point-M2AE + GM3D: geometric-complexity coarse-mask selection driven by
     an EMA loss predictor, plus the relative learning loss — the hierarchical
     analog of the Point-MAE GM3D path (SURVEY.md §7.2 step 8: mask generated
-    at the coarsest scale, propagated coarse->fine)."""
+    at the coarsest scale, propagated coarse->fine).
+
+    ``use_fused_attention`` routes the UNMASKED attention sites (the decoder
+    stages; the encoder's local-radius mask declines the kernel) through the
+    Pallas kernel. Default OFF until a same-session end-to-end A/B on this
+    surface measures a win (scripts/perf_levers_m2ae.py `fused_decoder`;
+    routing is strictly A/B-driven — docs/BENCHMARKS.md)."""
     coarse_groups = model.num_groups[-1]
     # GM3D generate_mask count convention (L - int(L*(1-r)), see gm3d_num_mask)
     # — this is the GM3D masking applied at the coarse scale
@@ -675,11 +682,13 @@ def make_m2ae_gm3d_train_step(
 
         hier = build_hierarchy(samples, model.num_groups, model.group_sizes)
 
+        from gm3d_tpu.models.blocks import fused_attention_scope
+
         # EMA forward, fully visible -> per-coarse-group predicted loss
-        # (not fused-attention routed: unmeasured for the M2AE shapes)
         all_vis = jnp.ones((batch, coarse_groups), bool)
-        outs_ema = model.apply(state.ema_variables(), samples, all_vis,
-                               deterministic=True, hierarchy=hier)
+        with fused_attention_scope(use_fused_attention):
+            outs_ema = model.apply(state.ema_variables(), samples, all_vis,
+                                   deterministic=True, hierarchy=hier)
         masked = geometric_mask(
             r_mask, outs_ema["loss_pred"], num_mask, scalars["keep_ratio"]
         )
@@ -711,9 +720,10 @@ def make_m2ae_gm3d_train_step(
                 loss_learn = losses.mse_learning_loss(lp, mt)
             return loss + loss_learn, (loss, loss_learn, updates)
 
-        (total, (loss, loss_learn, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        with fused_attention_scope(use_fused_attention):
+            (total, (loss, loss_learn, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         new_updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, new_updates)
         decay = scalars["ema_decay"]

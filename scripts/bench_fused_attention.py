@@ -30,7 +30,8 @@ from gm3d_tpu.ops.fused_attention import (
     reference_attention,
 )
 
-B, L, D, H = 256, 64, 384, 6
+B, L, D, H = 256, 64, 384, 6   # GM3D hot shape (round-4 default)
+BT = 8
 ITERS = 64          # chained iterations inside ONE jit
 DISPATCHES = 8
 WINDOWS = 3
@@ -48,7 +49,7 @@ def build(impl, dtype, interpret, grad):
 
     if impl == "fused":
         base = fused_attention_trainable if grad else fused_attention
-        fn = functools.partial(base, heads=H, block_batch=8,
+        fn = functools.partial(base, heads=H, block_batch=BT,
                                interpret=interpret)
     else:
         fn = functools.partial(reference_attention, heads=H)
@@ -107,7 +108,17 @@ def main():
     p.add_argument("--grad", action="store_true",
                    help="measure forward+backward (custom-VJP kernel) instead "
                         "of forward only")
+    p.add_argument("--shape", default=None,
+                   help="B,L,D,H[,block_batch] override — e.g. the M2AE "
+                        "decoder shapes 128,64,384,6,8 / 128,256,192,6,4 / "
+                        "128,512,192,6,2 (round-5 per-scale A/B)")
     args = p.parse_args()
+    if args.shape:
+        global B, L, D, H, BT
+        parts = [int(v) for v in args.shape.split(",")]
+        B, L, D, H = parts[:4]
+        BT = parts[4] if len(parts) > 4 else max(
+            bt for bt in (8, 4, 2, 1) if B % bt == 0 and bt * L <= 1024)
     results = {}
     for dtype in ("f32", "bf16"):
         for impl in ("xla", "fused"):

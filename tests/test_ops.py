@@ -388,3 +388,23 @@ class TestFusedAttention:
             np.testing.assert_allclose(
                 np.asarray(flat_f[path]), np.asarray(leaf), rtol=2e-4, atol=2e-5,
                 err_msg=f"grad mismatch at {path}")
+
+
+class TestFusedBlockBatch:
+    def test_block_cap_keeps_backward_kernel_in_vmem(self):
+        """bt*seq <= 512: the backward kernel holds ~6 (bt*seq)^2 fp32
+        arrays on the VMEM stack — bt*seq = 1024 is a hard Mosaic
+        compile OOM (23 MB > 16 MB scoped limit, hit at the M2AE decoder
+        shapes in the round-5 lever sweep). The GM3D hot configuration
+        (8 clouds x 64 tokens = 512) must survive the cap."""
+        from gm3d_tpu.models.blocks import _fused_block_batch
+
+        assert _fused_block_batch(256, 64) == 8    # GM3D hot path
+        assert _fused_block_batch(128, 64) == 8
+        assert _fused_block_batch(128, 512) == 1   # M2AE finest decoder scale
+        assert _fused_block_batch(128, 256) == 2
+        assert _fused_block_batch(128, 600) is None  # no bt fits the cap
+        for batch, seq in ((256, 64), (128, 512), (128, 256), (50, 16)):
+            bt = _fused_block_batch(batch, seq)
+            if bt is not None:
+                assert batch % bt == 0 and bt * seq <= 512
