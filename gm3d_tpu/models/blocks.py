@@ -196,18 +196,22 @@ def _fused_available() -> bool:
             and not os.environ.get("GM3D_DISABLE_FUSED_ATTENTION"))
 
 
-def _fused_block_batch(batch: int, seq: int):
+def _fused_block_batch(batch: int, seq: int, dtype=None):
     """Largest clouds-per-grid-step that divides the batch and keeps the
     folded score matrix in VMEM; None disables the route.
 
-    Cap bt*seq at 512: the BACKWARD kernel holds ~6 (n, n) fp32 arrays on
-    the VMEM stack (s/e/a/da/ds + the block-diagonal mask), so n = 1024
-    needs ~24 MB > the 16 MB scoped limit — the Mosaic compile OOMs
-    (hit at the M2AE decoder shapes, 512 tokens x 192; round-5 lever
-    sweep). n = 512 is ~6 MB and is the proven GM3D configuration
-    (bt=8 x 64 tokens)."""
+    Cap bt*seq at 512 (bf16): the BACKWARD kernel holds ~6 (n, n) fp32
+    arrays on the VMEM stack (s/e/a/da/ds + the block-diagonal mask), so
+    n = 1024 needs ~24 MB > the 16 MB scoped limit — the Mosaic compile
+    OOMs (hit at the M2AE decoder shapes, 512 tokens x 192; round-5 lever
+    sweep). n = 512 is the proven GM3D bf16 configuration (bt=8 x 64
+    tokens) — and it sits RIGHT AT the ceiling: with fp32 operand blocks
+    the same configuration allocates 16.18 MB and OOMs (caught by the
+    round-5 soak run, which exercises the CLI's default fp32 dtype), so
+    fp32 halves the cap to 256 (bt=4 at the GM3D shapes)."""
+    cap = 256 if dtype == jnp.float32 else 512
     for bt in (8, 4, 2, 1):
-        if batch % bt == 0 and bt * seq <= 512:
+        if batch % bt == 0 and bt * seq <= cap:
             return bt
     return None
 
@@ -252,7 +256,8 @@ class Attention(nn.Module):
         mesh = _FUSED_MESH
         n_shards = 1 if mesh is None else max(int(mesh.devices.size), 1)
         local_batch = batch // n_shards if batch % n_shards == 0 else None
-        bt = _fused_block_batch(local_batch, seq) if local_batch else None
+        bt = (_fused_block_batch(local_batch, seq, self.dtype)
+              if local_batch else None)
         # the fused kernel applies no attention/proj dropout: take the route
         # only when dropout is inert (deterministic, or — as in every shipped
         # config — the rates are 0). The trainable wrapper carries a Pallas

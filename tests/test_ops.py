@@ -399,11 +399,17 @@ class TestFusedBlockBatch:
         (8 clouds x 64 tokens = 512) must survive the cap."""
         from gm3d_tpu.models.blocks import _fused_block_batch
 
-        assert _fused_block_batch(256, 64) == 8    # GM3D hot path
+        assert _fused_block_batch(256, 64) == 8    # GM3D hot path (bf16)
         assert _fused_block_batch(128, 64) == 8
         assert _fused_block_batch(128, 512) == 1   # M2AE finest decoder scale
         assert _fused_block_batch(128, 256) == 2
         assert _fused_block_batch(128, 600) is None  # no bt fits the cap
+        # fp32 operand blocks double: bt=8 x 64 allocates 16.18 MB and OOMs
+        # (caught by the round-5 soak at the CLI's default dtype) — the fp32
+        # cap is 256
+        assert _fused_block_batch(256, 64, jnp.float32) == 4
+        assert _fused_block_batch(128, 256, jnp.float32) == 1
+        assert _fused_block_batch(256, 64, jnp.bfloat16) == 8
         for batch, seq in ((256, 64), (128, 512), (128, 256), (50, 16)):
             bt = _fused_block_batch(batch, seq)
             if bt is not None:
