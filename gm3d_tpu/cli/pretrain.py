@@ -586,6 +586,18 @@ def main():
                 # first so two orbax managers never race on ckpt_dir. Flush the
                 # metrics pipeline so the deferred NaN checks run before the
                 # state is persisted.
+                # The PREVIOUS epoch's async probe may still be in flight — its
+                # epoch row only emits when the probe joins, and a mid-epoch
+                # resume never re-runs that probe, so dropping it here would
+                # lose the completed epoch's JSONL row forever (observed in the
+                # round-5 soak: SIGTERM in epoch 9 silently ate epoch 8's row).
+                # Join + record + emit it first; a probe failure must not block
+                # the preemption checkpoint.
+                try:
+                    finish_pending_probe()
+                except Exception:
+                    logger.warning("pending probe failed during preemption; "
+                                   "its epoch row is dropped")
                 dm.flush()
                 writer.wait()
                 save_checkpoint(ckpt_dir, state, int(state.step))
@@ -683,7 +695,15 @@ def main():
 
             def preempt_save_epoch_end():
                 # every step of this epoch is trained; a signal here skips the
-                # (potentially minutes-long) SVM probe and resumes at epoch+1
+                # (potentially minutes-long) SVM probe and resumes at epoch+1.
+                # As in preempt_save: emit the PREVIOUS epoch's pending row
+                # first (this epoch's own row is recomputable — resume replays
+                # nothing but re-probes at its next epoch end).
+                try:
+                    finish_pending_probe()
+                except Exception:
+                    logger.warning("pending probe failed during preemption; "
+                                   "its epoch row is dropped")
                 writer.wait()
                 save_checkpoint(ckpt_dir, state, int(state.step))
                 save_loader_state(ckpt_dir, {"epoch": epoch + 1, "batch": 0})

@@ -91,3 +91,55 @@ def test_sigterm_checkpoints_and_resume_continues(tmp_path):
     # equal one uninterrupted 3-epoch run's (6 steps/epoch x 3) — the resume
     # replayed nothing and skipped nothing
     assert n_resumed + sum(e["steps"] for e in entries[n_phase1:]) == 18
+
+
+def test_preempt_emits_pending_async_probe_row(tmp_path, monkeypatch):
+    """Round-5 soak regression: SIGTERM while the PREVIOUS epoch's async SVM
+    probe is still in flight must not eat that epoch's JSONL row — a
+    mid-epoch resume never re-runs that probe, so before the fix the
+    completed epoch's row (observed: epoch 8 in the soak) vanished forever.
+    In-process with a deterministic trigger: the guard 'fires' on its 10th
+    poll (mid-epoch 1), while a slowed probe for epoch 0 is still pending;
+    `preempt_save` must join + record + emit epoch 0's row before exiting."""
+    import json as _json
+    import time as _time
+
+    import gm3d_tpu.eval.svm as svm_mod
+    from gm3d_tpu.utils.preempt import PreemptionGuard
+
+    def slow_probe(*a, **kw):
+        _time.sleep(4.0)
+        return 0.5
+
+    monkeypatch.setattr(svm_mod, "svm_probe", slow_probe)
+
+    calls = {"n": 0}
+    orig = PreemptionGuard.exit_if_triggered
+
+    def fake_exit(self, save_fn):
+        calls["n"] += 1
+        if calls["n"] == 10:  # 7 polls in epoch 0 (6 steps + epoch end)
+            self.triggered = True
+        return orig(self, save_fn)
+
+    monkeypatch.setattr(PreemptionGuard, "exit_if_triggered", fake_exit)
+
+    out = str(tmp_path / "run")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cli_harness import run_cli
+
+    with pytest.raises(SystemExit) as ei:
+        run_cli("gm3d_tpu.cli.pretrain", [
+            "pt", "--config", "configs/pointmae/config.yaml", "--synthetic",
+            "--learn_feature_loss", "ema",
+            "--batch_size", "8", "--synthetic_samples", "48",
+            "--warmup_epochs", "0", "--val_freq", "1",
+            "--steps_per_dispatch", "1", "--epochs", "5",
+            "--output_dir", out,
+        ])
+    assert ei.value.code == 0
+    jsonl_path = os.path.join(out, "log.txt")
+    rows = [_json.loads(l) for l in open(jsonl_path)]
+    assert any(r["epoch"] == 0 and r.get("val_svm_acc") == 0.5 for r in rows), (
+        f"epoch 0's row (with its probe result) was dropped on preemption: "
+        f"{rows}")
