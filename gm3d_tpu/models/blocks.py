@@ -150,21 +150,30 @@ class Mlp(nn.Module):
 _FUSED_ATTENTION: bool = False
 
 # The mesh the fused route partitions over when more than one device is
-# visible (set once by the CLIs via :func:`set_fused_attention_mesh`,
-# cli/common.py:setup_mesh). With a mesh, Attention wraps the proven
-# single-device kernel in ``jax.shard_map`` over the mesh's data axis: each
-# device runs the kernel on its batch shard, and shard_map's transpose
-# psums the replicated-weight cotangents — the partitioning validated by
-# tests/test_parallel.py::TestFusedAttentionShardMap on the virtual CPU
-# mesh (interpret-mode pallas; Mosaic codegen itself is proven single-chip).
-_FUSED_MESH = None
+# visible lives in the shared registry (parallel/context.py, set once by
+# the CLIs via cli/common.py:setup_mesh). With a mesh, Attention wraps the
+# proven single-device kernel in ``jax.shard_map`` over the mesh's data
+# axis: each device runs the kernel on its batch shard, and shard_map's
+# transpose psums the replicated-weight cotangents — the partitioning
+# validated by tests/test_parallel.py::TestFusedAttentionShardMap on the
+# virtual CPU mesh (interpret-mode pallas; Mosaic codegen itself is proven
+# single-chip).
+
+
+def _compute_mesh():
+    from gm3d_tpu.parallel.context import get_compute_mesh
+
+    return get_compute_mesh()
 
 
 def set_fused_attention_mesh(mesh) -> None:
-    """Register the data mesh the fused-attention route shards over (None
-    clears). A 1-device mesh is equivalent to no mesh (plain kernel call)."""
-    global _FUSED_MESH
-    _FUSED_MESH = mesh
+    """Register the data mesh the Pallas routes shard over (None clears; a
+    1-device mesh is equivalent to no mesh). Alias of
+    ``parallel.context.set_compute_mesh`` — the exact-KNN kernel reads the
+    same registry."""
+    from gm3d_tpu.parallel.context import set_compute_mesh
+
+    set_compute_mesh(mesh)
 
 
 @contextlib.contextmanager
@@ -192,7 +201,7 @@ def _fused_available() -> bool:
     import os
 
     return (jax.default_backend() == "tpu"
-            and (jax.device_count() == 1 or _FUSED_MESH is not None)
+            and (jax.device_count() == 1 or _compute_mesh() is not None)
             and not os.environ.get("GM3D_DISABLE_FUSED_ATTENTION"))
 
 
@@ -253,7 +262,7 @@ class Attention(nn.Module):
         # per-shard gating: with a registered multi-device mesh the kernel
         # runs on each device's batch shard, so the block size is chosen
         # from the LOCAL batch
-        mesh = _FUSED_MESH
+        mesh = _compute_mesh()
         n_shards = 1 if mesh is None else max(int(mesh.devices.size), 1)
         local_batch = batch // n_shards if batch % n_shards == 0 else None
         bt = (_fused_block_batch(local_batch, seq, self.dtype)

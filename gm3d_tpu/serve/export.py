@@ -119,8 +119,10 @@ def export_forward(fn: Callable, example_input,
     with contextlib.ExitStack() as stack:
         if platforms != (jax.default_backend(),):
             from gm3d_tpu.ops.fps import portable_fps
+            from gm3d_tpu.ops.knn import portable_knn
 
             stack.enter_context(portable_fps())
+            stack.enter_context(portable_knn())
         # NOTE: artifacts deliberately do NOT embed the fused Pallas
         # attention kernel — the same-session serve A/B measured the fused
         # classifier forward 16% SLOWER on-device (7136 vs 8541 clouds/s;

@@ -414,3 +414,57 @@ class TestFusedBlockBatch:
             bt = _fused_block_batch(batch, seq)
             if bt is not None:
                 assert batch % bt == 0 and bt * seq <= 512
+
+
+class TestPallasKNN:
+    """Round-5 Pallas exact-KNN kernel (ops/knn.py): in-VMEM distance +
+    k-extraction must match the XLA approx_min_k route and a numpy brute
+    force — exact sets, ascending distances — at every shipped shape."""
+
+    @pytest.mark.parametrize("shape", [
+        (2, 2048, 512, 16),  # M2AE scale 0
+        (2, 512, 256, 8),    # M2AE scale 1
+        (2, 256, 64, 8),     # M2AE scale 2
+        (2, 1024, 64, 32),   # GM3D grouping
+        (2, 300, 100, 7),    # ragged/padded
+        (2, 64, 512, 1),     # nearest-coarse back-projection (1-NN)
+    ])
+    def test_matches_numpy_and_xla(self, shape):
+        from gm3d_tpu.ops.knn import knn_indices_pallas, knn_indices_xla
+
+        B, N, G, k = shape
+        rng = np.random.default_rng(hash(shape) % 2**31)
+        ref = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((B, G, 3)).astype(np.float32))
+        idx_p, d_p = knn_indices_pallas(ref, q, k, interpret=True)
+        idx_x = knn_indices_xla(ref, q, k)
+        dp, ip, ix = np.asarray(d_p), np.asarray(idx_p), np.asarray(idx_x)
+        for b in range(B):
+            for g in range(G):
+                assert set(ip[b, g]) == set(ix[b, g])
+        assert (np.diff(dp, axis=-1) >= -1e-6).all(), "not ascending"
+        dist_full = ((np.asarray(q)[:, :, None, :]
+                      - np.asarray(ref)[:, None, :, :]) ** 2).sum(-1)
+        np_d = np.sort(dist_full, axis=-1)[..., :k]
+        np.testing.assert_allclose(dp, np_d, atol=1e-4)
+
+    def test_route_gating(self, monkeypatch):
+        from gm3d_tpu.ops import knn as knn_mod
+
+        # CPU backend -> XLA route regardless
+        assert not knn_mod._pallas_route(2048, 16)
+        monkeypatch.setattr(knn_mod.jax, "default_backend", lambda: "tpu")
+        assert knn_mod._pallas_route(2048, 16)
+        assert knn_mod._pallas_route(1024, 32)       # GM3D grouping
+        assert not knn_mod._pallas_route(512, 8)     # below the measured
+        assert not knn_mod._pallas_route(64, 16)     # threshold: XLA wins
+        assert not knn_mod._pallas_route(2048, 256)  # k > lane tile
+        monkeypatch.setenv("GM3D_PALLAS_KNN_MIN_REF", "129")
+        assert knn_mod._pallas_route(512, 8)         # threshold is a lever
+        monkeypatch.setenv("GM3D_DISABLE_PALLAS_KNN", "1")
+        assert not knn_mod._pallas_route(2048, 16)   # kill switch
+        monkeypatch.delenv("GM3D_DISABLE_PALLAS_KNN")
+        from gm3d_tpu.ops.knn import portable_knn
+
+        with portable_knn():                          # export scope
+            assert not knn_mod._pallas_route(2048, 16)

@@ -437,3 +437,65 @@ class TestFusedAttentionShardMap:
         for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestPallasKNNShardMap:
+    """Round-5: the exact-KNN Pallas kernel under shard_map over the data
+    axis (ops/knn.py::knn_indices multi-device route) — sharded interpret-
+    mode results must equal the XLA route's neighbor sets and the numpy
+    brute-force distances, so lifting it onto a pod cannot change geometry."""
+
+    def test_sharded_knn_matches_xla_sets(self, monkeypatch):
+        import functools
+
+        import gm3d_tpu.ops.knn as knn_mod
+        from gm3d_tpu.parallel.context import set_compute_mesh
+
+        monkeypatch.setattr(knn_mod.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            knn_mod, "knn_indices_pallas",
+            functools.partial(knn_mod.knn_indices_pallas, interpret=True))
+        monkeypatch.setenv("GM3D_PALLAS_KNN_MIN_REF", "129")
+
+        Bk, Nr, G, k = 16, 256, 64, 8
+        rng = np.random.default_rng(4)
+        ref = jnp.asarray(rng.standard_normal((Bk, Nr, 3)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((Bk, G, 3)).astype(np.float32))
+
+        mesh = make_mesh()
+        set_compute_mesh(mesh)
+        try:
+            kdist, idx = knn_mod.knn_indices(
+                shard_batch(mesh, ref), shard_batch(mesh, q), k,
+                return_dist=True)
+        finally:
+            set_compute_mesh(None)
+        idx_x = knn_mod.knn_indices_xla(ref, q, k)
+        ip, ix = np.asarray(idx), np.asarray(idx_x)
+        for b in range(Bk):
+            for g in range(G):
+                assert set(ip[b, g]) == set(ix[b, g])
+        dist_full = ((np.asarray(q)[:, :, None, :]
+                      - np.asarray(ref)[:, None, :, :]) ** 2).sum(-1)
+        np_d = np.sort(dist_full, axis=-1)[..., :k]
+        np.testing.assert_allclose(np.asarray(kdist), np_d, atol=1e-4)
+
+    def test_ragged_batch_falls_back_to_xla(self, monkeypatch):
+        """A batch that does not divide the mesh must silently take the XLA
+        route (eval loaders end ragged), never a shard_map error."""
+        import gm3d_tpu.ops.knn as knn_mod
+        from gm3d_tpu.parallel.context import set_compute_mesh
+
+        monkeypatch.setattr(knn_mod.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setenv("GM3D_PALLAS_KNN_MIN_REF", "129")
+        rng = np.random.default_rng(5)
+        ref = jnp.asarray(rng.standard_normal((3, 256, 3)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((3, 16, 3)).astype(np.float32))
+        set_compute_mesh(make_mesh())
+        try:
+            idx = knn_mod.knn_indices(ref, q, 4)  # 3 % 8 != 0 -> XLA
+        finally:
+            set_compute_mesh(None)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx), -1),
+            np.sort(np.asarray(knn_mod.knn_indices_xla(ref, q, 4)), -1))
